@@ -1,0 +1,197 @@
+"""Similarity search operators.
+
+Reference surface: ONE operator — top-k cosine k-NN over the chunk table
+(reference ask.py:188-203, k=5, distances discarded, no metadata filter).
+Spark-first re-expression (SURVEY §2.5 Q1):
+
+* exact single-query top-k: score with codegen'd HOF dot/cosine, then
+  ``orderBy(desc).limit(k)`` — Catalyst plans TakeOrderedAndProject, a true
+  distributed top-k: each partition keeps a k-heap, the driver merges k*P
+  rows.  No global sort, no shuffle of the full table.  At 100 TB this scan
+  is embarrassingly parallel and the result transfer is O(k).
+* batch top-k per query: broadcast the (small) query set, crossJoin, then
+  Window.partitionBy(query).orderBy(desc(score)) + row_number <= k.  The
+  only shuffle is on query_id — bounded by #queries, not table size.
+* similarity self-join: blocked (equi-key prefilter) so Catalyst plans a
+  shuffled hash/sort-merge join on the block key instead of a cartesian
+  product; the exact-threshold filter runs inside the join stage.
+* IVF approximate k-NN: coarse-quantize every vector to its nearest
+  centroid once (write-time in a real deployment), probe only the nearest
+  ``nprobe`` centroid partitions at query time — the classic
+  inverted-file ANN layout, expressed relationally so it scales as a
+  partition-pruned scan.
+
+Ties are always broken by vec_id so results are deterministic and
+oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from log_vector_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_normalize,
+    literal_vector,
+)
+
+SCORE_DP = 6  # rounding at the query boundary (SURVEY §7.3 float discipline)
+
+
+def score_against(df: DataFrame, query_vec: Sequence[float], vec_col: str = "embedding") -> DataFrame:
+    """Attach a cosine `score` column against a constant query vector."""
+    q = literal_vector(query_vec)
+    return df.withColumn("score", F.round(cosine_similarity(F.col(vec_col), q), SCORE_DP))
+
+
+def knn_topk(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine k-NN for one query vector (reference ask.py:200-203).
+
+    Returns (id, score) ordered best-first.  The plan is a single parquet
+    scan + codegen'd projection + TakeOrderedAndProject — O(k) driver data.
+    """
+    scored = score_against(vectors, query_vec, vec_col)
+    return scored.select(id_col, "score").orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def knn_batch_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k per query for a *set* of query vectors.
+
+    ``broadcast(queries)`` makes the crossJoin a broadcast nested-loop with
+    zero shuffle of the big side; the window shuffle is keyed on query_id
+    (small).  This is the scalable batch form of the reference's REPL loop.
+    """
+    pairs = vectors.crossJoin(F.broadcast(queries))
+    scored = pairs.withColumn(
+        "score", F.round(cosine_similarity(F.col(vec_col), F.col(query_col)), SCORE_DP)
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(vec_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, F.col(vec_id), "score", "rank")
+    )
+
+
+def similarity_join(
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a, b), a.id < b.id, cosine >= threshold, within a block.
+
+    The block key turns the O(n²) cartesian into an equi-join: Catalyst
+    shuffles both sides on `block_col` and compares only within buckets —
+    the same blocking idea LSH uses, with an exact in-bucket verify.  For
+    unblocked corpora use `dedup.minhash_pairs` (LSH banding) instead.
+    """
+    a = vectors.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = vectors.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn(
+        "score", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), SCORE_DP)
+    )
+    return scored.filter(F.col("score") >= threshold).select("block", "id_a", "id_b", "score")
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (IVF coarse quantization).
+
+    broadcast(centroids) keeps this a map-side operation; at write time the
+    result would be persisted partitioned by `list_id` so queries prune
+    partitions instead of scanning.
+    """
+    pairs = vectors.crossJoin(F.broadcast(centroids))
+    scored = pairs.withColumn(
+        "cscore", F.round(cosine_similarity(F.col(vec_col), F.col("centroid")), SCORE_DP)
+    )
+    w = Window.partitionBy(vec_id).orderBy(F.desc("cscore"), F.asc("list_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .drop("crank", "centroid")
+    )
+
+
+def knn_ivf(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int = 4,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the `nprobe` centroid lists nearest to
+    the query, exact-score inside them.  At scale the assignment is
+    precomputed and partition-pruned; here it is computed inline."""
+    q = literal_vector(query_vec)
+    probed = (
+        centroids.withColumn("qscore", F.round(cosine_similarity(F.col("centroid"), q), SCORE_DP))
+        .orderBy(F.desc("qscore"), F.asc("list_id"))
+        .limit(nprobe)
+        .select("list_id")
+    )
+    assigned = ivf_assign(vectors, centroids, vec_id, vec_col)
+    candidates = assigned.join(F.broadcast(probed), "list_id")
+    scored = candidates.withColumn("score", F.round(cosine_similarity(F.col(vec_col), q), SCORE_DP))
+    return scored.select(vec_id, "score").orderBy(F.desc("score"), F.asc(vec_id)).limit(k)
+
+
+def make_centroids(
+    vectors: DataFrame,
+    every: int = 37,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid pick: every `every`-th vector (cosine scoring is
+    scale-invariant, so no normalization needed).
+
+    (A real deployment would run k-means; a fixed stride keeps the operator
+    reproducible for the oracle while exercising the identical plan shape.)
+    """
+    return vectors.filter(F.col(vec_id) % every == 0).select(
+        F.col(vec_id).alias("list_id"),
+        F.col(vec_col).alias("centroid"),
+    )
+
+
+def normalize_vectors(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Write-time normalization (SURVEY §4.3.1): store unit vectors + norm so
+    cosine degenerates to dot product for every later comparison."""
+    return vectors.withColumn("norm", F.round(F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))), SCORE_DP)).withColumn(
+        "unit", l2_normalize(F.col(vec_col))
+    )

@@ -1,0 +1,132 @@
+"""Oracle-checked vector-search queries (SURVEY §2.5 Q1, §2.8).
+
+Covers the reference's single query operator — top-k cosine k-NN over the
+vector table (reference ask.py:188-203) — plus the batch, join, and
+approximate (IVF) forms a 100 TB deployment needs.
+
+Every oracle casts embeddings to DOUBLE[] before DuckDB's
+list_cosine_similarity: probed bit-identical to Spark's zip_with/aggregate
+double fold after round(·, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_vector_spark.catalog import table
+from log_vector_spark.functions.vector import fixed_query_vector, vector_sql_literal
+from log_vector_spark.operators import search
+from log_vector_spark.registry import register
+
+QVEC = fixed_query_vector(dim=64, seed=7)
+_Q = vector_sql_literal(QVEC)
+_COS = "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def _cos(a: str, b: str) -> str:
+    return _COS.format(a=a, b=b)
+
+
+@register(
+    "knn_topk",
+    oracle=f"""
+    SELECT vec_id, score FROM (
+      SELECT vec_id, round({_cos('embedding', _Q)}, 6) AS score
+      FROM embeddings
+    ) ORDER BY score DESC, vec_id ASC LIMIT 5
+    """,
+    doc="Exact top-5 cosine k-NN for one query vector (reference ask.py:200-203).",
+)
+def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search.knn_topk(table(spark, "embeddings", sf_dir), QVEC, k=5)
+
+
+@register(
+    "knn_batch_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             round({_cos('e.embedding', 'q.query_vec')}, 6) AS score
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="Top-3 per query for a broadcast query set (batch form of the reference REPL).",
+)
+def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return search.knn_batch_topk(emb, queries_df, k=3)
+
+
+@register(
+    "similarity_join",
+    oracle=f"""
+    SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos('a.embedding', 'b.embedding')}, 6) AS score
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_cos('a.embedding', 'b.embedding')}, 6) >= 0.25
+    """,
+    doc="Blocked all-pairs similarity join (cosine >= 0.25 within label blocks).",
+)
+def similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search.similarity_join(table(spark, "embeddings", sf_dir), threshold=0.25)
+
+
+@register(
+    "knn_ivf",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS list_id, embedding AS centroid FROM embeddings WHERE vec_id % 37 = 0
+    ), probed AS (
+      SELECT list_id FROM (
+        SELECT list_id, round({_cos('centroid', _Q)}, 6) AS qscore FROM centroids
+      ) ORDER BY qscore DESC, list_id ASC LIMIT 4
+    ), assigned AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_cos('e.embedding', 'c.centroid')}, 6) DESC, c.list_id ASC
+               ) AS crank
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE crank = 1
+    )
+    SELECT e.vec_id, round({_cos('e.embedding', _Q)}, 6) AS score
+    FROM embeddings e
+    JOIN assigned a ON e.vec_id = a.vec_id
+    JOIN probed p ON a.list_id = p.list_id
+    ORDER BY score DESC, e.vec_id ASC LIMIT 5
+    """,
+    doc="IVF approximate k-NN: probe 4 nearest centroid lists, exact-score inside.",
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    cents = search.make_centroids(emb, every=37)
+    return search.knn_ivf(emb, cents, QVEC, k=5, nprobe=4)
+
+
+@register(
+    "vector_norms",
+    oracle="""
+    SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
+    FROM embeddings
+    """,
+    doc="Write-time normalization stats (SURVEY §4.3.1): per-vector dim + L2 norm.",
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    normed = search.normalize_vectors(emb)
+    return normed.select(
+        "vec_id", F.size("embedding").alias("dim"), F.col("norm")
+    )

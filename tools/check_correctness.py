@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 (or --sf-dir) on Spark, runs the
+matching ``oracle_sql()`` on DuckDB over the same parquet tables, and
+compares: row count, column names, and order-insensitive cell values
+(exact equality after canonical sorting; floats must match bit-for-bit
+because both sides round at the query boundary).
+
+Usage: python tools/check_correctness.py [--sf-dir DIR] [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, then rows by all columns — order-insensitive."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def cells_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"row count spark={len(spark_df)} oracle={len(oracle_df)}")
+    s_cols, o_cols = sorted(spark_df.columns), sorted(oracle_df.columns)
+    if s_cols != o_cols:
+        problems.append(f"columns spark={s_cols} oracle={o_cols}")
+    if problems:
+        return problems
+    s, o = canonicalize(spark_df), canonicalize(oracle_df)
+    n_bad = 0
+    first = None
+    for col in s.columns:
+        sv, ov = s[col].tolist(), o[col].tolist()
+        for i, (x, y) in enumerate(zip(sv, ov)):
+            if not cells_equal(x, y):
+                n_bad += 1
+                if first is None:
+                    first = f"col={col} row={i}: spark={x!r} oracle={y!r}"
+    if n_bad:
+        problems.append(f"{n_bad} mismatched cells; first: {first}")
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from log_vector_spark.session import get_spark
+
+    spark = get_spark("check-correctness", cpus=16)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb_con(args.sf_dir)
+
+    names = list(qs)
+    if args.only:
+        names = [n for n in names if n in set(args.only.split(","))]
+
+    failed = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            status = f"rows-only ({len(sdf)} rows)"
+            if len(sdf) == 0:
+                status += "  ** EMPTY **"
+            print(f"ok?  {name}: {status}  [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {e}")
+            failed.append(name)
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems) + f"  [{time.time()-t0:.1f}s]")
+            failed.append(name)
+        else:
+            print(f"PASS {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
