@@ -1,0 +1,222 @@
+"""Deduplication operators — the LLM-training-pipeline extension surface.
+
+The reference ingests a corpus with no dedup at all (SURVEY §2.7); at 100 TB
+dedup is the first mandatory stage.  Five strategies, each chosen for its
+shuffle profile:
+
+* exact / fingerprint:   one hash groupBy — single shuffle on the hash key,
+                         map-side combine does most of the work.
+* MinHash + LSH banding: shingle-explode -> per-(doc, seed) min-hash (partial
+                         agg) -> band-key equi-join.  The join is on band
+                         buckets, never all-pairs: candidate volume scales
+                         with collision density, not n².
+* SimHash:               bit-vote aggregation (explode tokens × 32 bit
+                         positions -> sum votes); near-dup pairs via
+                         xor+bit_count inside a blocked equi-join.
+* n-gram Jaccard:        exact verify — distinct-shingle self-equi-join with
+                         per-pair intersection counts; blocked by a coarse
+                         key to bound the candidate set.
+* embedding cosine:      semantic near-dup — blocked similarity join plus
+                         anti-join to keep one survivor per duplicate pair.
+
+All expressed with built-ins only (md5 / explode / groupBy / window) so the
+whole family stays in whole-stage codegen and partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from log_vector_spark.functions.text import bag_fingerprint, nibble, shingles, distinct_tokens
+from log_vector_spark.functions.vector import cosine_similarity
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group by content hash; keep the lowest id as survivor.
+
+    Returns (text_hash, keep_doc_id, n_dups).  One shuffle on the 32-byte
+    hash; partial aggregation combines before the exchange.
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def fingerprint_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-exact dedup on the order-insensitive token-set fingerprint."""
+    return (
+        docs.select(bag_fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, seed, minhash): per-seed min over md5(seed|shingle).
+
+    Relational MinHash: explode distinct shingles once, cross with the seed
+    list (tiny literal array), aggregate min per (doc, seed).  The min is
+    computed map-side (partial agg), so the shuffle carries one row per
+    (doc, seed), not per shingle.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle")
+    )
+    seeded = sh.withColumn("seed", F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])))
+    return seeded.groupBy(id_col, "seed").agg(
+        F.min(F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle")))).alias("minhash")
+    )
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    band_key = md5 of the band's minhashes in seed order; the candidate join
+    is an equi-join on (band, band_key) — the classic sub-quadratic LSH
+    candidate generation.
+    """
+    sig = minhash_signatures(docs, n_hashes, shingle_n, id_col, text_col)
+    sig = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    bands = sig.groupBy(id_col, "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s.minhash,
+                ),
+                "|",
+            )
+        ).alias("band_key")
+    )
+    a = bands.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a"))
+    b = bands.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over the distinct token set -> (doc_id, simhash).
+
+    Each token contributes ±1 votes on 32 bit positions derived from the
+    nibbles of md5(token); the sign of the vote sum sets each bit.  Pure
+    explode + groupBy: two shuffles, both with partial aggregation.
+    """
+    toks = docs.select(F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok"))
+    toks = toks.withColumn("hex", F.md5(F.col("tok")))
+    bits = toks.withColumn("bitpos", F.explode(F.sequence(F.lit(0), F.lit(31))))
+    # nibble index = bitpos >> 2 (1-based substr); bit value = (nibble >> (bitpos & 3)) & 1
+    bits = bits.withColumn(
+        "nib", nibble(F.col("hex").substr(F.shiftright(F.col("bitpos"), 2) + 1, F.lit(1)))
+    )
+    bits = bits.withColumn(
+        "bitval", F.expr("shiftright(nib, CAST(bitpos % 4 AS INT)) & 1")
+    ).withColumn("vote", F.col("bitval") * 2 - 1)
+    votes = bits.groupBy(id_col, "bitpos").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bitpos)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    block_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance within blocks."""
+    h = simhash(docs, id_col, text_col).join(
+        docs.select(id_col, block_col), id_col
+    )
+    a = h.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"))
+    b = h.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"))
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    pairs = pairs.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int"))
+    return pairs.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    shingle_n: int = 3,
+    block_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold within blocks.
+
+    Distinct-shingle self-equi-join on (block, shingle): intersection counts
+    come from a groupBy over join hits; union size from per-doc shingle
+    counts joined back.  Blocking bounds the candidate set the same way the
+    LSH band join does for MinHash.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.col(block_col).alias("blk"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle"),
+    )
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("blk"), F.col("shingle"), F.col(id_col).alias("id_a"))
+    b = sh.select(F.col("blk"), F.col("shingle"), F.col(id_col).alias("id_b"))
+    common = (
+        a.join(b, ["blk", "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        common.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def embedding_near_dup_survivors(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup: drop any vector with a more-senior (lower-id) neighbor
+    at cosine >= threshold inside its block; anti-join keeps survivors."""
+    a = vectors.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = vectors.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    dup_ids = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return vectors.join(dup_ids, id_col, "left_anti").select(id_col)

@@ -1,1 +1,171 @@
-"""Placeholder; filled in as operators land."""
+"""Oracle-checked deduplication queries (training-data-pipeline extension).
+
+Each Spark operator in operators/dedup.py has an exact DuckDB twin here.
+Shared fragments: tokens = list_filter(string_split(text,' '), x -> x <> '');
+shingles = 3-gram windows over tokens (empty when < 3 tokens, matching the
+guarded Spark sequence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from log_vector_spark.catalog import table
+from log_vector_spark.operators import dedup
+from log_vector_spark.registry import register
+
+_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SHINGLES = (
+    "list_transform(range(1, greatest(len(words) - 1, 1)), "
+    "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
+)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: content-hash groupBy, lowest id survives.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_fingerprint",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_WORDS} AS words FROM documents)
+    SELECT md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fp,
+           min(doc_id) AS keep_doc_id, count(*) AS n_dups
+    FROM docs GROUP BY 1
+    """,
+    doc="Near-exact dedup on the sorted distinct-token-set fingerprint.",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.fingerprint_dedup(table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
+    seeded AS (SELECT doc_id, shingle, unnest(range(0, 8)) AS seed FROM sh)
+    SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+           min(md5(concat_ws('|', seed, shingle))) AS minhash
+    FROM seeded GROUP BY 1, 2
+    """,
+    doc="MinHash signatures: per-(doc, seed) min over md5(seed|shingle).",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(table(spark, "documents", sf_dir), n_hashes=8)
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
+    seeded AS (SELECT doc_id, shingle, unnest(range(0, 8)) AS seed FROM sh),
+    sig AS (SELECT doc_id, seed, min(md5(concat_ws('|', seed, shingle))) AS minhash
+            FROM seeded GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+                     md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY 1, 2)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+    """,
+    doc="MinHash LSH banding (8 hashes, 4 bands x 2): candidate near-dup pairs.",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_band_pairs(table(spark, "documents", sf_dir), n_hashes=8, rows_per_band=2)
+
+
+_SIMHASH_CTE = f"""
+    toks AS (
+      SELECT doc_id, unnest(list_distinct({_WORDS})) AS tok FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, md5(tok) AS hex, unnest(range(0, 32)) AS bitpos FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, bitpos,
+             sum(2 * (((instr('0123456789abcdef',
+                              substr(hex, CAST(bitpos // 4 AS INTEGER) + 1, 1)) - 1)
+                       >> CAST(bitpos % 4 AS INTEGER)) & 1) - 1) AS v
+      FROM bits GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(bitpos AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sim",
+    doc="32-bit SimHash per document from md5-nibble bit votes.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    j AS (SELECT s.doc_id, s.simhash, d.source FROM sim s JOIN documents d USING (doc_id))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM j a JOIN j b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    doc="SimHash near-dup pairs (hamming <= 6) within source blocks.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(table(spark, "documents", sf_dir), max_hamming=6)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, source, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, source, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(c * 1.0 / (ca.n_sh + cb.n_sh - c), 6) AS jaccard
+    FROM common
+    JOIN cnt ca ON id_a = ca.doc_id
+    JOIN cnt cb ON id_b = cb.doc_id
+    WHERE round(c * 1.0 / (ca.n_sh + cb.n_sh - c), 6) >= 0.4
+    """,
+    doc="Exact 3-gram Jaccard >= 0.4 within source blocks.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(table(spark, "documents", sf_dir), threshold=0.4)
+
+
+@register(
+    "dedup_embedding",
+    oracle="""
+    SELECT e.vec_id FROM embeddings e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM embeddings d
+      WHERE d.label = e.label AND d.vec_id < e.vec_id
+        AND round(list_cosine_similarity(d.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) >= 0.35
+    )
+    """,
+    doc="Semantic dedup survivors: no lower-id neighbor at cosine >= 0.35 in the label block.",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_survivors(table(spark, "embeddings", sf_dir), threshold=0.35)
