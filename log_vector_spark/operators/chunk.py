@@ -1,0 +1,127 @@
+"""Chunking operators (SURVEY §2.3 T1-T3).
+
+Reference semantics (reference index.py:296-319, `chunk_code`): split on
+'\\n'; greedily pack whole lines counting len(line)+1 per line; when adding
+a line would exceed chunk_size AND the current chunk is non-empty, flush and
+start a new chunk with that line; a single line longer than chunk_size
+therefore becomes its own oversized chunk; the trailing partial chunk is
+emitted; empty input yields one empty chunk (filtered by T2,
+reference index.py:372).
+
+The greedy reset is inherently sequential *per document* but embarrassingly
+parallel *across documents*, so the right Spark shape is an Arrow-batched
+pandas_udf `str -> array<string>` followed by posexplode — each 100 TB
+partition chunks independently, and the only Python boundary is one
+vectorized call per Arrow batch.
+
+A second, fully-declarative variant (`fixed_chunks`) does fixed-width char
+chunking with built-ins only (sequence+substring) — zero Python — for
+corpora without line structure; it is the oracle-checked twin.
+
+Id projection fixes the reference's basename-collision defect
+(reference index.py:379 uses file_path.name) by keying on the full source
+string (SURVEY §7.3.3).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+
+def chunk_greedy_lines(text: str, chunk_size: int) -> list[str]:
+    """Pure-Python kernel with the reference's exact greedy semantics."""
+    chunks: list[str] = []
+    current: list[str] = []
+    size = 0
+    for line in text.split("\n"):
+        line_size = len(line) + 1
+        if size + line_size > chunk_size and current:
+            chunks.append("\n".join(current))
+            current = [line]
+            size = line_size
+        else:
+            current.append(line)
+            size += line_size
+    if current:
+        chunks.append("\n".join(current))
+    return chunks
+
+
+def make_chunk_udf(chunk_size: int = 2000):
+    """Arrow-batched pandas_udf: text -> array<string> of greedy chunks."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def chunk_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: chunk_greedy_lines(t, chunk_size) if t is not None else None)
+
+    return chunk_udf
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 2000,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """scan -> chunk (pandas_udf) -> posexplode -> filter empties -> project
+    metadata/ids: the reference ETL's T1-T3 as one lazy plan.
+
+    Output: (chunk_id, source, chunk_index, total_chunks, document) —
+    the reference chunk record (SURVEY §1.1) with collision-safe ids.
+    """
+    chunk_udf = make_chunk_udf(chunk_size)
+    arr = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        chunk_udf(F.col(text_col)).alias("chunks"),
+    ).withColumn("total_chunks", F.size("chunks"))
+    exploded = arr.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col("total_chunks"),
+        F.posexplode("chunks").alias("chunk_index", "document"),
+    )
+    # T2: drop whitespace-only chunks (reference index.py:372 uses str.strip(),
+    # which strips ALL whitespace — Spark's trim() only strips spaces, so
+    # strip any whitespace class before the emptiness check)
+    kept = exploded.filter(F.regexp_replace(F.col("document"), r"\s", "") != "")
+    # T3: collision-safe id = full source + doc id + position
+    return kept.select(
+        F.concat_ws(":", F.col(source_col), F.col(id_col), F.col("chunk_index")).alias("chunk_id"),
+        F.col(source_col).alias("source"),
+        F.col("chunk_index").alias("chunk_index"),
+        F.col("total_chunks"),
+        F.col("document"),
+    )
+
+
+def fixed_chunks(text: Column, chunk_size: int) -> Column:
+    """Fixed-width char chunks via built-ins only — array<string>.
+
+    sequence is guarded (Spark's sequence(1,0) descends); empty/blank text
+    yields a single chunk matching substring semantics in both engines.
+    """
+    n = F.ceil(F.length(text) / F.lit(chunk_size)).cast("int")
+    starts = F.sequence(F.lit(0), F.greatest(n, F.lit(1)) - 1)
+    return F.transform(starts, lambda i: F.substring(text, i * chunk_size + 1, chunk_size))
+
+
+def chunk_documents_fixed(
+    docs: DataFrame,
+    chunk_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Declarative fixed-width chunking: (doc_id, chunk_index, total_chunks,
+    chunk) — zero Python, whole-stage codegen end to end."""
+    arr = docs.select(
+        F.col(id_col), fixed_chunks(F.col(text_col), chunk_size).alias("chunks")
+    ).withColumn("total_chunks", F.size("chunks"))
+    return arr.select(
+        F.col(id_col),
+        F.col("total_chunks"),
+        F.posexplode("chunks").alias("chunk_index", "chunk"),
+    ).select(id_col, "chunk_index", "total_chunks", "chunk")

@@ -1,0 +1,119 @@
+"""Text-analytics operators (training-data quality surface).
+
+The reference treats text as an opaque blob between chunking and embedding;
+a 100 TB pipeline needs cheap, fully-declarative text metrics for filtering
+and routing before the expensive embed stage.  Everything here is built-in
+Column expressions — these run inside the parquet scan stage (no shuffle at
+all except the final aggregates).
+
+Stopword lists are deliberately tiny fixed literals: the point is the
+operator shape (list-overlap scoring), not linguistic accuracy — swap in
+real lists per deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from log_vector_spark.functions.text import token_count, tokens
+
+STOPWORDS_EN = ("the", "a", "of", "to", "and")
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "das"),
+    "fr": ("le", "les", "et"),
+}
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    """Occurrences (not distinct) of any of `words` in the token array."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("int")
+
+
+def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality features: token count, mean token length,
+    stopword ratio, and a rational (engine-portable) quality score."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks).cast("int")
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("int")
+    n_stop = _count_in(toks, STOPWORDS_EN)
+    avg_token_len = F.round(n_alpha / n_tokens, 6)
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    quality = F.round(
+        (n_stop / n_tokens) * 0.5 + F.least(n_tokens, F.lit(100)) / 100.0 * 0.5, 6
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_alpha.alias("n_alpha"),
+        avg_token_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language guess; deterministic argmax with fixed tie order
+    (en > es > de > fr > unknown)."""
+    toks = tokens(F.col(text_col))
+    hits = {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in ("en", "es", "de", "fr"):
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    return docs.select(
+        F.col(id_col),
+        F.col("lang").alias("declared_lang"),
+        pred.alias("predicted_lang"),
+        *[hits[lang].alias(f"hits_{lang}") for lang in LANG_MARKERS],
+    )
+
+
+def text_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content fingerprints: full-text md5, 64-char-prefix md5 (cheap
+    prefilter for rolling comparison), and length."""
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("fp_full"),
+        F.md5(F.substring(F.col(text_col), 1, 64)).alias("fp_prefix64"),
+        F.length(F.col(text_col)).cast("bigint").alias("len_chars"),
+    )
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language corpus stats: doc count, char totals, median length,
+    token totals.  One shuffle (groupBy lang), partial aggs map-side."""
+    with_tok = docs.withColumn("n_tokens", token_count(F.col(text_col)))
+    return (
+        with_tok.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.percentile("n_chars", 0.5).alias("median_chars"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level token accounting incl. a BPE-ish regex piece count
+    ([a-z]+ runs vs [0-9]+ runs).  Two independent single-row aggregates
+    (scan-stage partials) joined by crossJoin — no wide shuffle."""
+    per_doc = docs.select(
+        token_count(F.col(text_col)).alias("n_ws"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[a-z]+"), 0)).cast("int").alias("n_alpha_runs"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[0-9]+"), 0)).cast("int").alias("n_num_runs"),
+    )
+    totals = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").cast("bigint").alias("total_tokens"),
+        F.sum("n_alpha_runs").cast("bigint").alias("total_alpha_runs"),
+        F.sum("n_num_runs").cast("bigint").alias("total_num_runs"),
+    )
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+    return totals.crossJoin(vocab)

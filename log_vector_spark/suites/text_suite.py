@@ -1,1 +1,117 @@
-"""Placeholder; filled in as operators land."""
+"""Oracle-checked text-analytics queries over the `documents` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from log_vector_spark.catalog import table
+from log_vector_spark.operators import textops
+from log_vector_spark.registry import register
+
+_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_STOP = "('the', 'a', 'of', 'to', 'and')"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, {_WORDS} AS words FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(words) AS INTEGER) AS n_tokens,
+             CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_alpha,
+             CAST(len(list_filter(words, t -> t IN {_STOP})) AS INTEGER) AS n_stop
+      FROM d
+    )
+    SELECT doc_id, n_tokens, n_alpha,
+           round(n_alpha / n_tokens, 6) AS avg_token_len,
+           round(n_stop / n_tokens, 6) AS stopword_ratio,
+           round((n_stop / n_tokens) * 0.5 + least(n_tokens, 100) / 100.0 * 0.5, 6) AS quality
+    FROM m
+    """,
+    doc="Per-doc quality features: token count, mean token length, stopword ratio, score.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.text_quality(table(spark, "documents", sf_dir))
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, {_WORDS} AS words FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(words, t -> t IN ('the', 'a', 'of'))) AS INTEGER) AS hits_en,
+             CAST(len(list_filter(words, t -> t IN ('el', 'la', 'de'))) AS INTEGER) AS hits_es,
+             CAST(len(list_filter(words, t -> t IN ('der', 'die', 'das'))) AS INTEGER) AS hits_de,
+             CAST(len(list_filter(words, t -> t IN ('le', 'les', 'et'))) AS INTEGER) AS hits_fr
+      FROM d
+    )
+    SELECT doc_id, lang AS declared_lang,
+           CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'unknown'
+                WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+                WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+                WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+                ELSE 'fr' END AS predicted_lang,
+           hits_en, hits_es, hits_de, hits_fr
+    FROM h
+    """,
+    doc="Marker-word language id with deterministic tie order.",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id(table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp_full, md5(substr(text, 1, 64)) AS fp_prefix64,
+           CAST(length(text) AS BIGINT) AS len_chars
+    FROM documents
+    """,
+    doc="Document fingerprints: full md5 + 64-char-prefix md5 + length.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.text_fingerprint(table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH d AS (SELECT lang, n_chars, CAST(len({_WORDS}) AS INTEGER) AS n_tokens FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 6) AS avg_chars,
+           quantile_cont(n_chars, 0.5) AS median_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM d GROUP BY lang
+    """,
+    doc="Per-language corpus stats incl. exact median length.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.text_stats(table(spark, "documents", sf_dir))
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(len({_WORDS}) AS INTEGER) AS n_ws,
+             CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_alpha_runs,
+             CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_num_runs
+      FROM documents
+    ), v AS (
+      SELECT count(DISTINCT tok) AS vocab_size
+      FROM (SELECT unnest({_WORDS}) AS tok FROM documents)
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_ws) AS BIGINT) AS total_tokens,
+           CAST(sum(n_alpha_runs) AS BIGINT) AS total_alpha_runs,
+           CAST(sum(n_num_runs) AS BIGINT) AS total_num_runs,
+           (SELECT vocab_size FROM v) AS vocab_size
+    FROM d
+    """,
+    doc="Corpus token accounting + vocab size + BPE-ish regex run counts.",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_stats(table(spark, "documents", sf_dir))
