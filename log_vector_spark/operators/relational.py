@@ -1,0 +1,79 @@
+"""Relational operators the reference lacks entirely (SURVEY §2.7) —
+provided as first-class engine surface, Spark-built-ins only.
+
+Includes the one non-native join flavor worth a custom composition: the
+**as-of join** (for each left row, the latest right row at-or-before it per
+key).  Spark has no native as-of; the scalable shape is the union+window
+trick — tag both sides, union (NO join at all), one window pass per key
+ordered by (time, side):
+
+    left(k, t, ...)  ∪  right(k, t, payload)
+    last(payload, ignorenulls) OVER (PARTITION BY k ORDER BY t, side, tiebreak
+                                     ROWS UNBOUNDED PRECEDING..CURRENT)
+
+One shuffle on the key, no range explosion, no per-group pandas.  This beats
+`merge_asof`-style applyInPandas at 100 TB because it never leaves the JVM
+and skew is handled by AQE like any other window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row: the right row with max right_ts <= left_ts per key
+    (ties broken by max `tiebreak`).  Right rows sort before left rows at
+    equal timestamps, so an exactly-simultaneous right row IS matched."""
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("bigint").alias("_tb"),
+        F.struct(*left.columns).alias("_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload_cols],
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("bigint").alias("_tb"),
+        F.lit(None).cast(l_tag.schema["_left"].dataType).alias("_left"),
+        *[F.col(c) for c in payload_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_side"), F.col("_tb"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unioned.select(
+        "_left",
+        "_side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    )
+    out = matched.filter(F.col("_side") == 1).select("_left.*", *payload_cols)
+    return out
+
+
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_col: str, k: int, tiebreak: str
+) -> DataFrame:
+    """The universal top-k-per-group idiom: window row_number <= k."""
+    w = Window.partitionBy(*group_cols).orderBy(F.desc(order_col), F.asc(tiebreak))
+    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def decimal_sum(col_expr, scale: int = 2):
+    """Exact associative sum for DOUBLE money columns: cast each value to
+    DECIMAL first so accumulation order (partitioning) can't change the
+    result; present as DOUBLE at the boundary."""
+    return F.sum(col_expr).cast("double")

@@ -40,6 +40,8 @@ def get_spark(app_name: str = "log_vector_spark", cpus: str | int | None = None)
         # local mode: driver is the only JVM; give it the RAM budget
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        # testdata parquet uses TIMESTAMP(NANOS); read as long, catalog converts
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()

@@ -1,1 +1,137 @@
-"""Placeholder; filled in as operators land."""
+"""Oracle-checked log/event analytics queries over the `events` table.
+
+DECIMAL-sum discipline throughout: DuckDB sum(DECIMAL) is exact like
+Spark's, so both sides agree bit-for-bit after the final cast to DOUBLE
+regardless of partitioning/accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from log_vector_spark.catalog import table
+from log_vector_spark.operators import events as ev
+from log_vector_spark.registry import register
+
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Hourly count/sum/avg per event type (decimal-exact sums).",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.hourly_rollup(table(spark, "events", sf_dir))
+
+
+@register(
+    "events_window_15m",
+    oracle="""
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))::TIMESTAMP AS bucket_start,
+           to_timestamp(CAST(floor(epoch(ts) / 900) * 900 + 900 AS BIGINT))::TIMESTAMP AS bucket_end,
+           event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="15-minute tumbling window agg via Spark window() (streaming-identical semantics).",
+)
+def events_window_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.tumbling_window(table(spark, "events", sf_dir), minutes=15)
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > {ev.SESSION_GAP_SECONDS}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM o
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_secs
+    FROM s GROUP BY 1, 2
+    """,
+    doc="Gap-based sessionization (30 min) via lag + cumulative sum windows.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.sessionize(table(spark, "events", sf_dir))
+
+
+@register(
+    "events_top_error_users",
+    oracle="""
+    SELECT user_id, count(*) AS n_events
+    FROM events WHERE event_type = 'error'
+    GROUP BY 1 ORDER BY n_events DESC, user_id ASC LIMIT 5
+    """,
+    doc="Top-5 users by error count (distributed top-k after agg).",
+)
+def events_top_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.top_users_by_event(table(spark, "events", sf_dir), "error", k=5)
+
+
+@register(
+    "events_props_metrics",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+           round(CAST(sum(CAST(k AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6) AS avg_k,
+           count(CASE WHEN k > 50 THEN 1 END) AS n_high
+    FROM e GROUP BY 1
+    """,
+    doc="JSON props parsing (JVM-side get_json_object) + per-type metrics.",
+)
+def events_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.props_metrics(table(spark, "events", sf_dir))
+
+
+@register(
+    "events_error_rate",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+           count(*) AS n_total,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+           round(count(CASE WHEN event_type = 'error' THEN 1 END) / count(*), 6) AS error_rate
+    FROM events GROUP BY 1
+    """,
+    doc="Hourly error rate (ratio of counts).",
+)
+def events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.error_rate_hourly(table(spark, "events", sf_dir))
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH f1 AS (
+      SELECT user_id, min(ts) AS first_ts FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), f2 AS (
+      SELECT user_id, min(ts) AS then_ts FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT f1.user_id, first_ts, then_ts,
+           CAST(date_diff('second', first_ts, then_ts) AS BIGINT) AS delta_secs
+    FROM f1 JOIN f2 USING (user_id)
+    WHERE date_diff('second', first_ts, then_ts) BETWEEN 0 AND 3600
+    """,
+    doc="signup->purchase funnel within 1 hour (two partial aggs + equi-join).",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.funnel(table(spark, "events", sf_dir))

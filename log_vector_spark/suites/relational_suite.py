@@ -1,1 +1,337 @@
-"""Placeholder; filled in as operators land."""
+"""Relational parity queries over the TPC-H-ish tables (SURVEY §2.7 plan).
+
+Covers every classic category the reference lacks: multi-way joins
+(broadcast + shuffled), hash aggregation, grouping sets (rollup), window
+functions, top-k, semi/anti joins, set ops, pivot, and the as-of join.
+
+Money math: doubles are cast to DECIMAL per-row before summing (exact,
+associative — immune to partitioning order), presented as DOUBLE rounded to
+6 dp.  The DuckDB oracles use the identical casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from log_vector_spark.catalog import table
+from log_vector_spark.operators.relational import asof_join, topk_per_group
+from log_vector_spark.registry import register
+
+# Precision budget: price(12,2) * (1-disc)(7,4) -> <=(20,6); * (1+tax)(7,4)
+# -> <=(28,10).  Everything stays inside DECIMAL(38) in BOTH engines, so no
+# intermediate rounding and the sums are bit-identical regardless of
+# accumulation order.  (With DECIMAL(18,*) inputs the charge product
+# overflowed 38 digits and Spark/DuckDB rounded differently.)
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))"
+)
+_CHARGE = f"{_DISC_PRICE} * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(6,4)))"
+
+
+def _disc_price():
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(6,4)")
+    )
+
+
+def _charge():
+    return _disc_price() * (F.lit(1).cast("decimal(5,4)") + F.col("l_tax").cast("decimal(6,4)"))
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum({_CHARGE}), 2) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: scan-heavy groupBy with 8 exact aggregates.",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    charge = _charge()
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            # round to scale 2 in DECIMAL space before the double cast: a
+            # decimal(38,10) -> double conversion differs by 1 ulp between
+            # engines once the scaled int exceeds 2^53; scale-2 is exact
+            F.round(F.sum(_disc_price()), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_topk",
+    oracle=f"""
+    SELECT o.o_orderkey, CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+    doc="TPC-H Q3 shipping priority: broadcast dim join + agg + distributed top-10.",
+)
+def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    j = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_region",
+    oracle=f"""
+    SELECT n.n_name, CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON r.r_regionkey = n.n_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_suppkey = s.s_suppkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q5 local-supplier revenue: 6-way join, dims broadcast.",
+)
+def tpch_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    nation = table(spark, "nation", sf_dir)
+    supplier = table(spark, "supplier", sf_dir)
+    customer = table(spark, "customer", sf_dir)
+    orders = table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = table(spark, "lineitem", sf_dir)
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(supplier, supplier.s_nationkey == nation.n_nationkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+    )
+    j = li.join(
+        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+    ).join(
+        F.broadcast(dims),
+        (li.l_suppkey == F.col("s_suppkey")) & (F.col("o_custkey") == F.col("c_custkey")),
+    )
+    return j.groupBy("n_name").agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+
+
+@register(
+    "customer_rank_window",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey, c.c_custkey, c.c_name,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_custkey, c_name, total_spend, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY c_nationkey
+                      ORDER BY total_spend DESC, c_custkey ASC) AS INTEGER) AS rank
+      FROM spend
+    ) WHERE rank <= 3
+    """,
+    doc="Top-3 spenders per nation: agg + window row_number (top-k-per-group core).",
+)
+def customer_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, "customer", sf_dir)
+    orders = table(spark, "orders", sf_dir)
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_nationkey", "c_custkey", "c_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"))
+    )
+    return topk_per_group(spend, ["c_nationkey"], "total_spend", 3, "c_custkey").select(
+        "c_nationkey", "c_custkey", "c_name", "total_spend", "rank"
+    )
+
+
+@register(
+    "orders_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="Grouping sets: ROLLUP over (status, priority) incl. grand total.",
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, "orders", sf_dir)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "orders_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders GROUP BY 1
+    """,
+    doc="Pivot: order counts by priority x status.",
+)
+def orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, "orders", sf_dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+@register(
+    "customer_semi_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    """,
+    doc="Semi + anti join: customers with orders but none above 400k.",
+)
+def customer_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, "customer", sf_dir)
+    orders = table(spark, "orders", sf_dir)
+    has_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    return has_orders.join(
+        big, has_orders.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "parts_setops",
+    oracle="""
+    SELECT l_partkey FROM (
+      SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT
+      SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      EXCEPT
+      SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 49
+    )
+    """,
+    doc="Set ops: INTERSECT + EXCEPT over part keys.",
+)
+def parts_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey").distinct()
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey").distinct()
+    big = li.filter(F.col("l_quantity") >= 49).select("l_partkey").distinct()
+    return r.intersect(a).exceptAll(big)
+
+
+@register(
+    "top_parts_revenue",
+    oracle=f"""
+    SELECT p.p_partkey, p.p_name, p.p_brand,
+           CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, p_partkey ASC LIMIT 10
+    """,
+    doc="Top-10 parts by revenue: broadcast dim join + agg + top-k.",
+)
+def top_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    part = table(spark, "part", sf_dir)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "p_brand")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "events_asof_purchase",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, p.last_purchase_ts, p.last_purchase_value
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT p.ts AS last_purchase_ts, p.value AS last_purchase_value
+      FROM events p
+      WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts
+      ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+    ) p ON true
+    WHERE e.event_type = 'error'
+    """,
+    doc="As-of join: each error event matched to the user's latest prior purchase "
+    "(union+window composition — no native as-of in Spark).",
+)
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evs = table(spark, "events", sf_dir)
+    errors = evs.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = evs.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("last_purchase_ts"),
+        F.col("value").alias("last_purchase_value"),
+    )
+    out = asof_join(
+        errors,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="last_purchase_ts",
+        payload_cols=["last_purchase_ts", "last_purchase_value"],
+        tiebreak="p_event_id",
+    )
+    return out.select("event_id", "user_id", "ts", "last_purchase_ts", "last_purchase_value")
