@@ -1,0 +1,148 @@
+"""Corpus ingestion sources (SURVEY §2.1 S1-S4): the reference's
+directory-walk ETL front end, re-expressed as a declarative binaryFile scan.
+
+Reference behavior being reproduced:
+* S1 recursive scan + ignore-dirs (reference index.py:253-272): 13 vendored/
+  VCS dirs skipped; here a path regex filter on the binaryFile scan, which
+  Spark evaluates before reading file CONTENT (only the listing is walked).
+* S2 sniff (index.py:218-250): 100 MB cap (on the scan's `length` column —
+  no content read for oversized files), `.pdf` suffix pass-through, 8 KB
+  null-byte probe, 4-encoding decode ladder.
+* S3 decode (index.py:357-368): utf-8 -> latin1 -> cp1252 -> iso-8859-1;
+  latin1 never fails, so decode failure is effectively impossible — kept for
+  fidelity.  Runs in the same Arrow batch as the sniff.
+* S4 PDF text (index.py:275-295): pypdf per-page extract, empty pages
+  skipped, pages joined by "\\n\\n".  pypdf is not in this container -> the
+  udf degrades to NULL text (the reference's own per-file error isolation,
+  index.py:381-382) unless pypdf is importable on executors.
+
+At 100 TB the scan parallelizes by file; per-file error isolation means one
+corrupt file never fails the job (errors surface as NULLs + an error column).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+IGNORE_DIRS = (
+    ".git",
+    "__pycache__",
+    "node_modules",
+    "venv",
+    ".venv",
+    "env",
+    ".env",
+    "dist",
+    "build",
+    ".idea",
+    ".vscode",
+    ".pytest_cache",
+    "chroma_db",
+)
+
+MAX_FILE_BYTES = 100 * 1024 * 1024  # reference index.py:221-223
+SNIFF_BYTES = 8192  # reference index.py:230-231
+ENCODING_LADDER = ("utf-8", "latin1", "cp1252", "iso-8859-1")  # index.py:239-244
+
+
+def scan_corpus(spark: SparkSession, root: str) -> DataFrame:
+    """S1: recursive binaryFile scan with ignore-dir + size pruning.
+
+    The size filter is on scan metadata (`length`), so oversized files are
+    dropped before their bytes move.
+    """
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+    )
+    ignore_re = "/(?:" + "|".join(d.replace(".", r"\.") for d in IGNORE_DIRS) + ")/"
+    return df.filter(~F.col("path").rlike(ignore_re)).filter(F.col("length") < MAX_FILE_BYTES)
+
+
+@F.pandas_udf(T.StructType([
+    T.StructField("text", T.StringType()),
+    T.StructField("is_binary", T.BooleanType()),
+    T.StructField("encoding", T.StringType()),
+]))
+def sniff_and_decode(contents: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """S2+S3 in one Arrow pass: null-byte probe on the first 8 KB, then the
+    reference's 4-encoding decode ladder over the full content."""
+    for batch in contents:
+        texts, binaries, encodings = [], [], []
+        for raw in batch:
+            if raw is None:
+                texts.append(None), binaries.append(None), encodings.append(None)
+                continue
+            head = bytes(raw[:SNIFF_BYTES])
+            if b"\x00" in head:
+                texts.append(None), binaries.append(True), encodings.append(None)
+                continue
+            decoded, enc_used = None, None
+            for enc in ENCODING_LADDER:
+                try:
+                    decoded = bytes(raw).decode(enc)
+                    enc_used = enc
+                    break
+                except (UnicodeDecodeError, LookupError):
+                    continue
+            texts.append(decoded), binaries.append(False), encodings.append(enc_used)
+        yield pd.DataFrame({"text": texts, "is_binary": binaries, "encoding": encodings})
+
+
+@F.pandas_udf(T.StringType())
+def extract_pdf_text(contents: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """S4: per-page pypdf extraction, pages joined by blank lines.
+    Import-gated; per-file failures -> NULL (reference index.py:281-295)."""
+    try:
+        import io
+
+        import pypdf
+    except ImportError:
+        pypdf = None
+    for batch in contents:
+        out = []
+        for raw in batch:
+            if raw is None or pypdf is None:
+                out.append(None)
+                continue
+            try:
+                reader = pypdf.PdfReader(io.BytesIO(bytes(raw)))
+                pages = []
+                for page in reader.pages:
+                    try:
+                        t = page.extract_text()
+                    except Exception:  # noqa: BLE001 - per-page isolation
+                        t = None
+                    if t and t.strip():
+                        pages.append(t)
+                out.append("\n\n".join(pages) if pages else None)
+            except Exception:  # noqa: BLE001 - per-file isolation
+                out.append(None)
+        yield pd.Series(out)
+
+
+def read_corpus_text(spark: SparkSession, root: str) -> DataFrame:
+    """S1-S4 composed: (path, source, length, text, encoding, error) with
+    PDFs routed through the pdf kernel and everything else through the
+    sniff/decode ladder.  One lazy plan; Python touches bytes only inside
+    the two Arrow kernels."""
+    scanned = scan_corpus(spark, root)
+    is_pdf = F.lower(F.col("path")).endswith(".pdf")
+    decoded = scanned.withColumn("sniff", sniff_and_decode(F.col("content"))).withColumn(
+        "pdf_text", F.when(is_pdf, extract_pdf_text(F.col("content")))
+    )
+    out = decoded.select(
+        F.col("path"),
+        F.regexp_replace(F.col("path"), "^file:", "").alias("source"),
+        F.col("length"),
+        F.when(is_pdf, F.col("pdf_text")).otherwise(F.col("sniff.text")).alias("text"),
+        F.col("sniff.encoding").alias("encoding"),
+        (F.when(is_pdf, F.col("pdf_text").isNull())
+         .otherwise(F.col("sniff.text").isNull())).alias("error"),
+    )
+    return out

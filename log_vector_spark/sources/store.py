@@ -1,0 +1,101 @@
+"""Chunk store + manifest (SURVEY §2.2 K1-K2, §2.1 S5-S6).
+
+The reference's store is a ChromaDB collection destructively recreated on
+every indexing run (reference index.py:426-434) even though its README
+documents incremental indexing — a real discrepancy (SURVEY §2.2 note).
+This store exposes BOTH semantics explicitly: mode="overwrite" (the
+reference's actual behavior) and mode="append" (its documented intent).
+
+Layout decisions for 100 TB:
+* chunks are partitioned by a low-cardinality source prefix so per-source
+  queries prune partitions at the parquet level;
+* embeddings are stored pre-normalized (unit vectors) with the original
+  norm kept as a column (SURVEY §4.3.1), making every later cosine a plain
+  dot product;
+* the manifest is a single-row JSON dataset next to the table (the
+  reference's index_metadata.json, index.py:461-478), read back to
+  auto-select the embedding backend at query time (reference ask.py:84-107
+  hard-fails when missing — reproduced).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from log_vector_spark.functions.vector import l2_norm, l2_normalize
+
+CHUNKS_SCHEMA_COLS = ("chunk_id", "source", "chunk_index", "total_chunks", "document", "embedding")
+
+
+def normalize_for_store(chunks: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Store unit vectors + norm: cosine degenerates to dot at query time."""
+    return chunks.withColumn("norm", l2_norm(F.col(vec_col))).withColumn(
+        vec_col, l2_normalize(F.col(vec_col))
+    )
+
+
+def write_chunks(
+    chunks: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_col: str | None = "source",
+) -> None:
+    """K1: persist the chunk table.  `overwrite` reproduces the reference's
+    delete-and-recreate (index.py:426-434); `append` implements the README's
+    documented incremental semantics."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError("mode must be 'overwrite' or 'append'")
+    writer = chunks.write.mode(mode)
+    if partition_col and partition_col in chunks.columns:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(os.path.join(path, "chunks"))
+
+
+def read_chunks(spark: SparkSession, path: str) -> DataFrame:
+    """S5: load the chunk table; hard error if absent (reference ask.py:66-82)."""
+    return spark.read.parquet(os.path.join(path, "chunks"))
+
+
+def write_manifest(
+    spark: SparkSession,
+    path: str,
+    repository: str,
+    embedding_type: str,
+    embedding_model: str,
+    chunk_size: int,
+) -> None:
+    """K2: single-row manifest (reference index.py:461-478 field set)."""
+    row = [
+        (
+            datetime.now(timezone.utc).isoformat(),
+            repository,
+            embedding_type,
+            embedding_model,
+            chunk_size,
+            os.path.join(path, "chunks"),
+        )
+    ]
+    df = spark.createDataFrame(
+        row,
+        "indexed_at string, repository string, embedding_type string, "
+        "embedding_model string, chunk_size int, chunks_path string",
+    )
+    df.coalesce(1).write.mode("overwrite").json(os.path.join(path, "manifest"))
+
+
+def read_manifest(spark: SparkSession, path: str) -> dict:
+    """S6: parse the manifest; raise when missing/invalid like the reference
+    (ask.py:96-107) so a query side never silently guesses the embedder."""
+    try:
+        rows = spark.read.json(os.path.join(path, "manifest")).collect()
+    except Exception as e:  # noqa: BLE001
+        raise FileNotFoundError(f"manifest missing/unreadable under {path}") from e
+    if not rows:
+        raise FileNotFoundError(f"manifest empty under {path}")
+    m = rows[0].asDict()
+    if not m.get("embedding_type"):
+        raise ValueError("manifest missing embedding_type")
+    return m

@@ -1,0 +1,88 @@
+"""Structured Streaming variants of the batch operators.
+
+The reference is batch-only (SURVEY §2.7); this module shows the same
+DataFrame operators running unchanged under readStream — the point of
+building on window()/groupBy semantics that are identical in both modes.
+
+* events windowed rollup: the SAME `tumbling_window` operator object from
+  operators/events.py, fed by a streaming parquet source, complete-mode
+  memory sink for synchronous tests.
+* streaming index pipeline: chunk+embed kernels under a stream, sunk with
+  foreachBatch (the exactly-once upsert point at a real deployment).
+
+Watermarking note: the test/oracle path uses complete mode (no late-data
+dropping) so results equal the batch run bit-for-bit.  The production
+append-mode path would add `withWatermark("ts", ...)`; session windows get
+`session_window(ts, gap)` — both left for a later round, documented here so
+the surface gap is explicit.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from log_vector_spark.operators.events import tumbling_window
+
+_COUNTER = itertools.count()
+
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table (nanos->timestamp like the catalog)."""
+    # streaming file sources need a directory; glob-filter to the one table
+    src = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_events_window_stream(spark: SparkSession, sf_dir: str, minutes: int = 15) -> DataFrame:
+    """Drive the streaming windowed rollup to completion synchronously and
+    return the result table — batch-equivalent by construction."""
+    name = f"stream_window_{next(_COUNTER)}"
+    agg = tumbling_window(stream_events(spark, sf_dir), minutes=minutes)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def run_stream_index(spark: SparkSession, sf_dir: str, out_path: str, chunk_size: int = 400) -> int:
+    """Streaming ETL: documents stream -> chunk (pandas_udf) -> embed
+    (pandas_udf) -> parquet sink via foreachBatch.  Returns rows written."""
+    from log_vector_spark.operators.chunk import chunk_documents
+    from log_vector_spark.operators.embed import DeterministicEmbedder
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    embedder = DeterministicEmbedder(dim=64)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        chunks = chunk_documents(batch_df, chunk_size=chunk_size)
+        embedded = chunks.withColumn("embedding", embedder.embed_col(F.col("document")))
+        embedded.write.mode("append").parquet(out_path)
+
+    q = src.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_path).count()

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from log_vector_spark.catalog import table
-from log_vector_spark.functions.vector import fixed_query_vector
+from log_vector_spark.functions.vector import fixed_query_vector, vector_sql_literal
 from log_vector_spark.operators import chunk as chunk_ops
 from log_vector_spark.operators import search
 from log_vector_spark.operators.embed import DeterministicEmbedder
@@ -95,6 +95,114 @@ def chunk_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate(F.col("text"), " ", "\n").alias("text"),
     )
     return chunk_ops.chunk_documents(docs, chunk_size=120)
+
+
+@register(
+    "rag_context",
+    oracle=f"""
+    WITH scored AS (
+      SELECT vec_id,
+             round(list_cosine_similarity(embedding::DOUBLE[], {vector_sql_literal(fixed_query_vector(64))}::DOUBLE[]), 6) AS score
+      FROM embeddings
+    ), topk AS (
+      SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 5
+    ), ranked AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+      FROM topk
+    )
+    SELECT string_agg('File: ' || d.source || ' (chunk 0)' || chr(10) || d.text,
+                      chr(10) || chr(10) ORDER BY r.rank) AS context
+    FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
+    """,
+    doc="Q2 context assembly: top-5 hits formatted + concatenated in rank order "
+    "(reference ask.py:205-220) as one distributed plan.",
+)
+def rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from log_vector_spark.operators.rag import assemble_context
+
+    emb = table(spark, "embeddings", sf_dir)
+    docs = table(spark, "documents", sf_dir)
+    hits = search.knn_topk(emb, fixed_query_vector(64), k=5)
+    ranked = hits.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("vec_id")))
+    )
+    joined = docs.join(F.broadcast(ranked), docs.doc_id == ranked.vec_id).select(
+        "rank", "source", F.lit(0).alias("chunk_index"), F.col("text").alias("document")
+    )
+    return assemble_context(joined)
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id, 'blob' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    """,
+    doc="Multimodal metadata surface: opaque binary payloads + typed meta "
+    "(bytes stand in for image/audio; schema and plumbing are the real thing).",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.multimodal import attach_binary
+
+    media = attach_binary(table(spark, "documents", sf_dir))
+    return media.select(
+        "media_id",
+        "kind",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha"),
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # mapInPandas feature kernel (numpy histogram)
+    doc="binary -> feature vector via mapInPandas (16-bin byte histogram standing "
+    "in for a codec+model); real Arrow batch shape, deterministic output.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.multimodal import attach_binary, byte_histogram_features
+
+    media = attach_binary(table(spark, "documents", sf_dir))
+    feats = byte_histogram_features(media)
+    return feats.select(
+        "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
+@register(
+    "multimodal_frames",
+    oracle=None,  # mapInPandas frame sampler
+    doc="Deterministic stride frame sampling over binary payloads (video "
+    "stand-in) via mapInPandas.",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.multimodal import attach_binary, frame_sample
+
+    media = attach_binary(table(spark, "documents", sf_dir))
+    return frame_sample(media)
+
+
+@register(
+    "stream_window_15m",
+    oracle="""
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))::TIMESTAMP AS bucket_start,
+           to_timestamp(CAST(floor(epoch(ts) / 900) * 900 + 900 AS BIGINT))::TIMESTAMP AS bucket_end,
+           event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="The SAME tumbling_window operator under Structured Streaming "
+    "(readStream -> complete mode -> memory sink), oracle-checked against "
+    "the batch SQL — streaming/batch semantic parity, proven.",
+)
+def stream_window_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.streaming.pipeline import run_events_window_stream
+
+    return run_events_window_stream(spark, sf_dir, minutes=15)
 
 
 @register(

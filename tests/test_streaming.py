@@ -1,0 +1,26 @@
+"""Streaming/batch parity tests."""
+
+import pytest
+
+
+@pytest.mark.spark
+def test_stream_window_equals_batch(spark):
+    from log_vector_spark.catalog import table
+    from log_vector_spark.operators.events import tumbling_window
+    from log_vector_spark.streaming.pipeline import run_events_window_stream
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in tumbling_window(table(spark, "events", sf), 15).collect()}
+    stream = {tuple(r) for r in run_events_window_stream(spark, sf, 15).collect()}
+    assert batch == stream and len(batch) > 0
+
+
+@pytest.mark.spark
+def test_stream_index_pipeline(spark, tmp_path):
+    from log_vector_spark.streaming.pipeline import run_stream_index
+
+    out = str(tmp_path / "chunks_out")
+    n = run_stream_index(spark, "/root/testdata/sf0.001", out, chunk_size=400)
+    assert n > 0
+    df = spark.read.parquet(out)
+    assert {"chunk_id", "document", "embedding"} <= set(df.columns)
