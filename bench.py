@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf string>}
+
+Methodology:
+* session + catalog warmup excluded (cold JVM start is ~30-50s in this
+  container and says nothing about operator cost);
+* each query runs its FULL plan to completion through the noop sink
+  (no driver collect bottleneck, no result materialization skew);
+* per-query wall time is a single run after one untimed warmup of the
+  Spark runtime (not of the query), matching how the reference reports
+  per-run wall time (reference index.py:564-580).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward scan/shuffle-heavy
+# shapes that dominate at 100 TB.
+HEADLINE = [
+    "knn_topk",            # brute-force vector scan + TakeOrdered
+    "knn_batch_topk",      # broadcast crossJoin + window
+    "similarity_join",     # blocked self-join
+    "knn_ivf",             # IVF approximate path
+    "dedup_minhash_pairs", # shingle explode + LSH band join
+    "dedup_simhash",       # token explode + bit votes
+    "dedup_embedding",     # blocked near-dup + anti join
+    "text_quality",        # scan-stage text metrics
+    "events_hourly",       # time-bucket agg
+    "events_sessionize",   # window sessionization
+    "events_asof_purchase",# union+window as-of join
+    "tpch_q1",             # scan-heavy 8-agg groupBy
+    "tpch_q3_topk",        # 3-way join + agg + topk
+    "tpch_q5_region",      # 6-way star join
+    "index_pipeline",      # chunk+embed pandas_udf pipeline e2e
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from log_vector_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # runtime warmup (JIT, codegen caches, parquet footer reads)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        results[name] = round(time.time() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    sf = SF_DIR.rstrip("/").split("/")[-1].replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,13 +28,17 @@ def distinct_tokens(col: Column) -> Column:
     return F.array_distinct(tokens(col))
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-grams joined by single spaces — the MinHash/Jaccard unit.
+def shingles_from_words(w: Column, n: int = 3) -> Column:
+    """Word n-grams from an ALREADY-MATERIALIZED words array column.
+
+    `w` must reference a real column (not an expression like tokens(text)):
+    expressions inside transform() lambdas are re-evaluated per element, so
+    passing tokens(text) here would re-split the text for every gram —
+    quadratic work that showed up as a 25x slowdown in the sf0.1 bench.
 
     Empty array when the text has < n tokens (guarding Spark's descending
     sequence(1,0) footgun).
     """
-    w = tokens(col)
     k = F.size(w) - (n - 1)
 
     def gram(i: Column) -> Column:
@@ -43,6 +47,12 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.when(k >= 1, F.transform(F.sequence(F.lit(1), k), gram)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Convenience wrapper for small inputs; hot paths should materialize
+    `tokens(col)` as a column and call shingles_from_words instead."""
+    return shingles_from_words(tokens(col), n)
 
 
 def bag_fingerprint(col: Column) -> Column:

@@ -27,7 +27,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from log_vector_spark.functions.text import bag_fingerprint, nibble, shingles, distinct_tokens
+from log_vector_spark.functions.text import (
+    bag_fingerprint,
+    distinct_tokens,
+    nibble,
+    shingles_from_words,
+    tokens,
+)
 from log_vector_spark.functions.vector import cosine_similarity
 
 
@@ -70,8 +76,10 @@ def minhash_signatures(
     computed map-side (partial agg), so the shuffle carries one row per
     (doc, seed), not per shingle.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle")
+    words = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("words"))
+    sh = words.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_from_words(F.col("words"), shingle_n))).alias("shingle"),
     )
     seeded = sh.withColumn("seed", F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])))
     return seeded.groupBy(id_col, "seed").agg(
@@ -174,10 +182,13 @@ def ngram_jaccard_pairs(
     counts joined back.  Blocking bounds the candidate set the same way the
     LSH band join does for MinHash.
     """
-    sh = docs.select(
+    words = docs.select(
+        F.col(id_col), F.col(block_col).alias("blk"), tokens(F.col(text_col)).alias("words")
+    )
+    sh = words.select(
         F.col(id_col),
-        F.col(block_col).alias("blk"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle"),
+        F.col("blk"),
+        F.explode(F.array_distinct(shingles_from_words(F.col("words"), shingle_n))).alias("shingle"),
     )
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("blk"), F.col("shingle"), F.col(id_col).alias("id_a"))

@@ -42,6 +42,14 @@ def get_spark(app_name: str = "log_vector_spark", cpus: str | int | None = None)
         .config("spark.ui.enabled", "false")
         # testdata parquet uses TIMESTAMP(NANOS); read as long, catalog converts
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # whole-stage codegen emits a large class per query stage; the JVM's
+        # default 240 MB code cache fills after ~10 queries and the JIT
+        # silently disables itself -> 10-70x slowdowns on HOF-heavy plans.
+        # Measured on this suite: similarity_join 66s -> 5s with 1 GB cache.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
