@@ -1,0 +1,66 @@
+"""Model-trust configuration surface (SURVEY §2.6 C1-C5).
+
+The reference gates `trust_remote_code` model loading behind persisted
+consent (reference trust_manager.py).  In a Spark deployment executors can
+never prompt interactively, so the engine keeps the same key scheme,
+auto-detection heuristic, and DEFAULT-DENY posture, but resolves consent
+from engine config only (the non-interactive branch of reference
+trust_manager.py:185-189).
+
+Kept behaviors:
+* C1 key scheme: TRUST_REMOTE_CODE_{md5(model)[:8].upper()}
+  (trust_manager.py:34-39) so configs written for the reference read
+  identically here.
+* C3 heuristic: safe patterns checked first, then trust-required patterns,
+  unknown models assumed to need trust (trust_manager.py:87-120).
+* C4 default-deny: no recorded consent -> not trusted.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Mapping
+
+TRUST_REQUIRED_PATTERNS = (
+    "nomic-ai/",
+    "microsoft/codebert",
+    "sentence-transformers/all-mpnet-base-v2",
+)
+SAFE_PATTERNS = (
+    "sentence-transformers/all-minilm",
+    "sentence-transformers/paraphrase",
+    "sentence-transformers/multi-qa",
+)
+
+
+def model_trust_key(model_name: str) -> str:
+    """C1: model -> env/config key (reference trust_manager.py:34-39)."""
+    digest = hashlib.md5(model_name.encode()).hexdigest()[:8]
+    return f"TRUST_REMOTE_CODE_{digest.upper()}"
+
+
+def model_needs_trust(model_name: str) -> bool:
+    """C3: safe patterns first, then trust patterns, unknown -> True."""
+    m = model_name.lower()
+    if any(p in m for p in SAFE_PATTERNS):
+        return False
+    if any(p in m for p in TRUST_REQUIRED_PATTERNS):
+        return True
+    return True
+
+
+def get_trust_setting(model_name: str, config: Mapping[str, str] | None = None) -> bool:
+    """C4 (non-interactive): explicit config/env consent or default-deny.
+
+    `config` lets a SparkConf dict or spark.conf snapshot drive consent;
+    falls back to process env (the reference's .env file contract).
+    """
+    key = model_trust_key(model_name)
+    src = config if config is not None else os.environ
+    val = src.get(key)
+    if val is not None:
+        return str(val).strip().lower() == "true"
+    if not model_needs_trust(model_name):
+        return True  # safe models need no consent
+    return False  # default-deny for models that want trust_remote_code

@@ -1,0 +1,175 @@
+"""Additional oracle-checked coverage: corpus stats, vector-space analytics,
+random-hyperplane LSH k-NN, exact quantiles, cube grouping sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from log_vector_spark.catalog import table
+from log_vector_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    fixed_query_vector,
+    literal_vector,
+    vector_sql_literal,
+)
+from log_vector_spark.registry import register
+
+QVEC = fixed_query_vector(dim=64, seed=7)
+_Q = vector_sql_literal(QVEC)
+
+# 8 deterministic hyperplanes for LSH (seeds 100..107) — shared literal text
+PLANES = [fixed_query_vector(dim=64, seed=100 + i) for i in range(8)]
+
+
+@register(
+    "corpus_stats",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 6) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source
+    """,
+    doc="Per-source corpus accounting (the reference's total_chunks made real, "
+    "SURVEY §2.7 aggregations row).",
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, "documents", sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    WITH dims AS (
+      SELECT label, t.d AS dim, CAST(embedding[t.d] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS d) t
+    )
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           round(CAST(sum(CAST(x AS DECIMAL(28,20))) AS DOUBLE) / count(*), 6) AS centroid_x
+    FROM dims GROUP BY 1, 2
+    """,
+    doc="Per-label embedding centroids (first 4 dims shown): posexplode + "
+    "decimal-exact mean per (label, dim) — array aggregation at scale.",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), F.col("x").cast("double").alias("x"))
+    return (
+        dims.filter(F.col("dim") <= 4)
+        .groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,20)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("centroid_x")
+        )
+    )
+
+
+def _lsh_bits_sql(vec_expr: str) -> str:
+    """DuckDB: 8-bit signature from sign(dot(vec, plane_i))."""
+    bits = []
+    for i, p in enumerate(PLANES):
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {vector_sql_literal(p)}::DOUBLE[]) >= 0 "
+            f"THEN (1::BIGINT << {i}) ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_bits_col(vec_col) -> F.Column:
+    """Spark: same 8-bit random-hyperplane signature."""
+    total = F.lit(0).cast("bigint")
+    for i, p in enumerate(PLANES):
+        bit = F.when(dot_product(vec_col, literal_vector(p)) >= 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        total = total + bit
+    return total
+
+
+@register(
+    "knn_lsh",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_lsh_bits_sql('embedding')} AS sig FROM embeddings
+    ), qsig AS (SELECT {_lsh_bits_sql(_Q)} AS qs)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], {_Q}::DOUBLE[]), 6) AS score
+    FROM sig, qsig
+    WHERE bit_count(xor(sig, qs)) <= 2
+    ORDER BY score DESC, vec_id ASC LIMIT 5
+    """,
+    doc="Random-hyperplane LSH k-NN: 8-bit signatures, candidates within "
+    "hamming 2 of the query bucket, exact re-rank — the write-time-indexable "
+    "approximate path (signature persists as a partition key at scale).",
+)
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    sig = emb.withColumn("sig", _lsh_bits_col(F.col("embedding")))
+    qs = _lsh_bits_col(literal_vector(QVEC))
+    cands = sig.filter(F.bit_count(F.col("sig").bitwiseXOR(qs)) <= 2)
+    scored = cands.withColumn(
+        "score", F.round(cosine_similarity(F.col("embedding"), literal_vector(QVEC)), 6)
+    )
+    return scored.select("vec_id", "score").orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
+
+
+@register(
+    "events_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="Exact interpolated quantiles per event type (percentile = quantile_cont).",
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+            F.percentile("value", 0.99).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "lineitem_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets over lineitem (all 4 grouping combinations).",
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, "lineitem", sf_dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )

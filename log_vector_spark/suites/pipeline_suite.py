@@ -206,6 +206,20 @@ def stream_window_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sessionize_stateful",
+    oracle=None,  # custom stateful streaming op — the contract's rows-only case
+    doc="Incremental gap-sessionization via applyInPandasWithState: per-user "
+    "open-session state across micro-batches, closed sessions emitted in "
+    "append mode; state is O(users), not O(events) — the unbounded-stream "
+    "form of events_sessionize (pytest-checked against the batch operator).",
+)
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.streaming.stateful import run_sessionize_stream
+
+    return run_sessionize_stream(spark, sf_dir)
+
+
+@register(
     "index_pipeline",
     oracle=None,  # end-to-end through two pandas_udf kernels
     doc="The reference's full lifecycle as ONE lazy plan: chunk (greedy udf) -> "

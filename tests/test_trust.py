@@ -1,0 +1,31 @@
+"""Trust/config parity tests (reference trust_manager.py semantics)."""
+
+import hashlib
+
+from log_vector_spark.operators.trust import (
+    get_trust_setting,
+    model_needs_trust,
+    model_trust_key,
+)
+
+
+def test_key_scheme_matches_reference():
+    m = "nomic-ai/nomic-embed-text-v1.5"
+    expected = "TRUST_REMOTE_CODE_" + hashlib.md5(m.encode()).hexdigest()[:8].upper()
+    assert model_trust_key(m) == expected
+
+
+def test_heuristic_order_safe_first_then_trust_then_default_deny():
+    assert model_needs_trust("sentence-transformers/all-MiniLM-L6-v2") is False
+    assert model_needs_trust("nomic-ai/nomic-embed-text-v1.5") is True
+    # unknown models are assumed to need trust (trust_manager.py:119-120)
+    assert model_needs_trust("somebody/random-model") is True
+
+
+def test_default_deny_and_explicit_consent():
+    m = "nomic-ai/nomic-embed-text-v1.5"
+    assert get_trust_setting(m, config={}) is False  # default-deny
+    assert get_trust_setting(m, config={model_trust_key(m): "true"}) is True
+    assert get_trust_setting(m, config={model_trust_key(m): "false"}) is False
+    # safe models pass without consent
+    assert get_trust_setting("sentence-transformers/paraphrase-x", config={}) is True
