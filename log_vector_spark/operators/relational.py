@@ -72,6 +72,28 @@ def topk_per_group(
     return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def salted_aggregate(
+    df: DataFrame, key: str, value_expr, agg_alias: str, n_salts: int = 8
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: partial-agg on (key, salt),
+    then final-agg on key.  The hot key's rows spread over `n_salts`
+    reducers in phase 1; phase 2 merges n_salts tiny partials.
+
+    Result-identical to a direct groupBy when the aggregate is associative
+    (counts, decimal sums) — which is exactly why money math here is decimal.
+    AQE's skew handling covers joins; this is the agg-side equivalent.
+    """
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.sum(value_expr).alias("_part"), F.count(F.lit(1)).alias("_n"))
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_part").alias(agg_alias), F.sum("_n").alias("n_rows")
+    )
+
+
 def decimal_sum(col_expr, scale: int = 2):
     """Exact associative sum for DOUBLE money columns: cast each value to
     DECIMAL first so accumulation order (partitioning) can't change the

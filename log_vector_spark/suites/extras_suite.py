@@ -156,6 +156,75 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_salted_sum",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           count(*) AS n_rows
+    FROM events GROUP BY 1
+    """,
+    doc="Skew-safe two-phase (salted) aggregation — result-identical to the "
+    "direct groupBy because the partial sums are DECIMAL (associative); the "
+    "oracle IS the direct form, proving the equivalence.",
+)
+def events_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.relational import salted_aggregate
+
+    ev = table(spark, "events", sf_dir)
+    out = salted_aggregate(
+        ev, "event_type", F.col("value").cast("decimal(18,6)"), "total_dec", n_salts=8
+    )
+    return out.select(
+        "event_type", F.col("total_dec").cast("double").alias("total_value"), "n_rows"
+    )
+
+
+@register(
+    "orders_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
+    FROM orders
+    """,
+    doc="Running decimal-exact spend per customer (ROWS frame) + sequence.",
+)
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    return table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(frame).cast("double").alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "events_approx_stats",
+    oracle=None,  # approximate results are engine-specific by nature
+    doc="Approximate distinct + quantile sketch surface (approx_count_distinct, "
+    "percentile_approx) — the constant-memory path for 100 TB cardinality "
+    "estimation; rows-only by design.",
+)
+def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5).alias("approx_p50"),
+        )
+    )
+
+
+@register(
     "lineitem_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n,

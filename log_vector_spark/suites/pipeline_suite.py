@@ -84,9 +84,41 @@ def embed_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "chunk_greedy",
-    oracle=None,  # greedy reset is a sequential per-doc fold -> pandas_udf kernel
+    # the greedy reset is a sequential per-doc fold; the oracle expresses it
+    # as a recursive CTE stepping word-by-word with the reference's exact
+    # +1-per-line accounting and flush-on-overflow rule (index.py:296-319)
+    oracle="""
+    WITH RECURSIVE
+    w AS (
+      SELECT doc_id, source, string_split(replace(text, ' ', chr(10)), chr(10)) AS ws
+      FROM documents
+    ),
+    steps AS (
+      SELECT doc_id, source, ws, 1 AS i, length(ws[1]) + 1 AS cur, 0 AS cidx
+      FROM w WHERE len(ws) >= 1
+      UNION ALL
+      SELECT doc_id, source, ws, i + 1,
+             CASE WHEN cur + length(ws[i+1]) + 1 > 120 THEN length(ws[i+1]) + 1
+                  ELSE cur + length(ws[i+1]) + 1 END,
+             CASE WHEN cur + length(ws[i+1]) + 1 > 120 THEN cidx + 1 ELSE cidx END
+      FROM steps WHERE i < len(ws)
+    ),
+    assigned AS (SELECT doc_id, source, ws[i] AS line, i, cidx FROM steps),
+    chunks AS (
+      SELECT doc_id, source, cidx AS chunk_index,
+             string_agg(line, chr(10) ORDER BY i) AS document
+      FROM assigned GROUP BY 1, 2, 3
+    )
+    SELECT source || ':' || doc_id || ':' || chunk_index AS chunk_id, source,
+           CAST(chunk_index AS INTEGER) AS chunk_index,
+           CAST(max(chunk_index + 1) OVER (PARTITION BY doc_id) AS INTEGER) AS total_chunks,
+           document
+    FROM chunks
+    WHERE trim(replace(document, chr(10), ' ')) <> ''
+    """,
     doc="Reference-exact greedy line chunking (index.py:296-319 semantics) "
-    "over newline-ified documents; pandas_udf + posexplode; pytest/hypothesis-covered.",
+    "over newline-ified documents; pandas_udf + posexplode on the Spark side, "
+    "recursive-CTE fold as the oracle; also pytest/hypothesis-covered.",
 )
 def chunk_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, "documents", sf_dir).select(
