@@ -91,6 +91,47 @@ def knn_batch_topk(
     )
 
 
+SALT_FACTOR = 8
+
+
+def blocked_pairs(
+    vectors: DataFrame,
+    block_col: str,
+    id_col: str,
+    vec_col: str,
+    n_salts: int = SALT_FACTOR,
+) -> DataFrame:
+    """All within-block pairs (id_a < id_b) via a SALTED equi-join.
+
+    A bare join on the block key caps parallelism at #distinct blocks (and
+    AQE's size-based coalescing can squeeze the tiny-by-bytes but
+    CPU-quadratic pair work onto ONE task — measured 180s single-core vs 4s
+    salted).  Salting: side A keyed by (block, id % S); side B replicated S
+    times.  Every pair appears exactly once (its salt is determined by
+    id_a), and the work spreads over #blocks x S tasks.  Replicating one
+    side S-fold is the standard, bounded cost of skew-proof blocking.
+    """
+    # normalize ONCE per vector (O(n) folds) so each pair needs a single
+    # dot-product fold instead of dot + two norms (O(pairs) x 3 folds) —
+    # the write-time normalization of SURVEY §4.3.1 applied inline
+    unit = vectors.select(
+        F.col(block_col), F.col(id_col), l2_normalize(F.col(vec_col)).alias("_unit")
+    )
+    a = unit.select(
+        F.col(block_col).alias("block"),
+        F.pmod(F.col(id_col), F.lit(n_salts)).cast("int").alias("salt"),
+        F.col(id_col).alias("id_a"),
+        F.col("_unit").alias("vec_a"),
+    )
+    b = unit.select(
+        F.col(block_col).alias("block"),
+        F.explode(F.array(*[F.lit(s) for s in range(n_salts)])).alias("salt"),
+        F.col(id_col).alias("id_b"),
+        F.col("_unit").alias("vec_b"),
+    )
+    return a.join(b, ["block", "salt"]).filter(F.col("id_a") < F.col("id_b")).drop("salt")
+
+
 def similarity_join(
     vectors: DataFrame,
     threshold: float = 0.8,
@@ -100,24 +141,14 @@ def similarity_join(
 ) -> DataFrame:
     """All pairs (a, b), a.id < b.id, cosine >= threshold, within a block.
 
-    The block key turns the O(n²) cartesian into an equi-join: Catalyst
-    shuffles both sides on `block_col` and compares only within buckets —
-    the same blocking idea LSH uses, with an exact in-bucket verify.  For
+    The block key turns the O(n²) cartesian into an equi-join (the same
+    blocking idea LSH uses, with an exact in-bucket verify), and the salted
+    pair generator keeps the quadratic scoring work parallel.  For
     unblocked corpora use `dedup.minhash_pairs` (LSH banding) instead.
     """
-    a = vectors.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-    )
-    b = vectors.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-    )
-    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    pairs = blocked_pairs(vectors, block_col, id_col, vec_col)
     scored = pairs.withColumn(
-        "score", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), SCORE_DP)
+        "score", F.round(dot_product(F.col("vec_a"), F.col("vec_b")), SCORE_DP)
     )
     return scored.filter(F.col("score") >= threshold).select("block", "id_a", "id_b", "score")
 
@@ -133,8 +164,13 @@ def ivf_assign(
     broadcast(centroids) keeps this a map-side operation; at write time the
     result would be persisted partitioned by `list_id` so queries prune
     partitions instead of scanning.
+
+    The explicit keyed repartition spreads the per-row x per-centroid
+    scoring across all cores even when the input is one small file (AQE
+    honors user-specified partition counts, so it won't re-coalesce).
     """
-    pairs = vectors.crossJoin(F.broadcast(centroids))
+    nparts = vectors.sparkSession.sparkContext.defaultParallelism
+    pairs = vectors.repartition(nparts, F.col(vec_id)).crossJoin(F.broadcast(centroids))
     scored = pairs.withColumn(
         "cscore", F.round(cosine_similarity(F.col(vec_col), F.col("centroid")), SCORE_DP)
     )

@@ -48,7 +48,7 @@ def get_spark(app_name: str = "log_vector_spark", cpus: str | int | None = None)
         # Measured on this suite: similarity_join 66s -> 5s with 1 GB cache.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -158,11 +158,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding",
     oracle="""
-    SELECT e.vec_id FROM embeddings e
+    WITH u AS (
+      SELECT label, vec_id,
+             list_transform(embedding::DOUBLE[], x -> x /
+               sqrt(list_reduce(list_transform(embedding::DOUBLE[], y -> y * y),
+                                (acc, v) -> acc + v))) AS unit
+      FROM embeddings
+    )
+    SELECT e.vec_id FROM u e
     WHERE NOT EXISTS (
-      SELECT 1 FROM embeddings d
+      SELECT 1 FROM u d
       WHERE d.label = e.label AND d.vec_id < e.vec_id
-        AND round(list_cosine_similarity(d.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) >= 0.35
+        AND round(list_dot_product(d.unit, e.unit), 6) >= 0.35
     )
     """,
     doc="Semantic dedup survivors: no lower-id neighbor at cosine >= 0.35 in the label block.",

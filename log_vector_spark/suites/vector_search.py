@@ -67,16 +67,26 @@ def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.knn_batch_topk(emb, queries_df, k=3)
 
 
+# unit-vector expression shared by the pair-join oracles: mirrors Spark's
+# l2_normalize (x/sqrt(left-fold of squares), all double) bit-for-bit
+_UNIT = (
+    "list_transform(embedding::DOUBLE[], x -> x / "
+    "sqrt(list_reduce(list_transform(embedding::DOUBLE[], y -> y * y), (acc, v) -> acc + v)))"
+)
+
+
 @register(
     "similarity_join",
     oracle=f"""
+    WITH u AS (SELECT label, vec_id, {_UNIT} AS unit FROM embeddings)
     SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_cos('a.embedding', 'b.embedding')}, 6) AS score
-    FROM embeddings a JOIN embeddings b
+           round(list_dot_product(a.unit, b.unit), 6) AS score
+    FROM u a JOIN u b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round({_cos('a.embedding', 'b.embedding')}, 6) >= 0.25
+    WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.25
     """,
-    doc="Blocked all-pairs similarity join (cosine >= 0.25 within label blocks).",
+    doc="Blocked all-pairs similarity join (cosine >= 0.25 within label blocks); "
+    "normalize-once-then-dot, salted for parallelism.",
 )
 def similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.similarity_join(table(spark, "embeddings", sf_dir), threshold=0.25)
