@@ -19,6 +19,11 @@ _SHINGLES = (
     "list_transform(range(1, greatest(len(words) - 1, 1)), "
     "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
 )
+# the affine MinHash family, identical constants to operators/dedup.py:
+# base = first 8 md5 hex digits as int (mod P); member i = (base*a_i + i) mod P
+_MH_P = dedup.MINHASH_P
+_MH_AS = f"[{', '.join(str(a) for a in dedup.minhash_coeffs(8))}]"
+_MH_BASE = f"('0x' || substr(md5(shingle), 1, 8))::BIGINT % {_MH_P}"
 
 
 @register(
@@ -52,12 +57,13 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH docs AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
-    seeded AS (SELECT doc_id, shingle, unnest(range(0, 8)) AS seed FROM sh)
+    h AS (SELECT doc_id, {_MH_BASE} AS h FROM sh),
+    seeded AS (SELECT doc_id, h, unnest(range(0, 8)) AS seed FROM h)
     SELECT doc_id, CAST(seed AS INTEGER) AS seed,
-           min(md5(concat_ws('|', seed, shingle))) AS minhash
+           min((h * ({_MH_AS}[CAST(seed AS INTEGER) + 1]) + seed) % {_MH_P}) AS minhash
     FROM seeded GROUP BY 1, 2
     """,
-    doc="MinHash signatures: per-(doc, seed) min over md5(seed|shingle).",
+    doc="MinHash signatures: per-(doc, seed) min of the affine shingle hash.",
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(table(spark, "documents", sf_dir), n_hashes=8)
@@ -68,11 +74,13 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH docs AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
-    seeded AS (SELECT doc_id, shingle, unnest(range(0, 8)) AS seed FROM sh),
-    sig AS (SELECT doc_id, seed, min(md5(concat_ws('|', seed, shingle))) AS minhash
+    h AS (SELECT doc_id, {_MH_BASE} AS h FROM sh),
+    seeded AS (SELECT doc_id, h, unnest(range(0, 8)) AS seed FROM h),
+    sig AS (SELECT doc_id, seed,
+                   min((h * ({_MH_AS}[CAST(seed AS INTEGER) + 1]) + seed) % {_MH_P}) AS minhash
             FROM seeded GROUP BY 1, 2),
     bands AS (SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
-                     md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+                     md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
               FROM sig GROUP BY 1, 2)
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
