@@ -61,6 +61,45 @@ def tumbling_window(events: DataFrame, minutes: int = 15) -> DataFrame:
     )
 
 
+def sliding_window(events: DataFrame, minutes: int = 30, slide_minutes: int = 15) -> DataFrame:
+    """Sliding (hopping) window agg via Spark's window(duration, slide) —
+    each event lands in duration/slide overlapping buckets.  Same operator
+    works unchanged under readStream (SURVEY §2.7 streaming plan)."""
+    w = F.window(F.col("ts"), f"{minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(exact_sum("value"), 6).alias("total_value"))
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_window_agg(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessions via Spark's NATIVE session_window operator (merge
+    while the gap is < gapDuration, strictly — an event exactly gap later
+    starts a new session).  Unlike the lag+cumsum composition in
+    ``sessionize`` this one is streaming-capable with state-store-backed
+    session merging.  Window end = last event ts + gap (full micros
+    precision, not truncated to seconds)."""
+    w = F.session_window(F.col("ts"), f"{gap_minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(exact_sum("value"), 6).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
     """Gap-based sessions per user: lag -> boundary flag -> cumsum id ->
     per-session rollup.  Shuffles once on user_id."""

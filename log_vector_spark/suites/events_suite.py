@@ -45,6 +45,58 @@ def events_window_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_30m",
+    oracle="""
+    WITH offs AS (SELECT unnest([0, 1]) AS k),
+    e AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS base
+      FROM events
+    )
+    SELECT to_timestamp(base - k * 900)::TIMESTAMP AS bucket_start,
+           to_timestamp(base - k * 900 + 1800)::TIMESTAMP AS bucket_end,
+           event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+    FROM e CROSS JOIN offs GROUP BY 1, 2, 3
+    """,
+    doc="30-min window sliding every 15 min via window(duration, slide): each "
+    "event feeds 2 overlapping buckets (oracle: explicit offset cross join).",
+)
+def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.sliding_window(table(spark, "events", sf_dir), minutes=30, slide_minutes=15)
+
+
+@register(
+    "events_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Native session_window sessions (streaming-capable, state-store merge; "
+    "strict-< gap semantics at full microsecond precision, end = last ts + gap).",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.session_window_agg(table(spark, "events", sf_dir), gap_minutes=30)
+
+
+@register(
     "events_sessionize",
     oracle=f"""
     WITH o AS (

@@ -216,6 +216,78 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (neither rollup nor cube) with a grouping-id "
+    "marker computed from GROUPING() bits identically in both engines.",
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, "orders", sf_dir)
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            (
+                F.grouping("o_orderstatus").cast("bigint") * 2
+                + F.grouping("o_orderpriority").cast("bigint")
+            ).alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "parts_price_band_join",
+    oracle="""
+    WITH bands AS (
+      SELECT * FROM (VALUES
+        ('budget',  0.0,   940.0),
+        ('mid',     940.0, 970.0),
+        ('premium', 970.0, 100000.0)
+      ) AS t(band, lo, hi)
+    )
+    SELECT band, count(*) AS n_parts,
+           CAST(min(p_retailprice) AS DOUBLE) AS min_price,
+           CAST(max(p_retailprice) AS DOUBLE) AS max_price,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+    doc="Banded range (non-equi theta) join: parts bucketed into price bands. "
+    "The band table is tiny and broadcast, so the physical plan is a "
+    "BroadcastNestedLoopJoin — per-row band lookup with zero shuffle of the "
+    "fact side; the correct shape at 100 TB (never a cartesian shuffle).",
+)
+def parts_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, "part", sf_dir)
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 940.0), ("mid", 940.0, 970.0), ("premium", 970.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    j = part.join(
+        F.broadcast(bands),
+        (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_retailprice").cast("double").alias("min_price"),
+        F.max("p_retailprice").cast("double").alias("max_price"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+@register(
     "orders_pivot",
     oracle="""
     SELECT o_orderpriority,
