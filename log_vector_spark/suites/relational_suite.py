@@ -373,6 +373,34 @@ def top_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q13_custdist",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: LEFT OUTER join with the predicate in the ON clause "
+    "(null-extended customers count 0, not filtered away), two-level agg "
+    "producing the orders-per-customer distribution.",
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, "customer", sf_dir).select("c_custkey")
+    orders = table(spark, "orders", sf_dir).select("o_custkey", "o_orderkey", "o_orderpriority")
+    j = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    c_orders = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
     "events_asof_purchase",
     oracle="""
     SELECT e.event_id, e.user_id, e.ts, p.last_purchase_ts, p.last_purchase_value

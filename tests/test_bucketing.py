@@ -1,4 +1,6 @@
-"""Bucketed-table co-located join: the 100 TB fact-fact join strategy.
+"""Write-time data layout tests: bucketing and partitioning.
+
+Bucketed-table co-located join: the 100 TB fact-fact join strategy.
 
 Writing both join sides bucketed (and sorted) on the join key co-locates
 matching keys in same-numbered buckets at WRITE time, so a later sort-merge
@@ -53,3 +55,21 @@ def test_bucketed_fact_fact_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+@pytest.mark.spark
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Hive-style partitionBy(lang) layout: a lang filter must become a
+    PartitionFilter (directory pruning — at 100 TB the scan never lists,
+    let alone reads, the other languages' files)."""
+    from log_vector_spark.catalog import table
+
+    docs = table(spark, "documents", SF).select("doc_id", "lang", "n_chars")
+    path = str(tmp_path / "docs_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+
+    rd = spark.read.parquet(path).filter(F.col("lang") == "en").select("doc_id")
+    plan = plan_string(rd)
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and any("lang" in ln for ln in part_lines)
+    assert rd.count() == docs.filter(F.col("lang") == "en").count()
