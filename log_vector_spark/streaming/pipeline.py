@@ -12,9 +12,11 @@ building on window()/groupBy semantics that are identical in both modes.
 
 Watermarking note: the test/oracle path uses complete mode (no late-data
 dropping) so results equal the batch run bit-for-bit.  The production
-append-mode path would add `withWatermark("ts", ...)`; session windows get
-`session_window(ts, gap)` — both left for a later round, documented here so
-the surface gap is explicit.
+append-mode path adds `withWatermark("ts", ...)` — `run_events_session_stream`
+implements BOTH: complete-mode native session windows (bit-equal to the
+batch `session_window_agg`) and watermarked append mode, which only emits
+sessions already sealed by the watermark (late data past the delay is
+dropped — the at-scale memory bound on session state).
 """
 
 from __future__ import annotations
@@ -50,6 +52,41 @@ def run_events_window_stream(spark: SparkSession, sf_dir: str, minutes: int = 15
     agg = tumbling_window(stream_events(spark, sf_dir), minutes=minutes)
     q = (
         agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def run_events_session_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Native session_window sessions under readStream.
+
+    * ``watermark=None``: complete mode — all state kept, result equals the
+      batch ``session_window_agg`` bit-for-bit.
+    * ``watermark="10 minutes"``: append mode — a session row is emitted
+      only once the watermark passes its end (sealed); unsealed tail
+      sessions stay in the state store.  This is the bounded-state posture
+      a 100 TB stream needs: state size ~ active sessions, not history.
+    """
+    from log_vector_spark.operators.events import session_window_agg
+
+    name = f"stream_session_{next(_COUNTER)}"
+    src = stream_events(spark, sf_dir)
+    if watermark is not None:
+        src = src.withWatermark("ts", watermark)
+    agg = session_window_agg(src, gap_minutes=gap_minutes)
+    q = (
+        agg.writeStream.outputMode("complete" if watermark is None else "append")
         .format("memory")
         .queryName(name)
         .start()

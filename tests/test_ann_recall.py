@@ -1,0 +1,62 @@
+"""ANN quality guardrails: approximate search must degrade predictably.
+
+IVF recall properties pinned here are structural, not tuned numbers:
+* probing EVERY list is exhaustive search — identical rows to exact top-k;
+* the probed-list set at nprobe=m is a superset of nprobe=n for m > n
+  (deterministic probe order), so recall is monotone non-decreasing;
+* at the default operating point (nprobe=8 of ~14 lists on sf0.01) the
+  mean recall@10 over fixed seeds was measured at 0.75 — the assert uses
+  0.6 to leave margin without letting a regression to near-random pass.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+SEEDS = (7, 11, 23, 42)
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from log_vector_spark.catalog import table
+
+    df = table(spark, "embeddings", SF).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _ids(df):
+    return {r.vec_id for r in df.collect()}
+
+
+@pytest.mark.spark
+def test_ivf_full_probe_equals_exact(spark, emb):
+    from log_vector_spark.functions.vector import fixed_query_vector
+    from log_vector_spark.operators.search import knn_ivf, knn_topk, make_centroids
+
+    cents = make_centroids(emb)
+    n_lists = cents.count()
+    q = fixed_query_vector(dim=64, seed=7)
+    exact = knn_topk(emb, q, k=K).collect()
+    full = knn_ivf(emb, cents, q, k=K, nprobe=n_lists).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in full]
+
+
+@pytest.mark.spark
+def test_ivf_recall_monotone_and_useful(spark, emb):
+    from log_vector_spark.functions.vector import fixed_query_vector
+    from log_vector_spark.operators.search import knn_ivf, knn_topk, make_centroids
+
+    cents = make_centroids(emb)
+    recalls_8 = []
+    for seed in SEEDS:
+        q = fixed_query_vector(dim=64, seed=seed)
+        exact = _ids(knn_topk(emb, q, k=K))
+        r = {
+            nprobe: len(exact & _ids(knn_ivf(emb, cents, q, k=K, nprobe=nprobe))) / K
+            for nprobe in (2, 4, 8)
+        }
+        assert r[2] <= r[4] <= r[8], f"recall not monotone in nprobe: {r}"
+        recalls_8.append(r[8])
+    assert sum(recalls_8) / len(recalls_8) >= 0.6, recalls_8

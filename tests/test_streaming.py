@@ -24,3 +24,30 @@ def test_stream_index_pipeline(spark, tmp_path):
     assert n > 0
     df = spark.read.parquet(out)
     assert {"chunk_id", "document", "embedding"} <= set(df.columns)
+
+
+@pytest.mark.spark
+def test_stream_session_window_complete_equals_batch(spark):
+    from log_vector_spark.catalog import table
+    from log_vector_spark.operators.events import session_window_agg
+    from log_vector_spark.streaming.pipeline import run_events_session_stream
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in session_window_agg(table(spark, "events", sf)).collect()}
+    stream = {tuple(r) for r in run_events_session_stream(spark, sf).collect()}
+    assert batch == stream and len(batch) > 0
+
+
+@pytest.mark.spark
+def test_stream_session_window_append_emits_sealed_sessions(spark):
+    """Append mode + watermark: emitted rows are exactly the batch sessions
+    whose end precedes the final watermark (sealed); the unsealed tail stays
+    in state."""
+    from log_vector_spark.catalog import table
+    from log_vector_spark.operators.events import session_window_agg
+    from log_vector_spark.streaming.pipeline import run_events_session_stream
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in session_window_agg(table(spark, "events", sf)).collect()}
+    stream = {tuple(r) for r in run_events_session_stream(spark, sf, watermark="10 minutes").collect()}
+    assert stream and stream < batch
