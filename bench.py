@@ -50,6 +50,11 @@ HEADLINE = [
     "chunk_greedy",        # greedy chunk pandas_udf + explode
     "events_window_15m",   # tumbling window agg
     "orders_running_total",# running decimal window frames
+    "events_sliding_30m",  # hopping window agg (2 buckets/event)
+    "events_session_window",# native session_window sessions
+    "orders_grouping_sets",# explicit grouping sets + grouping-id
+    "parts_price_band_join",# banded range join (broadcast NLJ)
+    "tpch_q13_custdist",   # left-outer join + two-level agg
 ]
 
 
