@@ -257,6 +257,38 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def embedding_near_dup_ivf_survivors(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup with IVF-list blocking — the label-free 100 TB path.
+
+    `embedding_near_dup_survivors` needs a pre-existing block column; real
+    corpora have none.  Here the block IS the IVF coarse-quantization list
+    (nearest centroid), so the within-block pair join compares only vectors
+    that are already semantically close — the same sub-quadratic candidate
+    profile LSH gives, derived from the data itself.  At scale the
+    assignment is persisted at write time (partition key = list_id) and
+    this becomes a per-partition self-join with zero global shuffle.
+    """
+    from log_vector_spark.functions.vector import dot_product
+    from log_vector_spark.operators.search import blocked_pairs, ivf_assign
+
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col).select(
+        id_col, "list_id", vec_col
+    )
+    dup_ids = (
+        blocked_pairs(assigned, "list_id", id_col, vec_col)
+        .filter(F.round(dot_product(F.col("vec_a"), F.col("vec_b")), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return vectors.join(dup_ids, id_col, "left_anti").select(id_col)
+
+
 def embedding_near_dup_survivors(
     vectors: DataFrame,
     threshold: float = 0.35,

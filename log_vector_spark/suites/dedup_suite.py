@@ -184,3 +184,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_survivors(table(spark, "embeddings", sf_dir), threshold=0.35)
+
+
+@register(
+    "dedup_embedding_ivf",
+    oracle="""
+    WITH centroids AS (
+      SELECT vec_id AS list_id, embedding AS centroid FROM embeddings WHERE vec_id % 37 = 0
+    ), assigned AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       c.centroid::DOUBLE[]), 6) DESC,
+                          c.list_id ASC
+               ) AS crank
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE crank = 1
+    ), u AS (
+      SELECT a.list_id, e.vec_id,
+             list_transform(embedding::DOUBLE[], x -> x /
+               sqrt(list_reduce(list_transform(embedding::DOUBLE[], y -> y * y),
+                                (acc, v) -> acc + v))) AS unit
+      FROM embeddings e JOIN assigned a USING (vec_id)
+    )
+    SELECT e.vec_id FROM u e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM u d
+      WHERE d.list_id = e.list_id AND d.vec_id < e.vec_id
+        AND round(list_dot_product(d.unit, e.unit), 6) >= 0.35
+    )
+    """,
+    doc="Semantic dedup survivors with IVF-list blocking (label-free): the "
+    "block key is the nearest-centroid assignment, so candidates are "
+    "data-derived — the deployable 100 TB form of dedup_embedding.",
+)
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.search import make_centroids
+
+    emb = table(spark, "embeddings", sf_dir)
+    return dedup.embedding_near_dup_ivf_survivors(emb, make_centroids(emb, every=37), threshold=0.35)

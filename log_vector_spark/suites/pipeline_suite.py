@@ -265,3 +265,56 @@ def index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedder = DeterministicEmbedder(dim=64)
     embedded = chunks.withColumn("embedding", embedder.embed_col(F.col("document")))
     return search.knn_topk(embedded, fixed_query_vector(64), k=10, id_col="chunk_id")
+
+
+@register(
+    "clean_corpus_pipeline",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source, lang,
+             CAST(len(words) AS INTEGER) AS n_tokens,
+             CAST(len(list_filter(words, t -> t IN ('the', 'a', 'of', 'to', 'and')))
+                  AS INTEGER) AS n_stop
+      FROM d
+    ), q AS (
+      SELECT doc_id, source, lang, n_tokens,
+             round((n_stop / n_tokens) * 0.5 + least(n_tokens, 100) / 100.0 * 0.5, 6) AS quality
+      FROM m
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality
+    FROM q JOIN keep USING (doc_id)
+    WHERE lang = 'en' AND n_tokens >= 30 AND quality >= 0.3
+    GROUP BY source
+    """,
+    doc="Composed training-data cleaning pipeline: language filter -> quality "
+    "floor -> exact-dedup survivors -> per-source corpus stats.  One lazy "
+    "plan; each stage is an already-tested operator (lang filter, "
+    "textops.text_quality, dedup.exact_dedup as a semi-join).",
+)
+def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators import dedup, textops
+
+    docs = table(spark, "documents", sf_dir)
+    quality = textops.text_quality(docs).select("doc_id", "n_tokens", "quality")
+    keep_ids = dedup.exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    clean = (
+        docs.filter(F.col("lang") == "en")
+        .join(quality, "doc_id")
+        .filter((F.col("n_tokens") >= 30) & (F.col("quality") >= 0.3))
+        .join(keep_ids, "doc_id", "left_semi")
+    )
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_quality"),
+    )
