@@ -61,6 +61,56 @@ def decode_image(content: bytes) -> "np.ndarray":  # pragma: no cover - stub
     raise NotImplementedError("wire PIL decode here")
 
 
+def decode_audio(content: bytes) -> "np.ndarray":  # pragma: no cover - stub
+    """STUB: real deployments plug soundfile/librosa here; the container has
+    neither."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError("audio codec not available in this container") from e
+    raise NotImplementedError("wire soundfile decode here")
+
+
+def resize_thumbnail(media: DataFrame, height: int = 8, width: int = 8) -> DataFrame:
+    """binary -> fixed-size thumbnail over mapInPandas (resize stand-in).
+
+    Deterministic stride sampling of the byte stream into an h x w grid in
+    place of a real pixel resampler — the output is a fixed-length binary
+    column exactly as PIL's `resize` would produce, so downstream schema,
+    batch shape, and storage sizing are the real thing.  Short payloads
+    tile cyclically so every thumbnail is exactly h*w bytes.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("thumb", T.BinaryType()),
+        ]
+    )
+    n = height * width
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for raw in pdf["content"]:
+                b = np.frombuffer(bytes(raw), dtype=np.uint8)
+                if len(b) == 0:
+                    b = np.zeros(1, dtype=np.uint8)
+                idx = (np.arange(n) * max(len(b) // n, 1)) % len(b)
+                thumbs.append(b[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "height": height,
+                    "width": width,
+                    "thumb": thumbs,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(resize, out_schema)
+
+
 def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
     """binary -> array<double> feature extraction over mapInPandas.
 

@@ -219,6 +219,20 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_thumbs",
+    oracle=None,  # mapInPandas resize kernel (binary output)
+    doc="binary -> fixed-size thumbnail via mapInPandas (deterministic stride "
+    "resample standing in for a pixel resizer; output is exactly h*w bytes).",
+)
+def multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.multimodal import attach_binary, resize_thumbnail
+
+    media = attach_binary(table(spark, "documents", sf_dir))
+    thumbs = resize_thumbnail(media, height=8, width=8)
+    return thumbs.select("media_id", "height", "width", F.md5(F.col("thumb")).alias("thumb_md5"))
+
+
+@register(
     "stream_window_15m",
     oracle="""
     SELECT to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))::TIMESTAMP AS bucket_start,

@@ -78,3 +78,23 @@ def test_multimodal_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+@pytest.mark.spark
+def test_multimodal_audio_stub_raises():
+    from log_vector_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00\x01")
+
+
+@pytest.mark.spark
+def test_multimodal_thumbnail_fixed_size_and_deterministic(spark):
+    from log_vector_spark.catalog import table
+    from log_vector_spark.operators.multimodal import attach_binary, resize_thumbnail
+
+    media = attach_binary(table(spark, "documents", "/root/testdata/sf0.001").limit(20))
+    t1 = {r.media_id: bytes(r.thumb) for r in resize_thumbnail(media, 8, 8).collect()}
+    t2 = {r.media_id: bytes(r.thumb) for r in resize_thumbnail(media, 8, 8).collect()}
+    assert t1 == t2 and len(t1) == 20
+    assert all(len(v) == 64 for v in t1.values())
