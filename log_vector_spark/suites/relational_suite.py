@@ -435,3 +435,25 @@ def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="p_event_id",
     )
     return out.select("event_id", "user_id", "ts", "last_purchase_ts", "last_purchase_value")
+
+
+@register(
+    "parts_brand_max_price",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice FROM part p
+    WHERE p_retailprice = (
+      SELECT max(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+    doc="Correlated scalar subquery shape: parts priced at their brand's max "
+    "(Spark plans the decorrelated window form — one shuffle on brand, no "
+    "per-row subquery execution).",
+)
+def parts_brand_max_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, "part", sf_dir)
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("brand_max", F.max("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("brand_max"))
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
