@@ -55,6 +55,8 @@ HEADLINE = [
     "orders_grouping_sets",# explicit grouping sets + grouping-id
     "parts_price_band_join",# banded range join (broadcast NLJ)
     "tpch_q13_custdist",   # left-outer join + two-level agg
+    "dedup_embedding_ivf", # IVF-blocked semantic dedup (label-free)
+    "clean_corpus_pipeline",# composed lang->quality->dedup->stats pipeline
 ]
 
 

@@ -165,6 +165,15 @@ def ivf_assign(
     result would be persisted partitioned by `list_id` so queries prune
     partitions instead of scanning.
 
+    The argmin is a hash aggregation of min(struct(-score, list_id)) — NOT
+    a window: partial aggregation combines map-side, so the shuffle carries
+    one row per VECTOR, where the window form shuffles |vectors| x nlists
+    scored rows (with 1024 lists at 100 TB that is a 1024x shuffle-volume
+    difference).  Tie order matches the window form exactly: highest
+    score, then lowest list_id; every non-key column is constant within a
+    group (the crossJoin replicates one source row), so first() is
+    deterministic.
+
     The explicit keyed repartition spreads the per-row x per-centroid
     scoring across all cores even when the input is one small file (AQE
     honors user-specified partition counts, so it won't re-coalesce).
@@ -174,11 +183,16 @@ def ivf_assign(
     scored = pairs.withColumn(
         "cscore", F.round(cosine_similarity(F.col(vec_col), F.col("centroid")), SCORE_DP)
     )
-    w = Window.partitionBy(vec_id).orderBy(F.desc("cscore"), F.asc("list_id"))
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .drop("crank", "centroid")
+    others = [c for c in vectors.columns if c != vec_id]
+    best = scored.groupBy(vec_id).agg(
+        F.min(F.struct((-F.col("cscore")).alias("neg"), F.col("list_id").alias("list_id"))).alias("_b"),
+        *[F.first(c).alias(c) for c in others],
+    )
+    return best.select(
+        vec_id,
+        *others,
+        F.col("_b.list_id").alias("list_id"),
+        (-F.col("_b.neg")).alias("cscore"),
     )
 
 
