@@ -68,3 +68,28 @@ def test_similarity_join_is_equijoin_not_cartesian(spark):
 
     plan = plan_string(m.queries()["similarity_join"](spark, SF))
     assert "CartesianProduct" not in plan  # blocked: hash/sort-merge on label
+
+
+@pytest.mark.spark
+def test_sql_api_parity_tpch_q1(spark):
+    """The SQL surface: registered temp views answer the same query the
+    DataFrame API does (same Catalyst plan underneath)."""
+    import __spark_entry__ as m
+    from log_vector_spark.catalog import register_views
+
+    register_views(spark, SF)
+    sql_rows = {
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus, count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+            GROUP BY l_returnflag, l_linestatus
+            """
+        ).collect()
+    }
+    df_rows = {
+        (r.l_returnflag, r.l_linestatus, r.count_order)
+        for r in m.queries()["tpch_q1"](spark, SF).collect()
+    }
+    assert sql_rows == df_rows and len(sql_rows) > 0
