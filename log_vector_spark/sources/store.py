@@ -54,6 +54,35 @@ def write_chunks(
     writer.parquet(os.path.join(path, "chunks"))
 
 
+def upsert_chunks(
+    chunks: DataFrame,
+    path: str,
+    id_col: str = "chunk_id",
+    partition_col: str | None = "source",
+) -> int:
+    """Idempotent incremental ingestion: append only rows whose id is not
+    already stored (anti-join against the existing table's id column).
+
+    This is the exactly-once point for a growing corpus — re-running the
+    same indexing job adds nothing, matching what foreachBatch needs on
+    stream retries.  At 100 TB the existing side reads ONLY the id column
+    (column pruning) and, when the store is partitioned on the same key the
+    new batch arrives by, partition pruning bounds the anti-join to the
+    touched partitions.  Returns the number of rows appended.
+    """
+    spark = chunks.sparkSession
+    target = os.path.join(path, "chunks")
+    try:
+        existing_ids = spark.read.parquet(target).select(id_col)
+    except Exception:  # noqa: BLE001 - first write: nothing to dedup against
+        existing_ids = None
+    fresh = chunks if existing_ids is None else chunks.join(existing_ids, id_col, "left_anti")
+    n_new = fresh.count()
+    if n_new:
+        write_chunks(fresh, path, mode="append", partition_col=partition_col)
+    return n_new
+
+
 def read_chunks(spark: SparkSession, path: str) -> DataFrame:
     """S5: load the chunk table; hard error if absent (reference ask.py:66-82)."""
     return spark.read.parquet(os.path.join(path, "chunks"))

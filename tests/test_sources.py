@@ -98,3 +98,26 @@ def test_multimodal_thumbnail_fixed_size_and_deterministic(spark):
     t2 = {r.media_id: bytes(r.thumb) for r in resize_thumbnail(media, 8, 8).collect()}
     assert t1 == t2 and len(t1) == 20
     assert all(len(v) == 64 for v in t1.values())
+
+
+@pytest.mark.spark
+def test_upsert_chunks_idempotent(spark, tmp_path):
+    from log_vector_spark.sources.store import read_chunks, upsert_chunks
+
+    base = str(tmp_path / "store")
+    df1 = spark.createDataFrame(
+        [(f"s{i}:{j}", f"s{i}", j, 2, f"text {i}{j}") for i in range(3) for j in range(2)],
+        "chunk_id string, source string, chunk_index int, total_chunks int, document string",
+    )
+    assert upsert_chunks(df1, base) == 6
+    # re-running the identical batch appends nothing (stream-retry safety)
+    assert upsert_chunks(df1, base) == 0
+    # a mixed batch appends only the genuinely new rows
+    df2 = spark.createDataFrame(
+        [("s0:0", "s0", 0, 2, "dup"), ("s9:0", "s9", 0, 1, "new")],
+        "chunk_id string, source string, chunk_index int, total_chunks int, document string",
+    )
+    assert upsert_chunks(df2, base) == 1
+    stored = read_chunks(spark, base)
+    assert stored.count() == 7
+    assert stored.filter("chunk_id = 's0:0'").count() == 1
