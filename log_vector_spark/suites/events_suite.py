@@ -187,3 +187,53 @@ def events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.funnel(table(spark, "events", sf_dir))
+
+
+@register(
+    "events_hourly_anomaly",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1
+    ), t AS (
+      SELECT hour, n,
+             CAST(sum(n) OVER w AS BIGINT) AS trail_sum,
+             CAST(count(*) OVER w AS BIGINT) AS trail_cnt
+      FROM h WINDOW w AS (ORDER BY hour ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour, n, trail_sum, trail_cnt,
+           round(n * trail_cnt * 1.0 / trail_sum, 6) AS ratio,
+           n * trail_cnt > 3 * trail_sum AS is_spike
+    FROM t WHERE trail_cnt > 0
+    """,
+    doc="Trailing-frame anomaly detection: each hour's event count vs the "
+    "mean of the previous 6 hours (rows-frame window; spike = 3x trailing "
+    "mean, compared in integer space so both engines agree exactly).  The "
+    "unpartitioned ORDER BY window is safe here: it runs over the hourly "
+    "AGGREGATE (one row per hour — thousands of rows at any scale), never "
+    "over raw events.",
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    hours = (
+        table(spark, "events", sf_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("hour").rowsBetween(-6, -1)
+    t = hours.select(
+        "hour",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("trail_sum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("trail_cnt"),
+    )
+    return t.filter(F.col("trail_cnt") > 0).select(
+        "hour",
+        "n",
+        "trail_sum",
+        "trail_cnt",
+        F.round(F.col("n") * F.col("trail_cnt") / F.col("trail_sum"), 6).alias("ratio"),
+        (F.col("n") * F.col("trail_cnt") > 3 * F.col("trail_sum")).alias("is_spike"),
+    )

@@ -140,3 +140,26 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normed.select(
         "vec_id", F.size("embedding").alias("dim"), F.col("norm")
     )
+
+
+@register(
+    "knn_topk_filtered",
+    oracle=f"""
+    SELECT vec_id, label, score FROM (
+      SELECT vec_id, label, round({_cos('embedding', _Q)}, 6) AS score
+      FROM embeddings WHERE label IN (1, 3)
+    ) ORDER BY score DESC, vec_id ASC LIMIT 5
+    """,
+    doc="Metadata-filtered k-NN: the where= clause the reference's store "
+    "supported but its query path never exposed (SURVEY §2.5 Q1 note).  The "
+    "label predicate is pushed into the parquet scan, so the scored set — "
+    "and at scale the bytes read — shrinks before any vector math runs.",
+)
+def knn_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir).filter(F.col("label").isin(1, 3))
+    scored = search.score_against(emb, QVEC)
+    return (
+        scored.select("vec_id", "label", "score")
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+    )
