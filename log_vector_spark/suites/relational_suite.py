@@ -457,3 +457,73 @@ def parts_brand_max_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_retailprice") == F.col("brand_max"))
         .select("p_brand", "p_partkey", "p_retailprice")
     )
+
+
+@register(
+    "lineitem_unpivot_totals",
+    oracle="""
+    SELECT 'l_quantity' AS measure,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT 'l_tax',
+           CAST(sum(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) FROM lineitem
+    """,
+    doc="Native unpivot (wide -> long): four measure columns melted to "
+    "(measure, value) rows, then one decimal-exact sum per measure — the "
+    "inverse of pivot, one pass over the fact table.",
+)
+def lineitem_unpivot_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("measure").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total")
+    )
+
+
+@register(
+    "events_weekly_retention",
+    oracle="""
+    WITH first_week AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT cohort,
+           CAST(date_diff('day', cohort, wk) / 7 AS INTEGER) AS week_offset,
+           count(*) AS n_users
+    FROM first_week JOIN activity USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention matrix: users bucketed by first-seen week, "
+    "counted in each later active week.  Two aggs + one equi-join on "
+    "user_id; the matrix is tiny regardless of event volume.",
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evs = table(spark, "events", sf_dir)
+    first_week = evs.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = evs.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    j = first_week.join(activity, "user_id")
+    return (
+        j.groupBy(
+            "cohort",
+            (F.datediff(F.col("wk").cast("date"), F.col("cohort").cast("date")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
