@@ -527,3 +527,78 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "tpch_q6_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 forecast revenue: highly selective conjunctive filter + one "
+    "decimal-exact aggregate — the pushdown-dominated scan shape (every "
+    "predicate reaches the reader; no shuffle beyond the final 1-row agg).",
+)
+def tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(6,4)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    oracle=f"""
+    SELECT date_trunc('month', l_shipdate) AS month,
+           round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE}
+                                       ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+                 / CAST(sum({_DISC_PRICE}) AS DOUBLE), 6) AS promo_share_pct,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q14 shape: monthly promo revenue share — broadcast dim join + "
+    "two conditional decimal sums per group, ratio taken after exact "
+    "aggregation.",
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
+        F.lit(0).cast("decimal(20,6)")
+    )
+    return (
+        j.groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(_disc_price()).cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -93,3 +93,21 @@ def test_sql_api_parity_tpch_q1(spark):
         for r in m.queries()["tpch_q1"](spark, SF).collect()
     }
     assert sql_rows == df_rows and len(sql_rows) > 0
+
+
+@pytest.mark.spark
+def test_band_join_is_broadcast_nlj_not_cartesian(spark):
+    import __spark_entry__ as m
+
+    plan = plan_string(m.queries()["parts_price_band_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
+def test_q6_pushes_selective_filters_to_scan(spark):
+    import __spark_entry__ as m
+
+    df = m.queries()["tpch_q6_revenue"](spark, SF)
+    assert has_pushed_filter(df, "l_discount")
+    assert has_pushed_filter(df, "l_quantity")
