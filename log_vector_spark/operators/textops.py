@@ -31,9 +31,19 @@ def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("int")
 
 
-def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def text_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document quality features: token count, mean token length,
-    stopword ratio, and a rational (engine-portable) quality score."""
+    stopword ratio, and a rational (engine-portable) quality score.
+
+    `carry_cols` pass through unchanged so downstream consumers (e.g. the
+    cleaning pipeline's per-source rollup) never need to join this
+    projection back to the source table — quality is derived data, and a
+    join on derived data is a full-size shuffle at scale for nothing."""
     toks = tokens(F.col(text_col))
     n_tokens = F.size(toks).cast("int")
     n_alpha = F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("int")
@@ -45,6 +55,7 @@ def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         n_tokens.alias("n_tokens"),
         n_alpha.alias("n_alpha"),
         avg_token_len.alias("avg_token_len"),

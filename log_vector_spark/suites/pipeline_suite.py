@@ -317,13 +317,13 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.operators import dedup, textops
 
     docs = table(spark, "documents", sf_dir)
-    quality = textops.text_quality(docs).select("doc_id", "n_tokens", "quality")
+    # quality is a pure projection of docs: compute it inline on the
+    # lang-filtered scan (no join) — only the dedup check, which aggregates
+    # at a different grain, needs a real (semi) join
+    quality = textops.text_quality(docs.filter(F.col("lang") == "en"), carry_cols=("source",))
     keep_ids = dedup.exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
-    clean = (
-        docs.filter(F.col("lang") == "en")
-        .join(quality, "doc_id")
-        .filter((F.col("n_tokens") >= 30) & (F.col("quality") >= 0.3))
-        .join(keep_ids, "doc_id", "left_semi")
+    clean = quality.filter((F.col("n_tokens") >= 30) & (F.col("quality") >= 0.3)).join(
+        keep_ids, "doc_id", "left_semi"
     )
     return clean.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

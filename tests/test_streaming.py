@@ -51,3 +51,21 @@ def test_stream_session_window_append_emits_sealed_sessions(spark):
     batch = {tuple(r) for r in session_window_agg(table(spark, "events", sf)).collect()}
     stream = {tuple(r) for r in run_events_session_stream(spark, sf, watermark="10 minutes").collect()}
     assert stream and stream < batch
+
+
+@pytest.mark.spark
+def test_stream_sliding_window_equals_batch(spark):
+    from log_vector_spark.catalog import table
+    from log_vector_spark.operators.events import sliding_window
+    from log_vector_spark.streaming.pipeline import stream_events
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in sliding_window(table(spark, "events", sf), 30, 15).collect()}
+    agg = sliding_window(stream_events(spark, sf), 30, 15)
+    q = agg.writeStream.outputMode("complete").format("memory").queryName("slide_t").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = {tuple(r) for r in spark.table("slide_t").collect()}
+    assert batch == stream and len(batch) > 0
