@@ -76,16 +76,31 @@ def knn_batch_topk(
     """Top-k per query for a *set* of query vectors.
 
     ``broadcast(queries)`` makes the crossJoin a broadcast nested-loop with
-    zero shuffle of the big side; the window shuffle is keyed on query_id
-    (small).  This is the scalable batch form of the reference's REPL loop.
+    zero shuffle of the big side.  Top-k runs in TWO window phases: first
+    within (query_id, salt) — parallelism #queries x #salts, each partition
+    keeping only k rows — then the final window merges #salts x k survivors
+    per query.  A single window on query_id alone would funnel the entire
+    scored table into #queries tasks (with 5 queries, 5 tasks no matter the
+    cluster size) and shuffle every scored row; the two-phase form shuffles
+    the full set once across many keys and then only k x #salts rows per
+    query.  Results are identical: the global top-k is contained in the
+    union of per-salt top-ks, and the (score desc, id asc) order makes
+    ranks deterministic.
     """
+    n_salts = 64
     pairs = vectors.crossJoin(F.broadcast(queries))
     scored = pairs.withColumn(
         "score", F.round(cosine_similarity(F.col(vec_col), F.col(query_col)), SCORE_DP)
+    ).withColumn("_salt", F.pmod(F.col(vec_id), F.lit(n_salts)).cast("int"))
+    w1 = Window.partitionBy(query_id, "_salt").orderBy(F.desc("score"), F.asc(vec_id))
+    survivors = (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(vec_id))
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(vec_id))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(query_id, F.col(vec_id), "score", "rank")
     )

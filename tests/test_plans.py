@@ -111,3 +111,15 @@ def test_q6_pushes_selective_filters_to_scan(spark):
     df = m.queries()["tpch_q6_revenue"](spark, SF)
     assert has_pushed_filter(df, "l_discount")
     assert has_pushed_filter(df, "l_quantity")
+
+
+@pytest.mark.spark
+def test_asof_join_is_union_window_no_range_explosion(spark):
+    """The as-of join is union+window by design: no join node at all, so no
+    range-condition row explosion and no cartesian fallback."""
+    import __spark_entry__ as m
+
+    plan = plan_string(m.queries()["events_asof_purchase"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
