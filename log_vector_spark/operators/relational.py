@@ -65,11 +65,27 @@ def asof_join(
 
 
 def topk_per_group(
-    df: DataFrame, group_cols: list[str], order_col: str, k: int, tiebreak: str
+    df: DataFrame, group_cols: list[str], order_col: str, k: int, tiebreak: str, n_salts: int = 32
 ) -> DataFrame:
-    """The universal top-k-per-group idiom: window row_number <= k."""
-    w = Window.partitionBy(*group_cols).orderBy(F.desc(order_col), F.asc(tiebreak))
-    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    """The universal top-k-per-group idiom, two-phase.
+
+    Phase 1 ranks within (group, salt) and keeps k rows per salt —
+    parallelism #groups x #salts instead of #groups (a window on a
+    25-nation key alone would run 25 tasks over the whole input no matter
+    the cluster).  Phase 2 ranks the k x #salts survivors per group.
+    The global top-k is contained in the per-salt union and the
+    (order desc, tiebreak asc) order is total, so results and ranks are
+    identical to the single-window form."""
+    salt = F.pmod(F.hash(F.col(tiebreak)), F.lit(n_salts)).cast("int")
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(F.desc(order_col), F.asc(tiebreak))
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(F.desc(order_col), F.asc(tiebreak))
+    return survivors.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
 
 
 def salted_aggregate(
