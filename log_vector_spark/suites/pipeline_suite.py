@@ -332,3 +332,49 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("quality").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_quality"),
     )
+
+
+_BUCKET = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+
+
+@register(
+    "sample_systematic",
+    oracle=f"""
+    SELECT doc_id, source, lang FROM documents
+    WHERE {_BUCKET} % 10 = 0
+    """,
+    doc="Deterministic 1-in-10 systematic sample: membership is a pure "
+    "function of md5(doc_id), so the sample is reproducible on any engine "
+    "and stable under appends.  A scan-stage filter — composes with "
+    "pushdown/pruning, no shuffle.",
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.sampling import systematic_sample
+
+    return systematic_sample(
+        table(spark, "documents", sf_dir), "doc_id", keep_one_in=10
+    ).select("doc_id", "source", "lang")
+
+
+@register(
+    "dataset_split_counts",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang, {_BUCKET} % 100 AS bucket FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val/test assignment (80/10/10 by id-hash "
+    "bucket) rolled up per language — the reproducible-holdout primitive "
+    "of a training-data pipeline.",
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.sampling import assign_split
+
+    docs = assign_split(table(spark, "documents", sf_dir), "doc_id")
+    return docs.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
