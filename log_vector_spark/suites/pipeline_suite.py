@@ -378,3 +378,56 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = assign_split(table(spark, "documents", sf_dir), "doc_id")
     return docs.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "split_contamination",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CASE WHEN {_BUCKET} % 100 < 80 THEN 'train'
+                  WHEN {_BUCKET} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 1, 1)),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+      FROM b
+    )
+    SELECT t.doc_id AS test_doc, tr.doc_id AS train_doc, count(*) AS n_common
+    FROM sh t JOIN sh tr ON t.shingle = tr.shingle
+    WHERE t.split = 'test' AND tr.split = 'train'
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+    doc="Train/test decontamination: 3-gram shingle overlap between the "
+    "hash-assigned test and train splits (pairs sharing >= 3 distinct "
+    "shingles).  Shuffle is an equi-join on the shingle key — candidate "
+    "volume scales with actual overlap, never |test| x |train|.",
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.functions.text import shingles_from_words, tokens
+    from log_vector_spark.operators.sampling import assign_split
+
+    docs = assign_split(table(spark, "documents", sf_dir), "doc_id")
+    words = docs.select("doc_id", "split", tokens(F.col("text")).alias("words"))
+    sh = words.select(
+        "doc_id",
+        "split",
+        F.explode(F.array_distinct(shingles_from_words(F.col("words"), 3))).alias("shingle"),
+    )
+    t = sh.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "shingle"
+    )
+    tr = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    return (
+        t.join(tr, "shingle")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 3)
+    )
