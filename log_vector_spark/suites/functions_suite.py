@@ -24,31 +24,59 @@ from log_vector_spark.registry import register
 @register(
     "customer_analytic_windows",
     oracle="""
-    SELECT c_nationkey, c_custkey, c_acctbal,
-           CAST(dense_rank() OVER w AS INTEGER) AS drank,
-           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-           round(percent_rank() OVER w, 6) AS prank,
-           round(cume_dist() OVER w, 6) AS cdist,
-           lag(c_acctbal) OVER w AS prev_bal,
-           lead(c_acctbal) OVER w AS next_bal
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    WITH r AS (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             CAST(dense_rank() OVER w AS INTEGER) AS drank,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS np,
+             lag(c_acctbal) OVER w AS prev_bal,
+             lead(c_acctbal) OVER w AS next_bal
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    )
+    SELECT c_nationkey, c_custkey, c_acctbal, drank, quartile,
+           CASE WHEN np = 1 THEN 0.0
+                ELSE (((rn - 1) * 2000000 + (np - 1)) // (2 * (np - 1))) / 1000000.0
+           END AS prank,
+           ((rn * 2000000 + np) // (2 * np)) / 1000000.0 AS cdist,
+           prev_bal, next_bal
+    FROM r
     """,
     doc="Analytic-function breadth over one deterministic window: dense_rank, "
-    "ntile, percent_rank, cume_dist, lag, lead.",
+    "ntile, percent_rank, cume_dist, lag, lead.  The window's order is "
+    "TOTAL (custkey tiebreak), so every row is its own peer group and "
+    "percent_rank/cume_dist reduce to exact integer ratios — computed with "
+    "integer half-up rounding here because round(double, 6) flips at .5 "
+    "boundaries on 1-ulp cross-engine differences (caught at sf0.1).",
 )
 def customer_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return table(spark, "customer", sf_dir).select(
+    r = table(spark, "customer", sf_dir).select(
         "c_nationkey",
         "c_custkey",
         "c_acctbal",
         F.dense_rank().over(w).alias("drank"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_nationkey")).cast("bigint").alias("np"),
         F.lag("c_acctbal").over(w).alias("prev_bal"),
         F.lead("c_acctbal").over(w).alias("next_bal"),
+    )
+    prank = F.when(F.col("np") == 1, F.lit(0.0)).otherwise(
+        F.expr("((rn - 1) * 2000000 + (np - 1)) div (2 * (np - 1))") / 1000000.0
+    )
+    cdist = F.expr("(rn * 2000000 + np) div (2 * np)") / 1000000.0
+    return r.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        "drank",
+        "quartile",
+        prank.alias("prank"),
+        cdist.alias("cdist"),
+        "prev_bal",
+        "next_bal",
     )
 
 
