@@ -237,3 +237,42 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") * F.col("trail_cnt") / F.col("trail_sum"), 6).alias("ratio"),
         (F.col("n") * F.col("trail_cnt") > 3 * F.col("trail_sum")).alias("is_spike"),
     )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ), w AS (
+      SELECT date_trunc('week', ts) AS week, count(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1
+    )
+    SELECT day, dau, week, wau,
+           ((dau * 2000000 + wau) // (2 * wau)) / 1000000.0 AS stickiness
+    FROM d JOIN w ON date_trunc('week', day) = week
+    """,
+    doc="DAU/WAU engagement: exact distinct users per day and per week, "
+    "joined on the containing week with the stickiness ratio in integer "
+    "half-up arithmetic (cross-engine exact).  Distinct counts are the "
+    "expensive primitive here — each is one shuffle on (bucket, user).",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evs = table(spark, "events", sf_dir)
+    from pyspark.sql import functions as F
+
+    d = evs.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    w = evs.groupBy(F.date_trunc("week", F.col("ts")).alias("week")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    j = d.join(w, F.date_trunc("week", F.col("day")) == F.col("week"))
+    return j.select(
+        "day",
+        "dau",
+        "week",
+        "wau",
+        (F.expr("(dau * 2000000 + wau) div (2 * wau)") / 1000000.0).alias("stickiness"),
+    )
