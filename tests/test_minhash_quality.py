@@ -1,0 +1,39 @@
+"""MinHash estimator quality: the DuckDB oracle proves Spark and DuckDB
+compute the SAME signatures, but not that the family estimates Jaccard —
+a broken hash family would pass the equality gate on both sides.  This
+pins the statistical property itself: per-pair signature agreement must
+track exact 3-gram Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+N_HASHES = 8
+
+
+@pytest.mark.spark
+def test_minhash_agreement_tracks_exact_jaccard(spark):
+    from log_vector_spark.catalog import table
+    from log_vector_spark.operators.dedup import minhash_signatures, ngram_jaccard_pairs
+
+    docs = table(spark, "documents", SF)
+    sig = minhash_signatures(docs, n_hashes=N_HASHES)
+    a = sig.select(F.col("doc_id").alias("id_a"), "seed", F.col("minhash").alias("mh_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"), "seed", F.col("minhash").alias("mh_b"))
+    est = (
+        a.join(b, "seed")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg((F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")) / N_HASHES).alias("est"))
+    )
+    exact = ngram_jaccard_pairs(docs, threshold=0.0)
+    joined = exact.join(est, ["id_a", "id_b"]).select("jaccard", "est").collect()
+    assert len(joined) > 50
+    mae = sum(abs(r.jaccard - r.est) for r in joined) / len(joined)
+    # 8 hashes -> sd ~ sqrt(J(1-J)/8) <= 0.18; a broken family is ~uncorrelated
+    assert mae < 0.25, mae
+    # high-J pairs must estimate high: no catastrophic misranking
+    hi = [r.est for r in joined if r.jaccard >= 0.8]
+    lo = [r.est for r in joined if r.jaccard <= 0.1]
+    if hi and lo:
+        assert min(hi) > max(0.25, sum(lo) / len(lo)), (min(hi), sum(lo) / len(lo))
