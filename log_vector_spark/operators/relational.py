@@ -108,10 +108,3 @@ def salted_aggregate(
     return partial.groupBy(key).agg(
         F.sum("_part").alias(agg_alias), F.sum("_n").alias("n_rows")
     )
-
-
-def decimal_sum(col_expr, scale: int = 2):
-    """Exact associative sum for DOUBLE money columns: cast each value to
-    DECIMAL first so accumulation order (partitioning) can't change the
-    result; present as DOUBLE at the boundary."""
-    return F.sum(col_expr).cast("double")
