@@ -37,3 +37,36 @@ def test_minhash_agreement_tracks_exact_jaccard(spark):
     lo = [r.est for r in joined if r.jaccard <= 0.1]
     if hi and lo:
         assert min(hi) > max(0.25, sum(lo) / len(lo)), (min(hi), sum(lo) / len(lo))
+
+
+@pytest.mark.spark
+def test_simhash_hamming_anticorrelates_with_jaccard(spark):
+    """Same argument as the MinHash test: near-duplicate pairs must land at
+    LOWER hamming distance than unrelated pairs, or the bit-vote family is
+    broken in a way the cross-engine oracle cannot see."""
+    from log_vector_spark.catalog import table
+    from log_vector_spark.operators.dedup import ngram_jaccard_pairs, simhash
+
+    docs = table(spark, "documents", SF)
+    h = simhash(docs)
+    a = h.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = h.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    exact = ngram_jaccard_pairs(docs, threshold=0.0)
+    pairs = (
+        exact.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "jaccard",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int").alias("hamming"),
+        )
+        .collect()
+    )
+    hi = [r.hamming for r in pairs if r.jaccard >= 0.5]
+    lo = [r.hamming for r in pairs if r.jaccard <= 0.1]
+    assert hi and lo
+    # docs share one synthetic vocabulary, so unrelated pairs sit near ~6 of
+    # 32 bits apart; near-dups must still be measurably closer
+    assert sum(hi) / len(hi) < sum(lo) / len(lo) - 1.5, (
+        sum(hi) / len(hi),
+        sum(lo) / len(lo),
+    )
