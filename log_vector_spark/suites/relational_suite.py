@@ -602,3 +602,84 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "tpch_q10_returns",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+    doc="TPC-H Q10 returned-item reporting: revenue lost to returns per "
+    "customer, top 20 — fact join + nation dim broadcast + distributed "
+    "top-k after aggregation.",
+)
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, "customer", sf_dir)
+    nation = table(spark, "nation", sf_dir)
+    orders = table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    j = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q18_big_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY 1
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    doc="TPC-H Q18 large-volume customers: HAVING-gated aggregate feeding a "
+    "semi-filter on the fact key, then re-aggregation with customer detail "
+    "— the agg->filter->join-back shape.",
+)
+def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    cust = table(spark, "customer", sf_dir)
+    orders = table(spark, "orders", sf_dir)
+    j = (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "big_key")), li.l_orderkey == F.col("big_key"))
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+    )
+    return j.groupBy(
+        "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"))
