@@ -57,6 +57,7 @@ HEADLINE = [
     "tpch_q13_custdist",   # left-outer join + two-level agg
     "dedup_embedding_ivf", # IVF-blocked semantic dedup (label-free)
     "clean_corpus_pipeline",# composed lang->quality->dedup->stats pipeline
+    "split_contamination", # train/test shingle-overlap decontamination
 ]
 
 
