@@ -7,7 +7,7 @@ regardless of partitioning/accumulation order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from log_vector_spark.catalog import table
 from log_vector_spark.operators import events as ev
@@ -213,10 +213,6 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over raw events.",
 )
 def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from pyspark.sql import functions as F
-
     hours = (
         table(spark, "events", sf_dir)
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
@@ -260,8 +256,6 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     evs = table(spark, "events", sf_dir)
-    from pyspark.sql import functions as F
-
     d = evs.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.countDistinct("user_id").alias("dau")
     )
