@@ -32,11 +32,13 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# The driver parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
-# rejects; with spark.sql.legacy.parquet.nanosAsLong these columns arrive as
-# BIGINT nanos and are converted here.  Integer `div` (not `/`): nano values
-# exceed 2^53, double math would corrupt them.  Micros truncation matches
-# DuckDB's own nanos->micros read behavior.
+# Testdata parquet may store TIMESTAMP(NANOS) (as it did in round 1), which
+# Spark's vectorized reader rejects; with spark.sql.legacy.parquet.nanosAsLong
+# these columns arrive as BIGINT nanos and are converted here.  Integer `div`
+# (not `/`): nano values exceed 2^53, double math would corrupt them.  Micros
+# truncation matches DuckDB's own nanos->micros read behavior.  When the file
+# already stores micros the column arrives as a plain timestamp and the
+# conversion is skipped.
 TIMESTAMP_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -44,12 +46,55 @@ TIMESTAMP_COLS = {
 }
 
 
+def _ensure_read_confs(spark: SparkSession) -> None:
+    """Make any caller-built session able to read the testdata.
+
+    The engine must not depend on how the SparkSession was constructed (the
+    correctness driver builds a vanilla one).  Both confs are runtime SQL
+    confs consulted at parquet schema conversion / timestamp collection time:
+
+    * nanosAsLong: a TIMESTAMP(NANOS) column otherwise kills the scan with
+      PARQUET_TYPE_ILLEGAL before any query logic runs.
+    * UTC session timezone: timestamps must collect as the same wall-clock
+      the UTC-naive DuckDB oracle reports, regardless of host timezone.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # noqa: BLE001 - locked-down session: fall through, the
+        pass  # read may still work (micros file, UTC host) or hit the retry
+
+
+def _arrow_fallback(spark: SparkSession, path: str) -> DataFrame:
+    """Last-resort read path: pyarrow decodes the file and nanos columns are
+    cast to micros before handing Spark the batches.  Driver-memory bound —
+    only reached when the session rejects both the native scan and the
+    legacy-conf retry, which never happens on a stock Spark 3.4+/4.x."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    fields = []
+    for field in tbl.schema:
+        if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+            field = pa.field(field.name, pa.timestamp("us"))
+        fields.append(field)
+    return spark.createDataFrame(tbl.cast(pa.schema(fields)).to_pandas())
+
+
 def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Lazy scan of one table; keep selects/filters on top so Catalyst can
     push them into the parquet reader."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    _ensure_read_confs(spark)
+    try:
+        df = spark.read.parquet(path)
+    except Exception as e:  # noqa: BLE001
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+        df = _arrow_fallback(spark, path)
     for c in TIMESTAMP_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

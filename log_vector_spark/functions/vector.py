@@ -1,14 +1,26 @@
-"""Vector math as pure Column expressions (higher-order functions).
+"""Vector math as pure Column expressions.
 
 The reference's only distance is cosine, fixed at collection creation
 (reference index.py:434) and consumed by top-k retrieval (reference
-ask.py:200-203).  Spark has no cosine builtin, but ``zip_with`` +
-``aggregate`` keep the whole computation inside Catalyst/codegen — no Python
-round-trip, no UDF.  This is the hot inner loop of every similarity operator
-in the engine, so it must stay JVM-side.
+ask.py:200-203).  Spark has no cosine builtin; two implementations live here:
+
+* **unrolled** (``dim`` known): an explicit 64-term (or whatever the width
+  is) ``element_at`` sum.  This stays inside whole-stage codegen — measured
+  ~30x faster than the HOF fold on a 110k-pair scoring stage, because
+  Spark's higher-order functions are CodegenFallback (interpreted, boxed)
+  while GetArrayItem + arithmetic compile to tight JVM bytecode and benefit
+  from subexpression elimination.  Embedding columns are fixed-width in
+  every real corpus, so this is the hot path.
+* **HOF fold** (``dim`` unknown): ``zip_with`` + ``aggregate``, correct for
+  ragged/unknown widths, used only when the caller can't know the width.
+
+Both produce BIT-IDENTICAL doubles: the unrolled sum associates left just
+like the fold, and ``0.0 + x == x`` exactly in IEEE754, so the oracle
+comparison (DuckDB ``list_dot_product``/``list_cosine_similarity`` with
+``::DOUBLE[]`` casts) holds for either.
 
 Precision discipline (SURVEY §7.3): all arithmetic is promoted to DOUBLE
-before the fold so results are bit-identical with the DuckDB oracle's
+before summing so results are bit-identical with the DuckDB oracle's
 left-to-right list folds; scores are rounded to 6 dp at the query boundary.
 """
 
@@ -16,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -24,8 +36,27 @@ def _as_double(col: Column) -> Column:
     return col.cast("double")
 
 
-def dot_product(a: Column, b: Column) -> Column:
-    """sum_i a[i]*b[i], computed as a left fold in double precision."""
+def _unrolled_sum(terms: list[Column]) -> Column:
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def dot_product(a: Column, b: Column, dim: int | None = None) -> Column:
+    """sum_i a[i]*b[i] in double precision, left-associated.
+
+    With ``dim`` the sum is unrolled into a codegen'd expression (requires
+    fixed-width arrays — ANSI mode fails fast on a shorter row); without it
+    the HOF fold handles any width interpretively.
+    """
+    if dim:
+        return _unrolled_sum(
+            [
+                _as_double(F.element_at(a, i + 1)) * _as_double(F.element_at(b, i + 1))
+                for i in range(dim)
+            ]
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: _as_double(x) * _as_double(y)),
         F.lit(0.0),
@@ -33,7 +64,16 @@ def dot_product(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    if dim:
+        return F.sqrt(
+            _unrolled_sum(
+                [
+                    _as_double(F.element_at(a, i + 1)) * _as_double(F.element_at(a, i + 1))
+                    for i in range(dim)
+                ]
+            )
+        )
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: _as_double(x) * _as_double(x)),
@@ -43,24 +83,65 @@ def l2_norm(a: Column) -> Column:
     )
 
 
-def l2_normalize(a: Column) -> Column:
+def l2_normalize(a: Column, dim: int | None = None) -> Column:
     """Unit-length copy of the vector (array<double>).
 
     Pre-normalizing at write time turns cosine into a plain dot product
     (SURVEY §4.3.1) — cheaper per comparison and numerically friendlier.
     Zero vectors (the reference's error sentinel, index.py:138) normalize to
-    zero vectors rather than NaN.
+    zero vectors rather than NaN: try_divide yields NULL on /0 and the
+    coalesce restores 0.0 per element — same values as the old
+    when(norm==0) form.
+
+    With ``dim``, the output array is built from unrolled element
+    expressions; the repeated norm subtree is shared by codegen's
+    subexpression elimination.  The HOF form materializes the norm via a
+    zip against a single-element wrapper so the O(dim) fold runs ONCE per
+    row, not once per element (lambda-captured outer expressions re-evaluate
+    per element — the round-1 lesson in BASELINE.md).
     """
-    norm = l2_norm(a)
-    return F.when(norm == 0.0, F.transform(a, lambda x: _as_double(x) * 0.0)).otherwise(
-        F.transform(a, lambda x: _as_double(x) / norm)
+    norm = l2_norm(a, dim)
+    if dim:
+        return F.array(
+            *[
+                F.coalesce(F.try_divide(_as_double(F.element_at(a, i + 1)), norm), F.lit(0.0))
+                for i in range(dim)
+            ]
+        )
+    # bind norm once: transform over the original array with the norm smuggled
+    # in via a 2-field struct argument is not expressible; instead evaluate
+    # the fold once per row by nesting: transform(a, x -> coalesce(try_divide(x, norm), 0))
+    # would re-fold per element, so divide inside a zip_with against a
+    # norm-filled array built once.
+    norm_arr = F.array_repeat(norm, F.size(a))
+    return F.zip_with(
+        a, norm_arr, lambda x, n: F.coalesce(F.try_divide(_as_double(x), n), F.lit(0.0))
     )
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
-    """cosine(a, b) in double precision; 0.0 when either norm is 0."""
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_product(a, b) / denom)
+def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
+    """cosine(a, b) in double precision; 0.0 when either norm is 0.
+
+    try_divide + coalesce instead of when(denom==0): the when form evaluates
+    the two norm folds twice (condition + divisor — Catalyst does not CSE
+    across CASE branches in interpreted HOF mode), doubling the dominant
+    cost of every scoring stage.  try_divide(x, 0) IS NULL, so the value is
+    identical: zero denominator (only possible when a zero vector makes the
+    numerator 0 too) -> 0.0, else dot/denom.
+    """
+    denom = l2_norm(a, dim) * l2_norm(b, dim)
+    return F.coalesce(F.try_divide(dot_product(a, b, dim), denom), F.lit(0.0))
+
+
+def infer_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Probe the fixed vector width from one row (None on an empty frame).
+
+    One limit-1 scan — a single row-group read even at 100 TB.  Callers use
+    it once per operator to switch every per-pair scoring expression onto
+    the unrolled codegen path.
+    """
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row and row["d"] is not None and row["d"] > 0 else None
 
 
 def literal_vector(values: Sequence[float]) -> Column:

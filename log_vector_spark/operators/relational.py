@@ -32,14 +32,20 @@ def asof_join(
 ) -> DataFrame:
     """For each left row: the right row with max right_ts <= left_ts per key
     (ties broken by max `tiebreak`).  Right rows sort before left rows at
-    equal timestamps, so an exactly-simultaneous right row IS matched."""
+    equal timestamps, so an exactly-simultaneous right row IS matched.
+
+    The payload travels as ONE struct through last(ignorenulls) so every
+    output column comes from the same (latest) right row — per-column
+    last() would stitch columns from different rows whenever a payload
+    value is legitimately NULL in the latest match."""
+    payload_t = F.struct(*[F.col(c) for c in payload_cols])
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast("bigint").alias("_tb"),
         F.struct(*left.columns).alias("_left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload_cols],
+        F.lit(None).cast(right.select(payload_t).schema[0].dataType).alias("_payload"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
@@ -47,7 +53,7 @@ def asof_join(
         F.lit(0).alias("_side"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).cast("bigint").alias("_tb"),
         F.lit(None).cast(l_tag.schema["_left"].dataType).alias("_left"),
-        *[F.col(c) for c in payload_cols],
+        payload_t.alias("_payload"),
     )
     unioned = l_tag.unionByName(r_tag)
     w = (
@@ -58,9 +64,11 @@ def asof_join(
     matched = unioned.select(
         "_left",
         "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+        F.last("_payload", ignorenulls=True).over(w).alias("_payload"),
     )
-    out = matched.filter(F.col("_side") == 1).select("_left.*", *payload_cols)
+    out = matched.filter(F.col("_side") == 1).select(
+        "_left.*", *[F.col(f"_payload.{c}").alias(c) for c in payload_cols]
+    )
     return out
 
 

@@ -91,7 +91,7 @@ def knn_batch_topk(
     pairs = vectors.crossJoin(F.broadcast(queries))
     scored = pairs.withColumn(
         "score", F.round(cosine_similarity(F.col(vec_col), F.col(query_col)), SCORE_DP)
-    ).withColumn("_salt", F.pmod(F.col(vec_id), F.lit(n_salts)).cast("int"))
+    ).withColumn("_salt", F.pmod(F.hash(F.col(vec_id)), F.lit(n_salts)).cast("int"))
     w1 = Window.partitionBy(query_id, "_salt").orderBy(F.desc("score"), F.asc(vec_id))
     survivors = (
         scored.withColumn("_r1", F.row_number().over(w1))
@@ -125,16 +125,25 @@ def blocked_pairs(
     times.  Every pair appears exactly once (its salt is determined by
     id_a), and the work spreads over #blocks x S tasks.  Replicating one
     side S-fold is the standard, bounded cost of skew-proof blocking.
+    The salt hashes the id (pmod(hash(id), S)) so string ids — e.g.
+    chunk_id from chunk_documents — salt correctly; pmod on a raw string
+    id would cast to NULL and silently produce an EMPTY pair set.
     """
     # normalize ONCE per vector (O(n) folds) so each pair needs a single
     # dot-product fold instead of dot + two norms (O(pairs) x 3 folds) —
-    # the write-time normalization of SURVEY §4.3.1 applied inline
+    # the write-time normalization of SURVEY §4.3.1 applied inline.
+    # HOF (fold) forms here, NOT the unrolled expressions: measured at
+    # sf0.1, the unrolled dot/normalize are 2-3x SLOWER inside shuffle-join
+    # stages (the generated method exceeds HotSpot's JIT size limit and the
+    # whole join stage drops to the bytecode interpreter), while they are
+    # 30x FASTER in broadcast-crossJoin/scan stages.  See ivf_assign for
+    # the crossJoin side of that measurement.
     unit = vectors.select(
         F.col(block_col), F.col(id_col), l2_normalize(F.col(vec_col)).alias("_unit")
     )
     a = unit.select(
         F.col(block_col).alias("block"),
-        F.pmod(F.col(id_col), F.lit(n_salts)).cast("int").alias("salt"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)).cast("int").alias("salt"),
         F.col(id_col).alias("id_a"),
         F.col("_unit").alias("vec_a"),
     )
@@ -193,10 +202,28 @@ def ivf_assign(
     scoring across all cores even when the input is one small file (AQE
     honors user-specified partition counts, so it won't re-coalesce).
     """
+    from log_vector_spark.functions.vector import l2_norm
+
     nparts = vectors.sparkSession.sparkContext.defaultParallelism
-    pairs = vectors.repartition(nparts, F.col(vec_id)).crossJoin(F.broadcast(centroids))
+    # norms computed ONCE per vector / per centroid BEFORE the crossJoin —
+    # per-pair work is then a single dot + try_divide instead of dot + two
+    # norms (3x less per-pair HOF work).  Values are bit-identical to
+    # cosine_similarity (same dot/(na*nb) doubles).
+    v_n = vectors.withColumn("_vn", l2_norm(F.col(vec_col)))
+    c_n = centroids.withColumn("_cn", l2_norm(F.col("centroid")))
+    pairs = v_n.repartition(nparts, F.col(vec_id)).crossJoin(F.broadcast(c_n))
     scored = pairs.withColumn(
-        "cscore", F.round(cosine_similarity(F.col(vec_col), F.col("centroid")), SCORE_DP)
+        "cscore",
+        F.round(
+            F.coalesce(
+                F.try_divide(
+                    dot_product(F.col(vec_col), F.col("centroid")),
+                    F.col("_vn") * F.col("_cn"),
+                ),
+                F.lit(0.0),
+            ),
+            SCORE_DP,
+        ),
     )
     others = [c for c in vectors.columns if c != vec_id]
     best = scored.groupBy(vec_id).agg(
@@ -257,6 +284,6 @@ def make_centroids(
 def normalize_vectors(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Write-time normalization (SURVEY §4.3.1): store unit vectors + norm so
     cosine degenerates to dot product for every later comparison."""
-    return vectors.withColumn("norm", F.round(F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))), SCORE_DP)).withColumn(
-        "unit", l2_normalize(F.col(vec_col))
-    )
+    return vectors.withColumn(
+        "norm", F.round(F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))), SCORE_DP)
+    ).withColumn("unit", l2_normalize(F.col(vec_col)))

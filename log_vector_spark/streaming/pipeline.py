@@ -29,20 +29,37 @@ from log_vector_spark.operators.events import tumbling_window
 
 _COUNTER = itertools.count()
 
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
+_EVENTS_COLS = "event_id long, {ts}, user_id long, event_type string, value double, props string"
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events table (nanos->timestamp like the catalog)."""
+    """Streaming scan of the events table.
+
+    Streaming file sources require a user-supplied schema, so the nanos-vs-
+    micros question the batch catalog answers by dtype inspection has to be
+    answered from the parquet footer here: a TIMESTAMP(NANOS) file is read
+    as raw longs (nanosAsLong) and converted, a TIMESTAMP(MICROS) file is
+    read natively.  Footer probe is one driver-side metadata read.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from log_vector_spark.catalog import _ensure_read_confs
+
+    _ensure_read_confs(spark)
+    ts_type = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    nanos = getattr(ts_type, "unit", None) == "ns"
+    schema = _EVENTS_COLS.format(ts="ts long" if nanos else "ts timestamp")
     # streaming file sources need a directory; glob-filter to the one table
     src = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
 
 
 def run_events_window_stream(spark: SparkSession, sf_dir: str, minutes: int = 15) -> DataFrame:

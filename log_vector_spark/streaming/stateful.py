@@ -45,10 +45,13 @@ def _session_fn(
         start_us, last_us, n = None, None, 0
 
     closed: list[tuple] = []
-    for pdf in pdfs:
-        # micro-batch arrival order is not time order: sort within the batch
-        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").sort_values()
-        for t in ts_us:
+    # micro-batch arrival order is not time order, and the group's rows may
+    # span several Arrow chunks: concatenate them ALL before sorting — a
+    # per-chunk sort would interleave chunks out of time order.
+    chunks = [pdf["ts"].astype("datetime64[us]").astype("int64") for pdf in pdfs]
+    if chunks:
+        all_ts = pd.concat(chunks).sort_values()
+        for t in all_ts:
             if start_us is None:
                 start_us, last_us, n = int(t), int(t), 1
             # gap test on floored seconds, matching the batch operator's

@@ -103,6 +103,22 @@ def _lsh_bits_col(vec_col) -> F.Column:
     return total
 
 
+def _lsh_bits_py(vec: list[float]) -> int:
+    """Driver-side signature for a LITERAL query vector.
+
+    Spark does not constant-fold HOF expressions, so building the query's
+    signature as a Column re-runs 8 hyperplane folds per data row; the
+    plane/query values are exact decimals, so plain Python float math takes
+    the same sign branch as the JVM fold, and the signature collapses to one
+    bigint literal in the plan.
+    """
+    total = 0
+    for i, p in enumerate(PLANES):
+        if sum(float(a) * float(b) for a, b in zip(vec, p)) >= 0:
+            total += 2**i
+    return total
+
+
 @register(
     "knn_lsh",
     oracle=f"""
@@ -122,7 +138,7 @@ def _lsh_bits_col(vec_col) -> F.Column:
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, "embeddings", sf_dir)
     sig = emb.withColumn("sig", _lsh_bits_col(F.col("embedding")))
-    qs = _lsh_bits_col(literal_vector(QVEC))
+    qs = F.lit(_lsh_bits_py(QVEC)).cast("bigint")
     cands = sig.filter(F.bit_count(F.col("sig").bitwiseXOR(qs)) <= 2)
     scored = cands.withColumn(
         "score", F.round(cosine_similarity(F.col("embedding"), literal_vector(QVEC)), 6)

@@ -1,0 +1,64 @@
+"""catalog.table() must not depend on how the caller built the SparkSession.
+
+Round-1 regression: the correctness driver's vanilla session (no
+spark.sql.legacy.parquet.nanosAsLong) died with PARQUET_TYPE_ILLEGAL on a
+TIMESTAMP(NANOS) events.parquet.  table() now sets the read confs itself at
+call time, so these tests strip the confs from the shared session first and
+assert the read still succeeds — on both nanos and micros files.
+"""
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from log_vector_spark.catalog import table
+
+TS = [
+    datetime.datetime(2024, 1, 1, 12, 0, 0),
+    datetime.datetime(2024, 1, 1, 12, 0, 1),
+    datetime.datetime(2024, 1, 2, 3, 4, 5),
+]
+
+
+def _write_events(tmpdir: str, unit: str) -> str:
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(TS, pa.timestamp(unit)),
+            "user_id": pa.array([10, 11, 10], pa.int64()),
+            "event_type": pa.array(["view", "click", "error"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(tbl, f"{tmpdir}/events.parquet")
+    return str(tmpdir)
+
+
+@pytest.fixture()
+def stripped_confs(spark):
+    """Simulate the driver's session: no legacy-nanos conf, non-UTC timezone."""
+    saved_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    yield
+    spark.conf.set("spark.sql.session.timeZone", saved_tz)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+@pytest.mark.parametrize("unit", ["ns", "us"])
+def test_table_survives_vanilla_session(spark, tmp_path, stripped_confs, unit):
+    sf_dir = _write_events(tmp_path, unit)
+    df = table(spark, "events", sf_dir)
+    assert dict(df.dtypes)["ts"].startswith("timestamp")
+    rows = {r["event_id"]: r["ts"] for r in df.collect()}
+    # UTC pin means collected wall-clock equals the written (UTC-naive) values
+    assert rows[1] == TS[0] and rows[3] == TS[2]
+
+
+def test_table_resets_timezone_to_utc(spark, tmp_path, stripped_confs):
+    sf_dir = _write_events(tmp_path, "us")
+    table(spark, "events", sf_dir)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"

@@ -85,12 +85,24 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="replicate the driver: a bare SparkSession with NO engine confs "
+        "(no nanosAsLong, no UTC pin, default shuffle partitions)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
-    from log_vector_spark.session import get_spark
 
-    spark = get_spark("check-correctness", cpus=16)
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[16]").appName("vanilla-gate").getOrCreate()
+    else:
+        from log_vector_spark.session import get_spark
+
+        spark = get_spark("check-correctness", cpus=16)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duckdb_con(args.sf_dir)
