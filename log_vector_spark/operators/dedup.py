@@ -201,13 +201,32 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance within blocks."""
+    """Near-dup pairs by SimHash hamming distance within blocks.
+
+    The pair join is SALTED like search.blocked_pairs: a bare join on the
+    block key is tiny by bytes but quadratic by CPU, so AQE's size-based
+    coalescing can pack a skewed block onto one task (the round-1 lesson
+    measured at 180s -> 4s on the cosine pairs).  Side A keyed by
+    (block, pmod(hash(id), S)); side B replicated S times — every pair
+    appears exactly once and spreads over #blocks x S tasks.
+    """
+    n_salts = 8
     h = simhash(docs, id_col, text_col).join(
         docs.select(id_col, block_col), id_col
     )
-    a = h.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"))
-    b = h.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"))
-    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    a = h.select(
+        F.col(block_col).alias("blk"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)).cast("int").alias("salt"),
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("h_a"),
+    )
+    b = h.select(
+        F.col(block_col).alias("blk"),
+        F.explode(F.array(*[F.lit(s) for s in range(n_salts)])).alias("salt"),
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("h_b"),
+    )
+    pairs = a.join(b, ["blk", "salt"]).filter(F.col("id_a") < F.col("id_b"))
     pairs = pairs.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int"))
     return pairs.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 

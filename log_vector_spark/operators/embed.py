@@ -135,12 +135,24 @@ class HttpEmbedder(Embedder):
         self.max_retries = max_retries
         self.timeout = timeout
 
+    SUB_BATCH = 256
+
     def embed_batch(self, texts: list[str]) -> list[list[float]]:
+        """Embed with bounded blast radius: the Arrow batch (up to 10k rows)
+        is sent in sub-batches so one bad request zero-fills at most
+        SUB_BATCH texts, not the whole batch (the reference zero-fills
+        per-text, index.py:137-138; zeroing 10k rows for one failure would
+        amplify the silent-corruption radius it documents)."""
+        out: list[list[float]] = []
+        for i in range(0, len(texts), self.SUB_BATCH):
+            out.extend(self._embed_once(texts[i : i + self.SUB_BATCH]))
+        return out
+
+    def _embed_once(self, texts: list[str]) -> list[list[float]]:
         import time
 
         import requests  # baked into the container via pyspark deps
 
-        last_err = None
         for attempt in range(self.max_retries):
             try:
                 resp = requests.post(
@@ -148,11 +160,12 @@ class HttpEmbedder(Embedder):
                 )
                 resp.raise_for_status()
                 return resp.json()["embeddings"]
-            except Exception as e:  # noqa: BLE001
-                last_err = e
-                time.sleep(1 * (2**attempt))
+            except Exception:  # noqa: BLE001
+                # no sleep after the FINAL attempt — it only delayed the
+                # zero-vector fallback by the largest backoff step
+                if attempt + 1 < self.max_retries:
+                    time.sleep(1 * (2**attempt))
         # reference error semantics: zero vectors, never raise (index.py:137-138)
-        del last_err
         return [[0.0] * self.dim for _ in texts]
 
 

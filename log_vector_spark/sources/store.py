@@ -70,11 +70,19 @@ def upsert_chunks(
     new batch arrives by, partition pruning bounds the anti-join to the
     touched partitions.  Returns the number of rows appended.
     """
+    from pyspark.errors import AnalysisException
+
     spark = chunks.sparkSession
     target = os.path.join(path, "chunks")
     try:
         existing_ids = spark.read.parquet(target).select(id_col)
-    except Exception:  # noqa: BLE001 - first write: nothing to dedup against
+    except AnalysisException as e:
+        # ONLY a missing store means first write; any other read failure
+        # (corrupt footer, permissions, transient IO) must raise — treating
+        # it as first-write would append the whole batch again and break
+        # the idempotent-ingestion promise with duplicate chunk_ids.
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         existing_ids = None
     fresh = chunks if existing_ids is None else chunks.join(existing_ids, id_col, "left_anti")
     n_new = fresh.count()

@@ -69,3 +69,63 @@ def test_stream_sliding_window_equals_batch(spark):
         q.stop()
     stream = {tuple(r) for r in spark.table("slide_t").collect()}
     assert batch == stream and len(batch) > 0
+
+
+@pytest.mark.spark
+def test_watermark_drops_late_event_in_append_mode(spark, tmp_path):
+    """The one semantics corner the parity tests don't pin: an event arriving
+    BEHIND the watermark must be dropped by the append-mode session agg.
+
+    Two explicit micro-batches: batch 1 advances the watermark (max ts
+    11:00 - 10 min delay -> 10:50); batch 2 delivers a late 09:00 event for
+    a different user whose would-be session ends before the watermark.  The
+    emitted rows must contain the sealed on-time session and NOTHING for
+    the late user."""
+    import datetime
+
+    from log_vector_spark.operators.events import session_window_agg
+
+    d = tmp_path / "events_src"
+    d.mkdir()
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(d / name))
+
+    t = lambda h, m: datetime.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write_batch("b1", [(1, t(10, 0), 1, "view", 1.0), (2, t(10, 5), 1, "view", 1.0),
+                       (3, t(11, 0), 1, "view", 1.0)])
+
+    # stream over a directory we can append to between triggers
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    import shutil
+
+    for f in (d / "b1").glob("*.parquet"):
+        shutil.copy(f, stream_dir / "batch1.parquet")
+
+    src = spark.readStream.schema(schema).parquet(str(stream_dir))
+    agg = session_window_agg(src.withWatermark("ts", "10 minutes"))
+    q = (
+        agg.writeStream.outputMode("append").format("memory")
+        .queryName("wm_drop_t").start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: watermark -> 10:50 for next batch
+        write_batch("b2", [(9, t(9, 0), 99, "view", 1.0)])  # LATE: 09:00 < 10:50
+        for f in (d / "b2").glob("*.parquet"):
+            shutil.copy(f, stream_dir / "batch2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.table("wm_drop_t").collect()
+    by_user = {r["user_id"] for r in rows}
+    assert 99 not in by_user, f"late event leaked into append output: {rows}"
+    # the on-time session [10:00, 10:35) sealed by the 10:50 watermark
+    sealed = [r for r in rows if r["user_id"] == 1 and r["n_events"] == 2]
+    assert len(sealed) == 1
+    assert sealed[0]["session_start"] == t(10, 0)
