@@ -58,6 +58,10 @@ HEADLINE = [
     "dedup_embedding_ivf", # IVF-blocked semantic dedup (label-free)
     "clean_corpus_pipeline",# composed lang->quality->dedup->stats pipeline
     "split_contamination", # train/test shingle-overlap decontamination
+    "vocab_topk",          # corpus vocabulary: explode -> one hash agg -> topk
+    "tfidf_top_terms",     # tf+df aggs + per-doc rank window
+    "tpch_q17_small_qty",  # decorrelated scalar-average join
+    "tpch_q22_idle_customers",  # scalar subquery + anti join
 ]
 
 

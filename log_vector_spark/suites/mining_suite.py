@@ -1,0 +1,146 @@
+"""Corpus-mining queries over `documents` (SURVEY §2.8 training-data ops).
+
+Three classic pre-training corpus statistics, each as one declarative plan:
+
+* ``vocab_topk`` — corpus vocabulary with occurrence + document frequency,
+  top-50.  Shape: explode -> ONE hash aggregation (partial/map-side combine
+  carries (token, n, ndocs) not raw tokens) -> TakeOrdered.  At 100 TB the
+  shuffle volume is |vocabulary|, not |tokens|.
+* ``tfidf_top_terms`` — per-doc top-3 tf-idf terms.  tf and df come from
+  two aggregations over the same exploded frame; the rank window partitions
+  by doc_id (millions of keys -> full parallelism).  Scores are rounded to
+  6 dp BEFORE ranking so the (score, term) order is identical in both
+  engines.
+* ``repetition_score`` — per-doc max-token-frequency ratio (the standard
+  "repetitive junk" quality signal).  The argmax is a min(struct(-cnt,tok))
+  hash aggregation, NOT a window: one row per document crosses the shuffle.
+
+All token work uses the same whitespace split as functions/text.tokens so
+the quality operators and these stats agree on tokenization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from log_vector_spark.catalog import table
+from log_vector_spark.functions.text import tokens
+from log_vector_spark.registry import register
+
+_TOKS_SQL = """
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+"""
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    return docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+
+
+@register(
+    "vocab_topk",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL})
+    SELECT tok, count(*) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM toks GROUP BY tok
+    ORDER BY n_occurrences DESC, tok ASC LIMIT 50
+    """,
+    doc="Corpus vocabulary top-50 by occurrences: explode + single hash agg "
+    "(map-side combine) + distributed top-k — shuffle is |vocab|, not |tokens|.",
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _toks(spark, sf_dir)
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, rnk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    doc="Per-document top-3 tf-idf terms: two aggs over one exploded frame, "
+    "rank window partitioned by doc_id (full parallelism at corpus scale).",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = table(spark, "documents", sf_dir).agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rnk")
+    )
+
+
+@register(
+    "repetition_score",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total FROM tf GROUP BY doc_id),
+    top AS (
+      SELECT doc_id, tok AS top_tok, tf AS top_cnt FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, tok ASC) AS rn
+        FROM tf
+      ) WHERE rn = 1
+    )
+    SELECT top.doc_id, top_tok, top_cnt,
+           round(CAST(top_cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS rep_ratio
+    FROM top JOIN tot ON top.doc_id = tot.doc_id
+    """,
+    doc="Per-doc repetition signal: most frequent token's share of all "
+    "tokens.  Argmax via min(struct(-cnt, tok)) hash agg (one row per doc "
+    "crosses the shuffle), ties to the lexicographically first token.",
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        _toks(spark, sf_dir)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("tf")).alias("neg"), F.col("tok").alias("tok"))).alias("_top"),
+        F.sum("tf").alias("total"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("_top.tok").alias("top_tok"),
+        (-F.col("_top.neg")).alias("top_cnt"),
+        F.round(
+            (-F.col("_top.neg")).cast("double") / F.col("total").cast("double"), 6
+        ).alias("rep_ratio"),
+    )

@@ -683,3 +683,207 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "o_orderkey", "o_orderdate",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"))
+
+
+# --- round-2 additions: the remaining classic plan shapes --------------------
+# (schemas here lack partsupp / l_commitdate / c_phone, so Q4/Q16/Q17/Q19/Q22
+# are adapted to the available columns while keeping each query's DEFINING
+# plan feature: EXISTS semi-join, distinct-count agg, correlated scalar
+# average, disjunctive pushdown predicate, and anti-join + scalar subquery.)
+
+
+@register(
+    "tpch_q4_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (EXISTS -> left-semi join): priority census of 1996 "
+    "orders having at least one returned line.  The semi-join shuffles only "
+    "the key column of the probe side; no row multiplication.",
+)
+def tpch_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    returned = (
+        table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY p_brand, p_type
+    """,
+    doc="TPC-H Q16 shape (distinct-count aggregation): suppliers per "
+    "(brand, type) bucket.  countDistinct expands to a two-phase agg with "
+    "partial dedup before the shuffle; the part side is broadcast.",
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        table(spark, "part", sf_dir)
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand", "p_type")
+    )
+    li = table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), "l_partkey")
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17_small_qty",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 6)
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq ON pq.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty
+    """,
+    doc="TPC-H Q17 shape (correlated scalar average decorrelated to a join): "
+    "revenue of below-average-quantity lines for one brand.  The per-part "
+    "average is ONE reusable aggregation joined back on the part key — the "
+    "exact decorrelation Catalyst cannot always derive from a subquery; the "
+    "exact-decimal sum keeps the 0.2*avg threshold bit-identical.",
+)
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    pq = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    p = (
+        table(spark, "part", sf_dir)
+        .filter(F.col("p_brand") == "Brand#23")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    return (
+        li.join(F.broadcast(p), "l_partkey")
+        .join(pq, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    oracle=f"""
+    SELECT CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (OR-of-ANDs): the single-table conjuncts of each "
+    "disjunct (p_brand/p_size on part, l_quantity on lineitem) are derivable "
+    "pre-join filters — Catalyst extracts the OR of each side's predicates "
+    "and pushes them below the join, shrinking both inputs before matching.",
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    p = table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(p), "l_partkey")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(10, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT'
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape (scalar subquery + NOT EXISTS -> anti-join): "
+    "rich customers with no recent urgent order, by nation.  The global "
+    "average is a 1-row broadcast; the anti-join's build side is pre-filtered "
+    "so only the matching order keys shuffle.",
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, "customer", sf_dir)
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("a")
+        )
+    )
+    o = (
+        table(spark, "orders", sf_dir)
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("totacctbal"),
+        )
+    )

@@ -123,3 +123,60 @@ def test_asof_join_is_union_window_no_range_explosion(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.spark
+def test_q4_plans_semi_join(spark):
+    import __spark_entry__ as m
+
+    df = m.queries()["tpch_q4_exists"](spark, SF)
+    assert "LeftSemi" in plan_string(df, "extended")
+
+
+@pytest.mark.spark
+def test_q22_plans_anti_join_and_broadcast_scalar(spark):
+    import __spark_entry__ as m
+
+    df = m.queries()["tpch_q22_idle_customers"](spark, SF)
+    p = plan_string(df, "extended")
+    assert "LeftAnti" in p
+    assert has_broadcast_join(df)
+
+
+@pytest.mark.spark
+def test_q19_disjunction_prunes_scan_columns(spark):
+    import __spark_entry__ as m
+
+    df = m.queries()["tpch_q19_disjunctive"](spark, SF)
+    # only the join/filter/measure columns are read from lineitem
+    schemas = scan_read_schema(df)
+    assert schemas and any(
+        "l_quantity" in s and "l_orderkey" not in s and "l_shipdate" not in s for s in schemas
+    )
+
+
+@pytest.mark.spark
+def test_repetition_score_argmax_is_agg_not_window(spark):
+    import __spark_entry__ as m
+
+    df = m.queries()["repetition_score"](spark, SF)
+    p = plan_string(df, "formatted")
+    # one row per doc crosses the shuffle: hash agg, no Window operator
+    assert "Window" not in p
+    assert "HashAggregate" in p
+
+
+@pytest.mark.spark
+def test_timestamp_filter_pushdown_with_micros_files(spark):
+    """With TIMESTAMP(MICROS) testdata the catalog skips the nanos
+    conversion, so date predicates reach the parquet scan."""
+    from pyspark.sql import functions as F
+
+    from log_vector_spark.catalog import table
+
+    df = (
+        table(spark, "orders", SF)
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_orderkey")
+    )
+    assert has_pushed_filter(df, "o_orderdate")
