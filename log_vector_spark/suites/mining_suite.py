@@ -144,3 +144,71 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("_top.neg")).cast("double") / F.col("total").cast("double"), 6
         ).alias("rep_ratio"),
     )
+
+
+_BIGRAMS_SQL = """
+  SELECT doc_id, bg FROM (
+    SELECT doc_id, unnest(
+      list_transform(range(1, greatest(len(words), 1)),
+                     i -> words[i] || ' ' || words[i+1])
+    ) AS bg
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS words
+          FROM documents)
+  ) WHERE bg IS NOT NULL
+"""
+
+
+@register(
+    "bigram_topk",
+    oracle=f"""
+    WITH bgs AS ({_BIGRAMS_SQL})
+    SELECT bg, count(*) AS n FROM bgs
+    GROUP BY bg ORDER BY n DESC, bg ASC LIMIT 20
+    """,
+    doc="Top-20 corpus bigrams: the words array is materialized as a column "
+    "BEFORE the gram transform (per-element lambda re-evaluation lesson), "
+    "then one hash agg + distributed top-k — shuffle = |distinct bigrams|.",
+)
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.functions.text import shingles_from_words, tokens
+
+    docs = table(spark, "documents", sf_dir)
+    words = docs.select("doc_id", tokens(F.col("text")).alias("words"))
+    bgs = words.select(F.explode(shingles_from_words(F.col("words"), n=2)).alias("bg"))
+    return (
+        bgs.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bg"))
+        .limit(20)
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+    doc="Deterministic per-class sampling: 20 docs per language, ordered by "
+    "content-free md5(doc_id) so the pick is stable under append/reorder "
+    "(the training-data contract: re-running on a grown corpus keeps prior "
+    "picks' relative order).  Window per stratum — at corpus scale the "
+    "stratum count x salt gives full parallelism; a global sample would "
+    "need no window at all (see sample_systematic).",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
