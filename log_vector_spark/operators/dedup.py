@@ -327,3 +327,55 @@ def embedding_near_dup_survivors(
         .distinct()
     )
     return vectors.join(dup_ids, id_col, "left_anti").select(id_col)
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive dedup clusters: connected components over a near-dup pair
+    set, each vertex labeled with the smallest id reachable from it.
+
+    Pairwise dedup under-merges: if A~B and B~C but A!~C, keeping one doc
+    per PAIR can still keep two of the trio.  Component labeling closes the
+    relation so each near-dup cluster keeps exactly one canonical doc.
+
+    Implementation: iterative min-label propagation —
+      label(v) <- min(label(v), min over neighbors u of label(u))
+    run until a fixpoint.  Each iteration is ONE distributed join + agg on
+    (vertex, label); the driver only reads a 1-row convergence count.
+    Near-dup graphs are unions of small-diameter clusters (near-duplicates
+    of a doc are near-duplicates of each other), so the loop converges in
+    O(cluster diameter) rounds, not O(|V|); ``localCheckpoint`` truncates
+    the growing lineage each round so plan size stays constant.  (For
+    adversarial long-chain graphs the classic fix is large-star/small-star;
+    out of scope for dedup clusters.)
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("lbl"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+            .withColumnRenamed("src", "v")
+        )
+        updated = (
+            labels.join(neigh, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+                (F.coalesce(F.col("nlbl"), F.col("lbl")) < F.col("lbl")).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("_chg")).count()
+        labels = updated.select("v", "lbl")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("cluster_id"))

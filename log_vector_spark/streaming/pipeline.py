@@ -22,6 +22,7 @@ dropped — the at-scale memory bound on session state).
 from __future__ import annotations
 
 import itertools
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -140,3 +141,34 @@ def run_stream_index(spark: SparkSession, sf_dir: str, out_path: str, chunk_size
     finally:
         q.stop()
     return spark.read.parquet(out_path).count()
+
+
+def run_stream_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str,
+    id_cols: list[str],
+    watermark: str = "30 minutes",
+    advance: Callable | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on the id columns.
+
+    The 100 TB ingestion posture: duplicate events (at-least-once sources,
+    replayed batches) are dropped while their keys are younger than the
+    watermark; state size is bounded by keys-per-watermark-window instead of
+    all-history (a plain streaming dropDuplicates would grow state forever).
+    ``advance``, when given, is called between processAllAvailable() calls so
+    tests can append late/duplicate batches deterministically.
+    """
+    name = f"stream_dedup_{next(_COUNTER)}"
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(id_cols)
+    q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        if advance is not None:
+            advance()
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -225,3 +225,43 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, "embeddings", sf_dir)
     return dedup.embedding_near_dup_ivf_survivors(emb, make_centroids(emb, every=37), threshold=0.35)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
+    h AS (SELECT doc_id, {_MH_BASE} AS h FROM sh),
+    seeded AS (SELECT doc_id, h, unnest(range(0, 8)) AS seed FROM h),
+    sig AS (SELECT doc_id, seed,
+                   min((h * ({_MH_AS}[CAST(seed AS INTEGER) + 1]) + seed) % {_MH_P}) AS minhash
+            FROM seeded GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY 1, 2),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(v, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v
+    )
+    SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v
+    """,
+    doc="Transitive dedup clusters: connected components over the MinHash "
+    "LSH pair set (iterative min-label propagation, one join+agg per round, "
+    "O(cluster diameter) rounds); oracle is DuckDB's recursive CTE "
+    "transitive closure.  Pairwise dedup under-merges A~B~C chains; the "
+    "component label gives one canonical doc per cluster.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2)
+    return dedup.connected_components(pairs, docs, id_col="doc_id")

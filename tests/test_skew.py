@@ -74,3 +74,24 @@ def test_simhash_pairs_salted_join_matches_unsalted(spark):
     # the salted plan carries the salt in the join keys
     plan = simhash_pairs(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert "salt" in plan
+
+
+@pytest.mark.spark
+def test_connected_components_merges_chains(spark):
+    """A~B and B~C (A!~C) must land in ONE cluster — the transitive case
+    pairwise dedup misses; isolated docs stay their own singleton."""
+    from log_vector_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]], "doc_id long")
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs, verts).collect()}
+    want = {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+        (99, 99),
+    }
+    assert got == want

@@ -129,3 +129,36 @@ def test_watermark_drops_late_event_in_append_mode(spark, tmp_path):
     sealed = [r for r in rows if r["user_id"] == 1 and r["n_events"] == 2]
     assert len(sealed) == 1
     assert sealed[0]["session_start"] == t(10, 0)
+
+
+@pytest.mark.spark
+def test_stream_dedup_within_watermark_drops_replayed_events(spark, tmp_path):
+    """At-least-once ingestion: a replayed event (same event_id, second
+    micro-batch, inside the watermark) must be emitted exactly once."""
+    import datetime
+
+    from log_vector_spark.streaming.pipeline import run_stream_dedup
+
+    schema = "event_id long, ts timestamp, user_id long"
+    t = lambda m: datetime.datetime(2024, 1, 1, 12, m)  # noqa: E731
+    d = tmp_path / "src"
+    d.mkdir()
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / name)
+        )
+        import shutil
+
+        for f in (tmp_path / name).glob("*.parquet"):
+            shutil.copy(f, d / f"{name}.parquet")
+
+    write("b1", [(1, t(0), 10), (2, t(1), 11)])
+
+    def advance():
+        # batch 2 replays event 1 (duplicate) and adds a new event 3
+        write("b2", [(1, t(0), 10), (3, t(2), 12)])
+
+    out = run_stream_dedup(spark, str(d), schema, ["event_id"], advance=advance)
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 3], f"replayed event not deduped: {ids}"
