@@ -172,3 +172,51 @@ def run_stream_dedup(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_stream_click_attribution(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 30
+) -> DataFrame:
+    """Stream-stream interval join: clicks attributed to same-user purchases
+    within the preceding window, both sides under readStream.
+
+    The watermarks + the time-interval join condition let Spark BOUND the
+    join state: a buffered click can be evicted once the purchase-side
+    watermark passes click_ts + window (no unbounded buffering — the 100 TB
+    requirement for any stream-stream join).  Inner-join matches emit as
+    soon as both sides arrive, so on a finite input the result equals the
+    batch interval join bit-for-bit.
+    """
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    j = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts > purchases.p_ts - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (clicks.c_ts <= purchases.p_ts),
+    ).select("purchase_id", "click_id", "user_id")
+    name = f"stream_attr_{next(_COUNTER)}"
+    q = j.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

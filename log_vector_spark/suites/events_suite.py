@@ -270,3 +270,43 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.expr("(dau * 2000000 + wau) div (2 * wau)") / 1000000.0).alias("stickiness"),
     )
+
+
+@register(
+    "events_click_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND c.ts > p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts
+    """,
+    doc="Interval (range) join: every click within the 30 minutes before a "
+    "same-user purchase.  The equi-key (user_id) carries the shuffle; the "
+    "time band is a join-stage filter, so the plan is a sort-merge join on "
+    "user, never a cartesian.  The streaming twin (stream-stream interval "
+    "join with watermarked state) runs the same condition under readStream "
+    "— see streaming/pipeline.run_stream_click_attribution.",
+)
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = p.join(
+        c,
+        (p.user_id == c.user_id)
+        & (c.c_ts > p.p_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (c.c_ts <= p.p_ts),
+    )
+    return j.select("purchase_id", "click_id", p.user_id.alias("user_id"))

@@ -180,3 +180,13 @@ def test_timestamp_filter_pushdown_with_micros_files(spark):
         .select("o_orderkey")
     )
     assert has_pushed_filter(df, "o_orderdate")
+
+
+@pytest.mark.spark
+def test_interval_join_is_equi_keyed_not_cartesian(spark):
+    import __spark_entry__ as m
+
+    df = m.queries()["events_click_attribution"](spark, SF)
+    p = plan_string(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p

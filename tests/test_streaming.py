@@ -162,3 +162,17 @@ def test_stream_dedup_within_watermark_drops_replayed_events(spark, tmp_path):
     out = run_stream_dedup(spark, str(d), schema, ["event_id"], advance=advance)
     ids = sorted(r["event_id"] for r in out.collect())
     assert ids == [1, 2, 3], f"replayed event not deduped: {ids}"
+
+
+@pytest.mark.spark
+def test_stream_stream_interval_join_equals_batch(spark):
+    """The stream-stream interval join (watermarked, state-bounded) must
+    produce exactly the batch interval join's pairs on a finite input."""
+    import __spark_entry__ as m
+
+    from log_vector_spark.streaming.pipeline import run_stream_click_attribution
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in m.queries()["events_click_attribution"](spark, sf).collect()}
+    stream = {tuple(r) for r in run_stream_click_attribution(spark, sf).collect()}
+    assert batch == stream and len(batch) > 0
