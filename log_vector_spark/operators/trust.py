@@ -64,3 +64,43 @@ def get_trust_setting(model_name: str, config: Mapping[str, str] | None = None) 
     if not model_needs_trust(model_name):
         return True  # safe models need no consent
     return False  # default-deny for models that want trust_remote_code
+
+
+def set_model_approval(model_name: str, approved: bool, env_file: str = ".env") -> None:
+    """C2 write-back: persist consent to the reference's .env contract
+    (reference trust_manager.py:48-84).
+
+    DRIVER-SIDE ONLY: executors can never prompt or persist; a Spark job
+    consults consent read-only via get_trust_setting.  File format matches
+    the reference exactly — a `# {KEY}_MODEL={name}` comment line followed
+    by `{KEY}=true|false`, replacing any prior entry for the same model —
+    so a consent file written here is readable by the reference and vice
+    versa.  The process env is updated in place of the reference's
+    load_dotenv(override=True) reload.
+    """
+    key = model_trust_key(model_name)
+    value = "true" if approved else "false"
+    comment_key = f"# {key}_MODEL"
+
+    lines: list[str] = []
+    if os.path.exists(env_file):
+        with open(env_file, encoding="utf-8") as f:
+            lines = f.readlines()
+
+    filtered: list[str] = []
+    skip_next = False
+    for line in lines:
+        if skip_next:
+            skip_next = False
+            continue
+        if line.strip() == f"{comment_key}={model_name}":
+            skip_next = True  # drop the value line that follows the comment
+            continue
+        if not line.startswith(key + "="):
+            filtered.append(line)
+
+    filtered.append(f"{comment_key}={model_name}\n")
+    filtered.append(f"{key}={value}\n")
+    with open(env_file, "w", encoding="utf-8") as f:
+        f.writelines(filtered)
+    os.environ[key] = value

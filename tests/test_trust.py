@@ -29,3 +29,31 @@ def test_default_deny_and_explicit_consent():
     assert get_trust_setting(m, config={model_trust_key(m): "false"}) is False
     # safe models pass without consent
     assert get_trust_setting("sentence-transformers/paraphrase-x", config={}) is True
+
+
+def test_set_model_approval_roundtrip(tmp_path, monkeypatch):
+    """C2 write-back: consent persists in the reference's .env format,
+    replaces prior entries for the same model, and is immediately readable
+    through get_trust_setting."""
+    from log_vector_spark.operators.trust import (
+        get_trust_setting,
+        model_trust_key,
+        set_model_approval,
+    )
+
+    env_file = str(tmp_path / ".env")
+    model = "nomic-ai/nomic-embed-text-v1.5"
+    key = model_trust_key(model)
+    monkeypatch.delenv(key, raising=False)
+
+    assert get_trust_setting(model) is False  # default-deny
+    set_model_approval(model, True, env_file=env_file)
+    assert get_trust_setting(model) is True
+
+    # flip to denied: the file must hold exactly ONE entry for the model
+    set_model_approval(model, False, env_file=env_file)
+    text = open(env_file).read()
+    assert text.count(f"{key}=") == 1 and f"{key}=false" in text
+    assert f"# {key}_MODEL={model}" in text
+    assert get_trust_setting(model) is False
+    monkeypatch.delenv(key, raising=False)
