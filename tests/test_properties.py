@@ -1,0 +1,101 @@
+"""Property-based correctness for the graph and as-of operators, checked
+against independent in-Python references (union-find / pandas merge_asof)."""
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _uf_components(pairs, vertices):
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min id in component
+    return {v: find(v) for v in vertices}
+
+
+@pytest.mark.spark
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda p: p[0] != p[1]),
+        max_size=30,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from log_vector_spark.operators.dedup import connected_components
+
+    vertices = list(range(25))
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    pairs_df = spark.createDataFrame(norm or [(0, 0)], "id_a long, id_b long")
+    if not norm:
+        pairs_df = pairs_df.filter("id_a <> id_b")  # empty edge set
+    verts_df = spark.createDataFrame([(v,) for v in vertices], "doc_id long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs_df, verts_df).collect()
+    }
+    # union-find may pick a different representative mid-chain; both label
+    # each component by its MIN id, so direct comparison is valid after one
+    # extra find pass (path compression settles to the root = min id)
+    ref = _uf_components(norm, vertices)
+    ref = {v: ref[ref[v]] for v in vertices}  # settle two-level chains
+    ref = {v: ref[ref[v]] for v in vertices}
+    assert got == ref
+
+
+@pytest.mark.spark
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left_ts=st.lists(st.integers(0, 500), min_size=1, max_size=15),
+    right_rows=st.lists(
+        st.tuples(st.integers(0, 500), st.floats(-5, 5, allow_nan=False)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_asof_matches_pandas_merge_asof(spark, left_ts, right_rows):
+    import pandas as pd
+
+    from log_vector_spark.operators.relational import asof_join
+
+    base = datetime.datetime(2024, 1, 1)
+    t = lambda s: base + datetime.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(s)) for s in left_ts], "k long, lts timestamp"
+    )
+    # dedupe right timestamps keeping the LAST (max seq) to mirror the
+    # operator's tiebreak, then hand pandas an already-unique series
+    dedup = {}
+    for i, (s, price) in enumerate(right_rows):
+        dedup[s] = (price, i)
+    right = spark.createDataFrame(
+        [(1, t(s), price, seq) for s, (price, seq) in dedup.items()],
+        "k long, rts timestamp, price double, seq long",
+    )
+    got = {
+        (r["lts"]): r["price"]
+        for r in asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            payload_cols=["price"], tiebreak="seq",
+        ).collect()
+    }
+    lpd = pd.DataFrame({"lts": sorted(t(s) for s in left_ts)})
+    rpd = pd.DataFrame(
+        {"rts": [t(s) for s in sorted(dedup)], "price": [dedup[s][0] for s in sorted(dedup)]}
+    )
+    ref = pd.merge_asof(lpd, rpd, left_on="lts", right_on="rts", direction="backward")
+    for lts, price in zip(ref["lts"], ref["price"]):
+        want = None if pd.isna(price) else float(price)
+        assert got[lts.to_pydatetime()] == want
