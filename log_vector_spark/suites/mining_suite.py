@@ -86,12 +86,18 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rank window partitioned by doc_id (full parallelism at corpus scale).",
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single pass: df is count(*) OVER (PARTITION BY tok) on the tf frame —
+    # one row per (doc, term), so counting rows per term IS the document
+    # frequency.  A join-against-reaggregated-df would recompute the whole
+    # explode+agg subtree (branch-specific column pruning defeats
+    # ReuseExchange); the window form touches the exploded corpus ONCE and
+    # costs one extra |tf|-row shuffle on tok.
     toks = _toks(spark, sf_dir)
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n = table(spark, "documents", sf_dir).agg(F.count(F.lit(1)).alias("n"))
+    w_df = Window.partitionBy("tok")
     scored = (
-        tf.join(df, "tok")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_df))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
