@@ -62,6 +62,7 @@ HEADLINE = [
     "tfidf_top_terms",     # tf+df aggs + per-doc rank window
     "tpch_q17_small_qty",  # decorrelated scalar-average join
     "tpch_q22_idle_customers",  # scalar subquery + anti join
+    "dedup_clusters",      # connected components over LSH pairs (iterative)
 ]
 
 

@@ -357,6 +357,10 @@ def connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # materialize ONCE: the loop joins edges every round, and a lazy
+        # edge plan would re-run the entire upstream pair generation
+        # (e.g. the MinHash pipeline) per iteration
+        .localCheckpoint(eager=True)
     )
     labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("lbl"))
     for _ in range(max_iter):
