@@ -363,6 +363,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("lbl"))
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.dst == labels.v)
@@ -370,16 +371,45 @@ def connected_components(
             .agg(F.min("lbl").alias("nlbl"))
             .withColumnRenamed("src", "v")
         )
-        updated = (
+        stepped = (
             labels.join(neigh, "v", "left")
             .select(
                 "v",
+                F.col("lbl").alias("old"),
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
-                (F.coalesce(F.col("nlbl"), F.col("lbl")) < F.col("lbl")).alias("_chg"),
             )
-        ).localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)
+        )
+        # pointer jumping: lbl <- label(lbl).  The neighbor step alone moves
+        # a label ONE hop per round (a k-chain needs k rounds); composing
+        # with the label table halves the remaining chain depth each round,
+        # so convergence is O(log diameter) — the star-contraction idea,
+        # expressed as one extra self-join.  `old` rides along so the
+        # convergence check needs no third join.
+        updated = (
+            stepped.alias("s")
+            .join(
+                stepped.select(F.col("v").alias("lbl"), F.col("lbl").alias("lbl2")).alias("j"),
+                "lbl",
+                "left",
+            )
+            .select(
+                F.col("s.v").alias("v"),
+                F.least(F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))).alias("lbl"),
+                (
+                    F.least(F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))) < F.col("old")
+                ).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
         n_changed = updated.filter(F.col("_chg")).count()
         labels = updated.select("v", "lbl")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds — "
+            "raise max_iter (pointer jumping needs ~log2(diameter) rounds)"
+        )
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("cluster_id"))

@@ -95,3 +95,17 @@ def test_connected_components_merges_chains(spark):
         (99, 99),
     }
     assert got == want
+
+
+@pytest.mark.spark
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node path graph: plain 1-hop propagation would need 199 rounds;
+    pointer jumping must converge within the default max_iter and label the
+    whole chain with its minimum id."""
+    from log_vector_spark.operators.dedup import connected_components
+
+    n = 200
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs, verts).collect()}
+    assert got == {(i, 0) for i in range(n)}
