@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from log_vector_spark.catalog import table
 from log_vector_spark.operators import textops
@@ -115,3 +115,45 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_stats(table(spark, "documents", sf_dir))
+
+
+@register(
+    "quality_funnel",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, n_chars, {_WORDS} AS words FROM documents),
+    m AS (
+      SELECT doc_id, n_chars,
+             CAST(len(words) AS INTEGER) AS n_tokens,
+             CAST(len(list_filter(words, t -> t IN {_STOP})) AS INTEGER) AS n_stop
+      FROM d
+    ),
+    g AS (
+      SELECT *,
+             (n_chars >= 100) AS g1,
+             (n_chars >= 100 AND n_tokens >= 30) AS g2,
+             (n_chars >= 100 AND n_tokens >= 30
+              AND round(n_stop / n_tokens, 6) >= 0.05) AS g3
+      FROM m
+    )
+    SELECT count(*) AS n_total,
+           count(*) FILTER (g1) AS pass_length,
+           count(*) FILTER (g2) AS pass_tokens,
+           count(*) FILTER (g3) AS pass_stopwords
+    FROM g
+    """,
+    doc="Cleaning-funnel observability: documents surviving each sequential "
+    "quality gate (length -> token count -> stopword ratio), counted with "
+    "conditional aggregation in ONE scan — no per-gate passes, no joins; "
+    "the shape a 100 TB cleaning job uses to report drop rates.",
+)
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = textops.text_quality(table(spark, "documents", sf_dir), carry_cols=("n_chars",))
+    g1 = F.col("n_chars") >= 100
+    g2 = g1 & (F.col("n_tokens") >= 30)
+    g3 = g2 & (F.col("stopword_ratio") >= 0.05)
+    return q.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(g1).alias("pass_length"),
+        F.count_if(g2).alias("pass_tokens"),
+        F.count_if(g3).alias("pass_stopwords"),
+    )
