@@ -310,3 +310,40 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (c.c_ts <= p.p_ts),
     )
     return j.select("purchase_id", "click_id", p.user_id.alias("user_id"))
+
+
+@register(
+    "events_trailing_hour_range",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS trail_sum,
+           CAST(count(*) OVER w AS BIGINT) AS trail_n
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="Time-RANGE window frame (not row-count): per-user trailing-1-hour "
+    "value sum.  The frame is defined by event-time distance, so bursty "
+    "users aggregate more rows than quiet ones — a rows-frame cannot "
+    "express this.  One shuffle on user_id; the frame scan is linear per "
+    "user timeline.  Sum is DECIMAL-exact, immune to frame-order effects.  "
+    "Both engines frame on TRUNCATED whole seconds (Spark unix_timestamp "
+    "semantics; floor(epoch) in the oracle) — fractional-second frames "
+    "would disagree at 3600s boundaries.",
+)
+def events_trailing_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("trail_sum"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    )
