@@ -8,7 +8,7 @@ guarded Spark sequence).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from log_vector_spark.catalog import table
 from log_vector_spark.operators import dedup
@@ -265,3 +265,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, "documents", sf_dir)
     pairs = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2)
     return dedup.connected_components(pairs, docs, id_col="doc_id")
+
+
+@register(
+    "dedup_cluster_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
+    h AS (SELECT doc_id, {_MH_BASE} AS h FROM sh),
+    seeded AS (SELECT doc_id, h, unnest(range(0, 8)) AS seed FROM h),
+    sig AS (SELECT doc_id, seed,
+                   min((h * ({_MH_AS}[CAST(seed AS INTEGER) + 1]) + seed) % {_MH_P}) AS minhash
+            FROM seeded GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY 1, 2),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(v, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    clusters AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v)
+    SELECT doc_id FROM clusters WHERE doc_id = cluster_id
+    """,
+    doc="The dedup output a training pipeline actually consumes: one "
+    "canonical doc per transitive near-dup cluster (the component's min "
+    "id).  Exactly-one-survivor-per-cluster by construction — pairwise "
+    "survivor picking can keep 2 of an A~B~C chain; this cannot.",
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2)
+    clusters = dedup.connected_components(pairs, docs, id_col="doc_id")
+    return clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
