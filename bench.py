@@ -80,14 +80,20 @@ def main() -> None:
     # plan pays one-off JIT compilation of its codegen'd stages (measured
     # 3-10x on HOF-heavy plans in this container); the second run is the
     # steady-state cost a resident engine pays per query.
+    # The container's CPU allocation is shared and throttles unpredictably
+    # (BASELINE.md measurement caveat): when the two runs disagree by >2x,
+    # a third run disambiguates a transient stall from a genuinely slow
+    # plan.  min() is recorded either way.
     results: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         runs = []
-        for _ in range(2):
+        for attempt in range(3):
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
+            if attempt >= 1 and max(runs) <= 2 * min(runs):
+                break
         results[name] = round(min(runs), 3)
         print(f"# {name}: {[round(r, 2) for r in runs]}", file=sys.stderr, flush=True)
 
