@@ -306,3 +306,50 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2)
     clusters = dedup.connected_components(pairs, docs, id_col="doc_id")
     return clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
+    h AS (SELECT doc_id, {_MH_BASE} AS h FROM sh),
+    seeded AS (SELECT doc_id, h, unnest(range(0, 8)) AS seed FROM h),
+    sig AS (SELECT doc_id, seed,
+                   min((h * ({_MH_AS}[CAST(seed AS INTEGER) + 1]) + seed) % {_MH_P}) AS minhash
+            FROM seeded GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY 1, 2),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 8.0, 6)
+             AS jaccard_est
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b AND sb.seed = sa.seed
+    GROUP BY p.id_a, p.id_b
+    """,
+    doc="Per-candidate MinHash Jaccard estimate (matching seeds / 8) — the "
+    "number an engineer inspects before picking a dedup threshold.  The "
+    "signatures are COLUMNS (one row per doc), so the estimate is a plain "
+    "8-term expression after two hash joins on doc id; no per-seed explode "
+    "crosses the shuffle.",
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    mins = dedup._minhash_columns(docs, 8, 3, "doc_id", "text")
+    pairs = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2)
+    a = mins.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)])
+    b = mins.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)])
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    )
+    return j.select(
+        "id_a", "id_b", F.round(matches / 8.0, 6).alias("jaccard_est")
+    )
