@@ -887,3 +887,62 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(
+             CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN {_DISC_PRICE}
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(sum({_DISC_PRICE}) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = cn.n_regionkey AND r_name = 'EUROPE'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q8 shape (market-share ratio): one nation's share of the "
+    "revenue delivered into one region, by order year.  A 6-way star join "
+    "— every dimension (customer-nation, region, supplier, supplier-nation) "
+    "broadcasts; the only shuffled join is fact-to-fact lineitem-orders; "
+    "numerator and denominator are exact-decimal conditional sums in ONE "
+    "aggregation pass.",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    cn = table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").alias("r_regionkey"),
+    )
+    r = table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    s = table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    sn = table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("s_nation")
+    )
+    dp = _disc_price()
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(F.broadcast(r), "r_regionkey")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), "s_nationkey")
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("s_nation") == "NATION_3", dp).otherwise(zero)).cast("double")
+                / F.sum(dp).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
