@@ -946,3 +946,33 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+@register(
+    "tpch_q12_late_shipments",
+    oracle="""
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS prio_class,
+           count(*) FILTER (l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             AS late_count,
+           count(*) AS total_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape (dual conditional count): late shipments (>90 days "
+    "after order) vs total, split by priority class.  One fact-to-fact "
+    "shuffle join, one aggregation pass with both counts as conditional "
+    "aggregates — no second scan, no self-join.",
+)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    o = table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    prio = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("high")
+    ).otherwise(F.lit("low"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return j.groupBy(prio.alias("prio_class")).agg(
+        F.count_if(late).alias("late_count"),
+        F.count(F.lit(1)).alias("total_count"),
+    )
