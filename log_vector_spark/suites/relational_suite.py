@@ -976,3 +976,37 @@ def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(late).alias("late_count"),
         F.count(F.lit(1)).alias("total_count"),
     )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape (aggregated view + scalar max subquery): the "
+    "supplier(s) with maximum revenue.  The revenue view is ONE aggregation "
+    "reused for both the ranking and the max; the max is a 1-row broadcast; "
+    "exact-decimal sums make the equality comparison engine-stable.",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("total_revenue"))
+        .localCheckpoint(eager=False)
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    s = table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), revenue.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
