@@ -190,3 +190,39 @@ def test_interval_join_is_equi_keyed_not_cartesian(spark):
     p = plan_string(df)
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+@pytest.mark.spark
+def test_q8_star_join_broadcasts_all_dimensions(spark):
+    import __spark_entry__ as m
+
+    df = m.queries()["tpch_q8_market_share"](spark, SF)
+    p = plan_string(df)
+    # 5 broadcast dimension joins; the only shuffled join is lineitem-orders
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+
+
+@pytest.mark.spark
+def test_q12_single_aggregation_pass(spark):
+    import __spark_entry__ as m
+
+    df = m.queries()["tpch_q12_late_shipments"](spark, SF)
+    p = plan_string(df)
+    # both counts are conditional aggregates in ONE agg (partial+final),
+    # never a union of two scans
+    assert "Union" not in p
+    schemas = scan_read_schema(df)
+    # lineitem scan reads only the two needed columns
+    assert any("l_orderkey" in s and "l_quantity" not in s for s in schemas)
+
+
+@pytest.mark.spark
+def test_q15_reuses_revenue_aggregation(spark):
+    import __spark_entry__ as m
+
+    df = m.queries()["tpch_q15_top_supplier"](spark, SF)
+    p = plan_string(df)
+    # the checkpointed revenue view means the expensive lineitem agg
+    # appears ONCE; the max side is a broadcast of one row
+    assert has_broadcast_join(df)
