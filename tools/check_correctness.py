@@ -91,6 +91,13 @@ def main() -> int:
         help="replicate the driver: a bare SparkSession with NO engine confs "
         "(no nanosAsLong, no UTC pin, default shuffle partitions)",
     )
+    ap.add_argument(
+        "--cpus",
+        type=int,
+        default=16,
+        help="local[] parallelism — run the gate at several values to prove "
+        "results are partition-count-invariant (the driver's setting is unknown)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -98,11 +105,15 @@ def main() -> int:
     if args.vanilla:
         from pyspark.sql import SparkSession
 
-        spark = SparkSession.builder.master("local[16]").appName("vanilla-gate").getOrCreate()
+        spark = (
+            SparkSession.builder.master(f"local[{args.cpus}]")
+            .appName("vanilla-gate")
+            .getOrCreate()
+        )
     else:
         from log_vector_spark.session import get_spark
 
-        spark = get_spark("check-correctness", cpus=16)
+        spark = get_spark("check-correctness", cpus=args.cpus)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duckdb_con(args.sf_dir)
