@@ -176,3 +176,41 @@ def test_stream_stream_interval_join_equals_batch(spark):
     batch = {tuple(r) for r in m.queries()["events_click_attribution"](spark, sf).collect()}
     stream = {tuple(r) for r in run_stream_click_attribution(spark, sf).collect()}
     assert batch == stream and len(batch) > 0
+
+
+@pytest.mark.spark
+def test_continuous_rollup_incremental_merge_equals_batch(spark, tmp_path):
+    """The maintained rollup table after two micro-batches — the second
+    touching an EXISTING hour and a new one — must equal the batch
+    hourly_rollup over all events."""
+    import datetime
+    import shutil
+
+    from log_vector_spark.operators.events import hourly_rollup
+    from log_vector_spark.streaming.pipeline import run_stream_continuous_rollup
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    t = lambda h, m: datetime.datetime(2024, 1, 1, h, m)  # noqa: E731
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp_path / name))
+        for f in (tmp_path / name).glob("*.parquet"):
+            shutil.copy(f, src / f"{name}.parquet")
+
+    b1 = [(1, t(10, 5), 1, "view", 1.25), (2, t(10, 40), 2, "click", 2.5),
+          (3, t(11, 0), 1, "view", 0.75)]
+    b2 = [(4, t(11, 30), 3, "view", 4.0),    # merges into existing hour 11
+          (5, t(12, 1), 1, "error", 1.0)]    # opens hour 12
+    write("b1", b1)
+
+    out = str(tmp_path / "rollup")
+    got_df = run_stream_continuous_rollup(
+        spark, str(src), out, schema, advance=lambda: write("b2", b2)
+    )
+    got = {tuple(r) for r in got_df.collect()}
+
+    all_events = spark.createDataFrame(b1 + b2, schema)
+    want = {tuple(r) for r in hourly_rollup(all_events).collect()}
+    assert got == want and len(want) == 4
