@@ -347,3 +347,47 @@ def events_trailing_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("trail_sum"),
         F.count(F.lit(1)).over(w).alias("trail_n"),
     )
+
+
+@register(
+    "events_error_bursts",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn_all
+      FROM events
+    ),
+    err AS (
+      SELECT user_id, ts, event_id, rn_all,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn_err
+      FROM seq WHERE event_type = 'error'
+    )
+    SELECT user_id, min(ts) AS burst_start, max(ts) AS burst_end,
+           count(*) AS n_errors
+    FROM err
+    GROUP BY user_id, rn_all - rn_err
+    HAVING count(*) >= 3
+    """,
+    doc="Gaps-and-islands: maximal runs of CONSECUTIVE error events per "
+    "user (no other event type in between), keeping bursts of 3+.  The "
+    "island id is rn_all - rn_err — two rank windows over the same "
+    "user-partitioned order, then one hash agg; linear per user timeline, "
+    "one shuffle on user_id.",
+)
+def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("rn_all", F.row_number().over(w).cast("bigint"))
+    err = seq.filter(F.col("event_type") == "error").withColumn(
+        "rn_err", F.row_number().over(w).cast("bigint")
+    )
+    return (
+        err.groupBy("user_id", (F.col("rn_all") - F.col("rn_err")).alias("_island"))
+        .agg(
+            F.min("ts").alias("burst_start"),
+            F.max("ts").alias("burst_end"),
+            F.count(F.lit(1)).alias("n_errors"),
+        )
+        .filter(F.col("n_errors") >= 3)
+        .drop("_island")
+    )
