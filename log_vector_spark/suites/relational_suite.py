@@ -1010,3 +1010,53 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), revenue.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey AS c_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY 1
+    )
+    SELECT a.c_custkey, c_nationkey, last_order, frequency, monetary,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY last_order DESC, a.c_custkey) AS INT) AS r_quartile,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY frequency DESC, a.c_custkey) AS INT) AS f_quartile,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY monetary DESC, a.c_custkey) AS INT) AS m_quartile
+    FROM agg a JOIN customer ON customer.c_custkey = a.c_custkey
+    """,
+    doc="RFM segmentation: per-customer recency/frequency/monetary rollup "
+    "(one orders aggregation) + quartile buckets.  The ntile windows "
+    "PARTITION BY nation — a global ntile would funnel every customer "
+    "through one task; per-group quartiles keep the window parallel at any "
+    "customer count.  Ties pinned by customer id; monetary is exact-decimal.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, "orders", sf_dir)
+    c = table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    agg = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
+    )
+    j = agg.join(F.broadcast(c), "c_custkey")
+    def q(order_cols):
+        return F.ntile(4).over(
+            Window.partitionBy("c_nationkey").orderBy(*order_cols)
+        ).cast("int")
+    return j.select(
+        "c_custkey",
+        "c_nationkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        q([F.desc("last_order"), F.asc("c_custkey")]).alias("r_quartile"),
+        q([F.desc("frequency"), F.asc("c_custkey")]).alias("f_quartile"),
+        q([F.desc("monetary"), F.asc("c_custkey")]).alias("m_quartile"),
+    )
