@@ -391,3 +391,38 @@ def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_errors") >= 3)
         .drop("_island")
     )
+
+
+@register(
+    "events_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY n DESC, from_type ASC, to_type ASC LIMIT 10
+    """,
+    doc="Sequence mining: top event-type transition pairs (first-order "
+    "Markov counts) across user timelines.  One lead() window per user "
+    "order, one hash agg, distributed top-k — the per-user sequence never "
+    "leaves its partition; shuffle is |type-pairs|.",
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("from_type"), F.asc("to_type"))
+        .limit(10)
+    )
