@@ -218,3 +218,26 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000)
+          / 1000000.0 < n_chars / 600.0
+    """,
+    doc="Deterministic weighted sampling: inclusion probability proportional "
+    "to a per-doc weight (length here; quality score in a real mix).  The "
+    "uniform draw is md5(doc_id) — content-free, so the decision for a doc "
+    "never changes as the corpus grows (append-stable data mixing).  Pure "
+    "scan-stage filter: zero shuffle at any corpus size.",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 1000000
+    ) / 1000000.0
+    return docs.filter(draw < F.col("n_chars") / 600.0).select("doc_id", "lang", "n_chars")
