@@ -10,6 +10,8 @@ pins these properties so a regression in plan shape fails CI, not the
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 
@@ -44,3 +46,36 @@ def has_take_ordered(df: DataFrame) -> bool:
 
 def codegen_stage_count(df: DataFrame) -> int:
     return plan_string(df).count("WholeStageCodegen")
+
+
+@contextmanager
+def no_size_broadcasts(spark):
+    """Disable size-based broadcast-join selection for the duration.
+
+    With ``autoBroadcastJoinThreshold = -1`` the planner only produces a
+    broadcast join for an explicit ``F.broadcast()`` hint, so a test can
+    count BroadcastHashJoin nodes to audit hint hygiene: a hint is only
+    allowed on provably-bounded relations (nation/region, 1-row scalars,
+    literal lookup tables) — never on anything that scales with the data.
+    Build the DataFrame INSIDE the context: planning reads the conf lazily.
+    """
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -100,7 +100,11 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 3, 4
     ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
     """,
-    doc="TPC-H Q3 shipping priority: broadcast dim join + agg + distributed top-10.",
+    doc="TPC-H Q3 shipping priority: shuffle joins on the sf-scaled relations "
+    "(orders is barely filtered, customer scales with sf — neither may carry an "
+    "explicit broadcast hint, which would OOM at scale; AQE converts to "
+    "broadcast at runtime when a side is genuinely small), agg + distributed "
+    "top-10.",
 )
 def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
@@ -110,9 +114,8 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, "lineitem", sf_dir).filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
-    j = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
-        li.l_orderkey == F.col("o_orderkey"),
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
     )
     return (
         j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -138,7 +141,12 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate < TIMESTAMP '1999-01-01'
     GROUP BY 1
     """,
-    doc="TPC-H Q5 local-supplier revenue: 6-way join, dims broadcast.",
+    doc="TPC-H Q5 local-supplier revenue, standard shape: shuffle joins chain "
+    "lineitem->orders->customer->supplier on their keys (all four scale with "
+    "sf); the local-supplier constraint s_nationkey = c_nationkey is a filter "
+    "on the supplier join, NOT a supplier-x-customer product (which would grow "
+    "quadratically with sf).  Only nation-x-region (bounded, <=25 rows) carries "
+    "an explicit broadcast hint.",
 )
 def tpch_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
@@ -150,16 +158,21 @@ def tpch_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
     )
     li = table(spark, "lineitem", sf_dir)
-    dims = (
-        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .join(supplier, supplier.s_nationkey == nation.n_nationkey)
-        .join(customer, customer.c_nationkey == nation.n_nationkey)
-    )
-    j = li.join(
-        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
-    ).join(
-        F.broadcast(dims),
-        (li.l_suppkey == F.col("s_suppkey")) & (F.col("o_custkey") == F.col("c_custkey")),
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
     )
     return j.groupBy("n_name").agg(F.sum(_disc_price()).cast("double").alias("revenue"))
 
@@ -364,7 +377,7 @@ def top_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, "lineitem", sf_dir)
     part = table(spark, "part", sf_dir)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_partkey", "p_name", "p_brand")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("p_partkey"))
@@ -586,7 +599,7 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     part = table(spark, "part", sf_dir).select("p_partkey", "p_type")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
         F.lit(0).cast("decimal(20,6)")
     )
@@ -620,8 +633,10 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, c_custkey ASC LIMIT 20
     """,
     doc="TPC-H Q10 returned-item reporting: revenue lost to returns per "
-    "customer, top 20 — fact join + nation dim broadcast + distributed "
-    "top-k after aggregation.",
+    "customer, top 20 — shuffle joins on the sf-scaled sides (one year of "
+    "orders is still ~15% of the fact table, so no explicit broadcast hint; "
+    "AQE decides at runtime), nation dim broadcast, distributed top-k after "
+    "aggregation.",
 )
 def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, "customer", sf_dir)
@@ -632,7 +647,7 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
     j = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
@@ -662,7 +677,10 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q18 large-volume customers: HAVING-gated aggregate feeding a "
     "semi-filter on the fact key, then re-aggregation with customer detail "
-    "— the agg->filter->join-back shape.",
+    "— the agg->filter->join-back shape.  No explicit broadcast hints: `big` "
+    "is keyed by lineitem orderkeys and `orders` is the whole fact table, "
+    "both sf-scaled; shuffle hash joins (AQE may still broadcast at runtime "
+    "when small).",
 )
 def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, "lineitem", sf_dir)
@@ -675,8 +693,8 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, "customer", sf_dir)
     orders = table(spark, "orders", sf_dir)
     j = (
-        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "big_key")), li.l_orderkey == F.col("big_key"))
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(big.withColumnRenamed("l_orderkey", "big_key"), li.l_orderkey == F.col("big_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
     )
     return j.groupBy(
@@ -747,7 +765,7 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(p), "l_partkey")
+        li.join(p, "l_partkey")
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -788,7 +806,7 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("l_partkey"))
     )
     return (
-        li.join(F.broadcast(p), "l_partkey")
+        li.join(p, "l_partkey")
         .join(pq, "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -822,7 +840,7 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, "part", sf_dir).select(
         F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size"
     )
-    j = li.join(F.broadcast(p), "l_partkey")
+    j = li.join(p, "l_partkey")
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 11))
@@ -908,8 +926,10 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q8 shape (market-share ratio): one nation's share of the "
     "revenue delivered into one region, by order year.  A 6-way star join "
-    "— every dimension (customer-nation, region, supplier, supplier-nation) "
-    "broadcasts; the only shuffled join is fact-to-fact lineitem-orders; "
+    "— the bounded dimensions (customer-nation, region, supplier-nation: "
+    "nation/region tables, <=25 rows) broadcast; customer and supplier scale "
+    "with sf so they carry no explicit hint (shuffle joins, AQE may broadcast "
+    "at runtime); lineitem-orders is a fact-to-fact shuffle join; "
     "numerator and denominator are exact-decimal conditional sums in ONE "
     "aggregation pass.",
 )
@@ -929,10 +949,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     dp = _disc_price()
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), "c_nationkey")
         .join(F.broadcast(r), "r_regionkey")
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), "s_nationkey")
     )
     zero = F.lit(0).cast("decimal(12,2)")
@@ -1007,7 +1027,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(s), revenue.supplier_no == s.s_suppkey)
+        .join(s, revenue.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -1045,7 +1065,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
     )
-    j = agg.join(F.broadcast(c), "c_custkey")
+    j = agg.join(c, "c_custkey")
     def q(order_cols):
         return F.ntile(4).over(
             Window.partitionBy("c_nationkey").orderBy(*order_cols)

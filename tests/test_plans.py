@@ -7,6 +7,7 @@ from log_vector_spark.plans.explain import (
     has_broadcast_join,
     has_pushed_filter,
     has_take_ordered,
+    no_size_broadcasts,
     plan_string,
     scan_read_schema,
 )
@@ -46,12 +47,51 @@ def test_pushdown_on_native_column(spark):
 
 
 @pytest.mark.spark
-def test_q3_broadcasts_dimensions(spark):
+def test_q3_distributed_topk(spark):
     import __spark_entry__ as m
 
     df = m.queries()["tpch_q3_topk"](spark, SF)
-    assert has_broadcast_join(df)
     assert has_take_ordered(df)
+
+
+# Broadcast-hint hygiene: with size-based broadcast selection disabled, any
+# BroadcastHashJoin left in the plan comes from an explicit F.broadcast()
+# hint.  A hint is only allowed on provably-bounded build sides (nation /
+# region, 1-row scalar aggregates, literal lookup tables) — a hint on an
+# sf-scaled relation (lineitem / orders / customer / part / supplier or any
+# aggregate keyed by their keys) is a guaranteed OOM at 100x scale, because
+# an explicit hint overrides Spark's size threshold instead of degrading to
+# a shuffle join.  Expected counts = the bounded hints each query keeps.
+_ALLOWED_HINTED_BROADCASTS = {
+    "tpch_q3_topk": 0,
+    "tpch_q5_region": 2,  # region into nation, then nation x region (<=25 rows) into the fact chain
+    "tpch_q8_market_share": 3,  # customer-nation, region, supplier-nation
+    "tpch_q10_returns": 1,  # nation
+    "tpch_q18_big_orders": 0,
+    "top_parts_revenue": 0,
+    "tpch_q14_promo_share": 0,
+    "tpch_q16_supplier_cnt": 0,
+    "tpch_q17_small_qty": 0,
+    "tpch_q19_disjunctive": 0,
+    # the 1-row max: Catalyst rewrites crossJoin+equality-filter to an
+    # equi BroadcastHashJoin on the hinted 1-row side — bounded, allowed
+    "tpch_q15_top_supplier": 1,
+    "customer_rfm_segments": 0,
+}
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("name,expected", sorted(_ALLOWED_HINTED_BROADCASTS.items()))
+def test_no_fact_table_broadcast_hints(spark, name, expected):
+    import __spark_entry__ as m
+
+    with no_size_broadcasts(spark):
+        df = m.queries()[name](spark, SF)
+        p = plan_string(df, "simple")  # tree only — formatted lists nodes twice
+    assert p.count("BroadcastHashJoin") == expected, (
+        f"{name}: expected exactly {expected} hinted broadcast joins "
+        f"(bounded dims only), plan has {p.count('BroadcastHashJoin')}"
+    )
 
 
 @pytest.mark.spark
@@ -193,13 +233,16 @@ def test_interval_join_is_equi_keyed_not_cartesian(spark):
 
 
 @pytest.mark.spark
-def test_q8_star_join_broadcasts_all_dimensions(spark):
+def test_q8_star_join_broadcasts_bounded_dimensions(spark):
     import __spark_entry__ as m
 
     df = m.queries()["tpch_q8_market_share"](spark, SF)
     p = plan_string(df)
-    # 5 broadcast dimension joins; the only shuffled join is lineitem-orders
-    assert p.count("BroadcastHashJoin") >= 4
+    # the bounded dims (customer-nation, region, supplier-nation) broadcast;
+    # at sf0.001 the size threshold also broadcasts customer/supplier, which
+    # is exactly the wanted adaptive behavior (no explicit hint on them —
+    # covered by test_no_fact_table_broadcast_hints)
+    assert p.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in p
 
 
