@@ -69,7 +69,13 @@ def _arrow_fallback(spark: SparkSession, path: str) -> DataFrame:
     """Last-resort read path: pyarrow decodes the file and nanos columns are
     cast to micros before handing Spark the batches.  Driver-memory bound —
     only reached when the session rejects both the native scan and the
-    legacy-conf retry, which never happens on a stock Spark 3.4+/4.x."""
+    legacy-conf retry, which never happens on a stock Spark 3.4+/4.x.
+
+    The cast uses ``safe=False``: a safe cast raises ArrowInvalid on any
+    value with non-zero sub-microsecond nanos — exactly the data this
+    fallback exists to read — while the unsafe cast truncates toward zero,
+    matching DuckDB's own nanos->micros read behavior and the `div 1000`
+    conversion in :func:`table`.  Timezone metadata is preserved."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -77,9 +83,10 @@ def _arrow_fallback(spark: SparkSession, path: str) -> DataFrame:
     fields = []
     for field in tbl.schema:
         if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
-            field = pa.field(field.name, pa.timestamp("us"))
+            field = field.with_type(pa.timestamp("us", tz=field.type.tz))
         fields.append(field)
-    return spark.createDataFrame(tbl.cast(pa.schema(fields)).to_pandas())
+    casted = tbl.cast(pa.schema(fields), safe=False)
+    return spark.createDataFrame(casted.to_pandas())
 
 
 def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

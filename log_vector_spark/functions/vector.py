@@ -43,19 +43,48 @@ def _unrolled_sum(terms: list[Column]) -> Column:
     return out
 
 
+def _dim_checked(expr: Column, dim: int, *arrays: Column) -> Column:
+    """Fail fast when an array is narrower than the unrolled width.
+
+    In a non-ANSI session ``element_at`` past the end returns NULL, so a
+    wrong ``dim`` would silently NULL every score; this guard raises in ANY
+    session mode.  size() is O(1) on an array column, so the check is free
+    next to the O(dim) arithmetic it protects.
+    """
+    ok = None
+    null_any = None
+    for arr in arrays:
+        cond = F.size(arr) == dim
+        ok = cond if ok is None else (ok & cond)
+        n = arr.isNull()
+        null_any = n if null_any is None else (null_any | n)
+    # NULL array -> NULL result (same as the HOF fold), never an error
+    return (
+        F.when(null_any, F.lit(None).cast("double"))
+        .when(ok, expr)
+        .otherwise(F.raise_error(F.lit(f"vector width != dim={dim} on unrolled path")))
+    )
+
+
 def dot_product(a: Column, b: Column, dim: int | None = None) -> Column:
     """sum_i a[i]*b[i] in double precision, left-associated.
 
-    With ``dim`` the sum is unrolled into a codegen'd expression (requires
-    fixed-width arrays — ANSI mode fails fast on a shorter row); without it
-    the HOF fold handles any width interpretively.
+    With ``dim`` the sum is unrolled into a codegen'd expression; a size
+    guard raises on any row whose array width differs from ``dim`` (in both
+    ANSI and non-ANSI sessions).  Without it the HOF fold handles any width
+    interpretively.
     """
     if dim:
-        return _unrolled_sum(
-            [
-                _as_double(F.element_at(a, i + 1)) * _as_double(F.element_at(b, i + 1))
-                for i in range(dim)
-            ]
+        return _dim_checked(
+            _unrolled_sum(
+                [
+                    _as_double(F.element_at(a, i + 1)) * _as_double(F.element_at(b, i + 1))
+                    for i in range(dim)
+                ]
+            ),
+            dim,
+            a,
+            b,
         )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: _as_double(x) * _as_double(y)),
@@ -67,11 +96,15 @@ def dot_product(a: Column, b: Column, dim: int | None = None) -> Column:
 def l2_norm(a: Column, dim: int | None = None) -> Column:
     if dim:
         return F.sqrt(
-            _unrolled_sum(
-                [
-                    _as_double(F.element_at(a, i + 1)) * _as_double(F.element_at(a, i + 1))
-                    for i in range(dim)
-                ]
+            _dim_checked(
+                _unrolled_sum(
+                    [
+                        _as_double(F.element_at(a, i + 1)) * _as_double(F.element_at(a, i + 1))
+                        for i in range(dim)
+                    ]
+                ),
+                dim,
+                a,
             )
         )
     return F.sqrt(
@@ -91,7 +124,10 @@ def l2_normalize(a: Column, dim: int | None = None) -> Column:
     Zero vectors (the reference's error sentinel, index.py:138) normalize to
     zero vectors rather than NaN: try_divide yields NULL on /0 and the
     coalesce restores 0.0 per element — same values as the old
-    when(norm==0) form.
+    when(norm==0) form for non-NULL inputs.  A NULL array normalizes to
+    NULL on both paths (the HOF zip_with propagates it; the unrolled path
+    guards explicitly); a NULL *element* becomes 0.0 — the write path never
+    produces one, so no per-element isNull pass is spent on it.
 
     With ``dim``, the output array is built from unrolled element
     expressions; the repeated norm subtree is shared by codegen's
@@ -102,11 +138,15 @@ def l2_normalize(a: Column, dim: int | None = None) -> Column:
     """
     norm = l2_norm(a, dim)
     if dim:
-        return F.array(
-            *[
-                F.coalesce(F.try_divide(_as_double(F.element_at(a, i + 1)), norm), F.lit(0.0))
-                for i in range(dim)
-            ]
+        return F.when(
+            a.isNull(), F.lit(None).cast("array<double>")
+        ).otherwise(
+            F.array(
+                *[
+                    F.coalesce(F.try_divide(_as_double(F.element_at(a, i + 1)), norm), F.lit(0.0))
+                    for i in range(dim)
+                ]
+            )
         )
     # bind norm once: transform over the original array with the norm smuggled
     # in via a 2-field struct argument is not expressible; instead evaluate
@@ -125,20 +165,32 @@ def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
     try_divide + coalesce instead of when(denom==0): the when form evaluates
     the two norm folds twice (condition + divisor — Catalyst does not CSE
     across CASE branches in interpreted HOF mode), doubling the dominant
-    cost of every scoring stage.  try_divide(x, 0) IS NULL, so the value is
-    identical: zero denominator (only possible when a zero vector makes the
-    numerator 0 too) -> 0.0, else dot/denom.
+    cost of every scoring stage.  try_divide(x, 0) IS NULL, so for non-NULL
+    inputs the value is identical: zero denominator (only possible when a
+    zero vector makes the numerator 0 too) -> 0.0, else dot/denom.
+
+    NULL handling: a NULL *array* on either side yields NULL (guarded before
+    the coalesce — without the guard the coalesce would silently score it
+    0.0).  A NULL *element* inside an array still folds to 0.0; the write
+    path never produces one (the error sentinel is an all-zero vector, per
+    the reference index.py:138) so per-element isNull scans are not worth
+    their interpreted-HOF cost on every scoring pair.
     """
     denom = l2_norm(a, dim) * l2_norm(b, dim)
-    return F.coalesce(F.try_divide(dot_product(a, b, dim), denom), F.lit(0.0))
+    sim = F.coalesce(F.try_divide(dot_product(a, b, dim), denom), F.lit(0.0))
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(sim)
 
 
 def infer_dim(df: DataFrame, vec_col: str) -> int | None:
     """Probe the fixed vector width from one row (None on an empty frame).
 
-    One limit-1 scan — a single row-group read even at 100 TB.  Callers use
-    it once per operator to switch every per-pair scoring expression onto
-    the unrolled codegen path.
+    One limit-1 scan — a single row-group read even at 100 TB.  Pairs with
+    the ``dim=`` fast path above, which no operator enables by DEFAULT: the
+    unrolled expressions win ~30x inside broadcast-crossJoin/scan stages but
+    lose 2-3x inside shuffle-join stages and thrash the JIT code cache for
+    later queries (BASELINE.md lesson 7) — so the switch is a deliberate
+    per-callsite decision, not automatic.  Parity of the two paths is pinned
+    by tests/test_vector_fns.py.
     """
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     return int(row["d"]) if row and row["d"] is not None and row["d"] > 0 else None

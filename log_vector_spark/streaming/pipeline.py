@@ -235,19 +235,34 @@ def run_stream_continuous_rollup(
     Each micro-batch aggregates its own rows to per-(hour, event_type)
     PARTIAL states (count + exact-decimal sum — mergeable; an avg would
     not be), merges them with the stored partials for ONLY the touched
-    hours, and rewrites just those hour partitions (dynamic partition
-    overwrite).  At 100 TB/day the write amplification per batch is the
-    touched hours, not table history, and replaying a batch converges to
-    the same state as long as the source is the batch id'd stream (the
-    foreachBatch exactly-once contract).  Averages are derived at READ
-    time from the partials — `read_continuous_rollup` returns the exact
-    schema of the batch `hourly_rollup`.
+    hours, and rewrites just those hour partitions.  Dynamic partition
+    overwrite is requested PER WRITE via the DataFrameWriter option (which
+    takes precedence over — and never mutates — the session conf): under
+    static mode the overwrite would delete every untouched hour partition,
+    so the mode must travel with the write, not with the session.  At
+    100 TB/day the write amplification per batch is the touched hours, not
+    table history.
+
+    Replay safety: the additive merge is NOT idempotent, so each processed
+    ``epoch_id`` is recorded as a marker under ``out_path/_epochs`` (an
+    underscore-prefixed dir — invisible to parquet readers) and a replayed
+    epoch is skipped.  On single-writer local/HDFS storage this gives
+    foreachBatch's exactly-once; an object store or multi-writer deployment
+    would record the epoch transactionally (e.g. Delta txn metadata).
+    Averages are derived at READ time from the partials —
+    `read_continuous_rollup` returns the exact schema of the batch
+    `hourly_rollup`.
     """
+    import os
+
     from pyspark.errors import AnalysisException
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    epochs_dir = os.path.join(out_path, "_epochs")
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(epochs_dir, str(epoch_id))
+        if os.path.exists(marker):  # replayed epoch: already merged, skip
+            return
         partials = batch_df.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
         ).agg(
@@ -268,7 +283,15 @@ def run_stream_continuous_rollup(
             if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
                 raise
             merged = partials
-        merged.write.mode("overwrite").partitionBy("hour").parquet(out_path)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hour")
+            .parquet(out_path)
+        )
+        os.makedirs(epochs_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("")
 
     src = spark.readStream.schema(schema).parquet(src_dir)
     q = src.writeStream.foreachBatch(merge).start()

@@ -62,3 +62,32 @@ def test_table_resets_timezone_to_utc(spark, tmp_path, stripped_confs):
     sf_dir = _write_events(tmp_path, "us")
     table(spark, "events", sf_dir)
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+@pytest.mark.spark
+def test_arrow_fallback_truncates_true_nanos_and_keeps_tz(spark, tmp_path):
+    """The last-resort pyarrow path must survive values with NON-ZERO
+    sub-microsecond nanos (a safe cast raises ArrowInvalid on exactly those)
+    and must not drop timezone metadata."""
+    from log_vector_spark.catalog import _arrow_fallback
+
+    base_us = 1_704_110_400_000_000  # 2024-01-01T12:00:00Z in micros
+    nanos = pa.array(
+        [base_us * 1000 + 123, base_us * 1000 + 999_999, base_us * 1000],
+        pa.timestamp("ns", tz="UTC"),
+    )
+    tbl = pa.table({"event_id": pa.array([1, 2, 3], pa.int64()), "ts": nanos})
+    path = str(tmp_path / "nanos_tz.parquet")
+    pq.write_table(tbl, path)
+
+    df = _arrow_fallback(spark, path)
+    rows = sorted(df.collect(), key=lambda r: r["event_id"])
+    # truncation toward zero to micros, matching `div 1000` and DuckDB
+    saved_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        got = [r["ts"] for r in rows]
+        assert got[0] == got[2] == datetime.datetime(2024, 1, 1, 12, 0, 0)
+        assert got[1] == datetime.datetime(2024, 1, 1, 12, 0, 0, 999)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved_tz)
