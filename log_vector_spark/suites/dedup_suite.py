@@ -267,6 +267,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs, docs, id_col="doc_id")
 
 
+def _register_clusters_star() -> None:
+    """Same clusters via alternating large-star/small-star edge contraction
+    (dedup._cc_star) — the variant that stays O(log n) rounds on adversarial
+    high-diameter graphs.  Shares dedup_clusters' recursive-CTE oracle
+    verbatim: identical results, different distributed algorithm."""
+    from log_vector_spark.registry import REGISTRY
+
+    @register(
+        "dedup_clusters_star",
+        oracle=REGISTRY["dedup_clusters"].oracle,
+        doc="Transitive dedup clusters via large-star/small-star edge "
+        "contraction (Kiveris et al., SoCC'14): edge-rewriting converges in "
+        "O(log^2 n) rounds on ANY graph shape, including adversarial long "
+        "chains where label propagation's per-cluster-diameter assumption "
+        "fails.  Same recursive-CTE oracle as dedup_clusters — identical "
+        "results, different distributed algorithm.",
+    )
+    def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, "documents", sf_dir)
+        pairs = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2)
+        return dedup.connected_components(
+            pairs, docs, id_col="doc_id", algorithm="star", max_iter=40
+        )
+
+
+_register_clusters_star()
+
+
 @register(
     "dedup_cluster_survivors",
     oracle=f"""

@@ -26,6 +26,7 @@ def _uf_components(pairs, vertices):
 
 
 @pytest.mark.spark
+@pytest.mark.parametrize("algorithm", ["jump", "star"])
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     edges=st.lists(
@@ -33,7 +34,7 @@ def _uf_components(pairs, vertices):
         max_size=30,
     )
 )
-def test_connected_components_matches_union_find(spark, edges):
+def test_connected_components_matches_union_find(spark, algorithm, edges):
     from log_vector_spark.operators.dedup import connected_components
 
     vertices = list(range(25))
@@ -44,7 +45,7 @@ def test_connected_components_matches_union_find(spark, edges):
     verts_df = spark.createDataFrame([(v,) for v in vertices], "doc_id long")
     got = {
         r.doc_id: r.cluster_id
-        for r in connected_components(pairs_df, verts_df).collect()
+        for r in connected_components(pairs_df, verts_df, algorithm=algorithm).collect()
     }
     # union-find may pick a different representative mid-chain; both label
     # each component by its MIN id, so direct comparison is valid after one
@@ -99,3 +100,26 @@ def test_asof_matches_pandas_merge_asof(spark, left_ts, right_rows):
     for lts, price in zip(ref["lts"], ref["price"]):
         want = None if pd.isna(price) else float(price)
         assert got[lts.to_pydatetime()] == want
+
+
+@pytest.mark.spark
+def test_star_contraction_handles_adversarial_long_chain(spark):
+    """A 10k-node path graph is the adversarial case for per-cluster-diameter
+    assumptions: label propagation without pointer jumping would need 10k
+    rounds.  The large-star/small-star variant must label every node with
+    the chain minimum in O(log n)-ish rounds (well under max_iter)."""
+    from pyspark.sql import functions as F
+
+    from log_vector_spark.operators.dedup import connected_components
+
+    n = 10_000
+    pairs = (
+        spark.range(n - 1)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        .repartition(8)
+    )
+    verts = spark.range(n).select(F.col("id").alias("doc_id"))
+    labels = connected_components(pairs, verts, algorithm="star", max_iter=40)
+    distinct_labels = labels.select("cluster_id").distinct().collect()
+    assert [r.cluster_id for r in distinct_labels] == [0]
+    assert labels.count() == n
