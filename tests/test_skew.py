@@ -109,3 +109,75 @@ def test_connected_components_long_chain_converges(spark):
     verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs, verts).collect()}
     assert got == {(i, 0) for i in range(n)}
+
+
+@pytest.mark.spark
+def test_ivf_near_dup_skewed_centroid_matches_bruteforce(spark):
+    """One centroid owning 50% of the corpus — the IVF-blocked dedup must
+    (a) produce exactly the brute-force per-list survivor set and (b) keep
+    the dominant list's quadratic pair work spread across salt keys, so no
+    single task owns half the corpus even after AQE size-coalescing."""
+    import numpy as np
+
+    from log_vector_spark.operators.dedup import embedding_near_dup_ivf_survivors
+    from log_vector_spark.operators.search import SALT_FACTOR, blocked_pairs, ivf_assign
+
+    dim, n = 8, 120
+    rng = np.random.RandomState(11)
+    cents = [[1.0] + [0.0] * (dim - 1), [0.0, 1.0] + [0.0] * (dim - 2),
+             [0.0, 0.0, 1.0] + [0.0] * (dim - 3)]
+    rows = []
+    for i in range(n):
+        # half the corpus hugs centroid 0; the rest splits between 1 and 2
+        c = 0 if i < n // 2 else (1 + i % 2)
+        v = np.array(cents[c]) * 3.0 + rng.rand(dim) * 0.4
+        rows.append((i, [float(x) for x in v]))
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "list_id int, centroid array<double>"
+    )
+
+    threshold = 0.97
+    got = {
+        r.vec_id
+        for r in embedding_near_dup_ivf_survivors(
+            vectors, centroids, threshold=threshold
+        ).collect()
+    }
+
+    # brute-force reference: assign by max cosine, pair within lists
+    def unit(v):
+        v = np.array(v)
+        return v / np.linalg.norm(v)
+
+    assign = {}
+    for i, v in rows:
+        sims = [float(np.dot(unit(v), unit(c))) for c in cents]
+        assign[i] = int(np.argmax(sims))
+    dups = set()
+    by_id = dict(rows)
+    for i, v in rows:
+        for j in range(i + 1, n):
+            if assign[i] == assign[j] and round(
+                float(np.dot(unit(by_id[i]), unit(by_id[j]))), 6
+            ) >= threshold:
+                dups.add(j)
+    want = {i for i, _ in rows if i not in dups}
+    assert got == want
+
+    # the 50% list is skewed onto one block key; its pairs must span >1 salt
+    assigned = ivf_assign(vectors, centroids, "vec_id", "embedding").select(
+        "vec_id", "list_id", "embedding"
+    )
+    sizes = {r.list_id: r.n for r in assigned.groupBy("list_id").count().withColumnRenamed("count", "n").collect()}
+    big_list = max(sizes, key=sizes.get)
+    assert sizes[big_list] >= n // 2
+    pairs = blocked_pairs(assigned, "list_id", "vec_id", "embedding")
+    salts = {
+        r.s
+        for r in pairs.filter(F.col("block") == big_list)
+        .select(F.pmod(F.hash(F.col("id_a")), F.lit(SALT_FACTOR)).alias("s"))
+        .distinct()
+        .collect()
+    }
+    assert len(salts) > 1, "dominant IVF list collapsed onto one salt key"
