@@ -191,9 +191,38 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # mapInPandas feature kernel (numpy histogram)
+    # The corpus is pure ASCII (verified: max code point 121), so the byte
+    # histogram the numpy kernel computes over utf-8 bytes equals a code
+    # point histogram DuckDB can compute from characters — upgrading this
+    # query from rows-only to a full value-hash oracle pair.  Bins probed:
+    # 0 (control chars: \n), 2 (space/punct 0x20-0x2F), 6 and 7 (lowercase
+    # letters 0x60-0x7A) — the mass of the distribution.
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unicode(c) // 16 AS bin
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS DOUBLE) AS total,
+             CAST(count(*) FILTER (bin = 0) AS DOUBLE) AS c0,
+             CAST(count(*) FILTER (bin = 2) AS DOUBLE) AS c2,
+             CAST(count(*) FILTER (bin = 6) AS DOUBLE) AS c6,
+             CAST(count(*) FILTER (bin = 7) AS DOUBLE) AS c7
+      FROM chars GROUP BY 1
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           round(coalesce(c0 / greatest(total, 1.0), 0.0), 6) AS f0,
+           round(coalesce(c2 / greatest(total, 1.0), 0.0), 6) AS f2,
+           round(coalesce(c6 / greatest(total, 1.0), 0.0), 6) AS f6,
+           round(coalesce(c7 / greatest(total, 1.0), 0.0), 6) AS f7
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
     doc="binary -> feature vector via mapInPandas (16-bin byte histogram standing "
-    "in for a codec+model); real Arrow batch shape, deterministic output.",
+    "in for a codec+model); real Arrow batch shape, deterministic output.  "
+    "Oracle-paired: the ASCII corpus makes the byte histogram equal a DuckDB "
+    "character code-point histogram, so the driver value-hashes 4 probed bins.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.operators.multimodal import attach_binary, byte_histogram_features
@@ -201,7 +230,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary(table(spark, "documents", sf_dir))
     feats = byte_histogram_features(media)
     return feats.select(
-        "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 3), 6).alias("f2"),
+        F.round(F.element_at("features", 7), 6).alias("f6"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
     )
 
 
@@ -220,9 +254,21 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_thumbs",
-    oracle=None,  # mapInPandas resize kernel (binary output)
+    # ASCII corpus: the byte-stride resample equals a character-stride
+    # resample, so DuckDB can rebuild each 64-byte thumbnail as a string and
+    # md5 it — same hex as Spark's md5 over the binary.
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 AS INTEGER) AS height, CAST(8 AS INTEGER) AS width,
+           md5(list_aggregate(
+             list_transform(range(0, 64),
+               i -> text[(i * greatest(length(text) // 64, 1)) % length(text) + 1]),
+             'string_agg', '')) AS thumb_md5
+    FROM documents
+    """,
     doc="binary -> fixed-size thumbnail via mapInPandas (deterministic stride "
-    "resample standing in for a pixel resizer; output is exactly h*w bytes).",
+    "resample standing in for a pixel resizer; output is exactly h*w bytes).  "
+    "Oracle-paired over the ASCII corpus via character-stride rebuild + md5.",
 )
 def multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.operators.multimodal import attach_binary, resize_thumbnail
