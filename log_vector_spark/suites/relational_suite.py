@@ -1080,3 +1080,335 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         q([F.desc("frequency"), F.asc("c_custkey")]).alias("f_quartile"),
         q([F.desc("monetary"), F.asc("c_custkey")]).alias("m_quartile"),
     )
+
+
+# --- Round 3: the six remaining TPC-H shapes -------------------------------
+#
+# The driver's star schema omits `partsupp` and lineitem's commit/receipt
+# dates, so Q2/Q9/Q11/Q20/Q21 cannot be reproduced verbatim.  Each is
+# implemented as an ADAPTED query that keeps the original's algebraic
+# structure (the part Spark has to plan for) while substituting available
+# columns for the missing ones; the adaptation is documented per query.
+# With these, all 22 TPC-H query shapes are covered by the suite.
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 volume shipping (faithful): bilateral trade revenue by "
+    "supplier nation x customer nation x ship year.  Fact chain "
+    "lineitem->orders->customer + supplier is shuffle-joined (all sf-scaled, "
+    "no hints); the two nation lookups are hinted broadcasts (<=25 rows "
+    "each, bounded) and double as the nation filter; the disjunctive "
+    "nation-pair predicate is applied after both are attached.",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    orders = table(spark, "orders", sf_dir)
+    customer = table(spark, "customer", sf_dir)
+    supplier = table(spark, "supplier", sf_dir)
+    nation = table(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INTEGER) AS o_year,
+           CAST(sum({_DISC_PRICE}) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 product-type profit, adapted: the schema has no partsupp, "
+    "so profit is discounted revenue (sum of disc_price) rather than revenue "
+    "minus ps_supplycost*qty.  The planning shape is intact: a LIKE-filtered "
+    "part dimension shuffle-joined into the fact (part scales with sf, no "
+    "hint -- AQE decides), supplier attached on its key, bounded nation "
+    "hinted broadcast, nation x year rollup.",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    part = table(spark, "part", sf_dir).filter(F.col("p_name").like("%red%")).select("p_partkey")
+    supplier = table(spark, "supplier", sf_dir)
+    nation = table(spark, "nation", sf_dir)
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(F.sum(_disc_price()).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "tpch_q2_best_supplier",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name FROM (
+      SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
+             max(e.s_acctbal) OVER (PARTITION BY p.p_partkey) AS max_bal
+      FROM part p
+      JOIN ps ON p.p_partkey = ps.l_partkey
+      JOIN eu e ON ps.l_suppkey = e.s_suppkey
+      WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+    ) WHERE s_acctbal = max_bal
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    doc="TPC-H Q2 minimum-cost supplier, adapted: no partsupp table, so the "
+    "part-supplier relationship is the DISTINCT (l_partkey, l_suppkey) pairs "
+    "observed in lineitem, and 'best' is max s_acctbal instead of min "
+    "ps_supplycost.  The correlated-subquery structure is preserved in its "
+    "decorrelated form: per-part extremum via a window over the candidate "
+    "join, then an equality filter against it -- the standard Spark plan for "
+    "Q2's inner subquery.  Region->nation is the only hinted broadcast; ps "
+    "is lineitem-derived (sf-scaled) and shuffle-joined.",
+)
+def tpch_q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    region = table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    nation = table(spark, "nation", sf_dir)
+    eu_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    eu = (
+        table(spark, "supplier", sf_dir)
+        .join(F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        table(spark, "part", sf_dir)
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey", "p_name")
+    )
+    j = p.join(ps, p.p_partkey == ps.l_partkey).join(eu, ps.l_suppkey == eu.s_suppkey)
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("max_bal", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("max_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH amer AS (
+      SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA'
+    ),
+    v AS (
+      SELECT l_partkey AS partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS val
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey IN (SELECT n_nationkey FROM amer)
+      GROUP BY 1
+    )
+    SELECT partkey, CAST(val AS DOUBLE) AS part_value
+    FROM v WHERE CAST(val AS DOUBLE) > (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM v)
+    """,
+    doc="TPC-H Q11 important stock, adapted: no partsupp, so a part's held "
+    "value is sum(extendedprice*quantity) over lineitems shipped by "
+    "suppliers of one region (AMERICA) instead of ps_supplycost*ps_availqty "
+    "over a nation.  The structure Q11 exists to exercise is intact: a "
+    "grouped value per part compared against a scalar global-total subquery "
+    "threshold.  The 1-row total is crossJoin-broadcast (bounded, hinted, "
+    "same pattern as q15); value sums are exact DECIMAL, compared as DOUBLE "
+    "identically in both engines.",
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    region = table(spark, "region", sf_dir).filter(F.col("r_name") == "AMERICA")
+    nation = table(spark, "nation", sf_dir)
+    amer_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    supp = (
+        table(spark, "supplier", sf_dir)
+        .join(F.broadcast(amer_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(8,2)")
+    )
+    v = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(val).alias("val"))
+    )
+    # v feeds both the output rows and the global threshold.  Non-AQE
+    # planning shares the subtree via ReusedExchange (one lineitem scan),
+    # but under AQE the broadcast threshold subquery is materialized as a
+    # separate query execution and re-derives v from the fact table — a
+    # second full lineitem scan (measured at sf0.01).  A lazy
+    # localCheckpoint pins the part-level aggregate (|parts| rows, not the
+    # fact) the first time either consumer runs, so the fact is scanned
+    # exactly once at any scale.
+    v = v.localCheckpoint(eager=False)
+    total = v.agg((F.sum("val").cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("threshold"))
+        .select("partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "tpch_q20_promotion_suppliers",
+    oracle="""
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 3 AND s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(8,2))) > 40
+    )
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 potential part promotion, adapted: no ps_availqty, so the "
+    "inner threshold is 'shipped more than 40 units of some %red% part in "
+    "1996' instead of availqty > half the year's shipments.  The nested "
+    "structure is the point and is preserved: a semi join against a grouped "
+    "HAVING aggregate over a part-filtered fact join.  part and the "
+    "aggregate are sf-scaled (no hints, shuffle semi join); nation is the "
+    "bounded hinted broadcast.",
+)
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = table(spark, "part", sf_dir).filter(F.col("p_name").like("%red%")).select("p_partkey")
+    heavy = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(8,2)")).alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+    )
+    nation = table(spark, "nation", sf_dir).filter(F.col("n_regionkey") == 3)
+    supp = table(spark, "supplier", sf_dir).join(
+        F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n.n_regionkey = 2
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
+    """,
+    doc="TPC-H Q21 suppliers who kept orders waiting, adapted: lineitem has "
+    "no commit/receipt dates, so the 'at fault' marker is l_returnflag='R' "
+    "instead of receiptdate > commitdate.  The double-correlated structure "
+    "is intact and is what Spark must plan: an EXISTS (another supplier on "
+    "the same finished order) and a NOT EXISTS (no OTHER supplier also at "
+    "fault), both correlated on orderkey with a suppkey inequality -- "
+    "planned as a shuffle left-semi and left-anti join on l_orderkey with "
+    "the non-equi suppkey condition evaluated in the join.  Only nation is "
+    "a hinted broadcast.",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    fo = table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    nation = table(spark, "nation", sf_dir).filter(F.col("n_regionkey") == 2)
+    supp = table(spark, "supplier", sf_dir).join(
+        F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
+    ).select("s_suppkey", "s_name")
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    )
+    base = (
+        l1.join(fo, F.col("l1.l_orderkey") == fo.o_orderkey)
+        .join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("o2")) & (F.col("l1.l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("o3")) & (F.col("l1.l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        base.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

@@ -77,6 +77,17 @@ _ALLOWED_HINTED_BROADCASTS = {
     # equi BroadcastHashJoin on the hinted 1-row side — bounded, allowed
     "tpch_q15_top_supplier": 1,
     "customer_rfm_segments": 0,
+    # round-3 additions (the six remaining TPC-H shapes)
+    "tpch_q7_volume_shipping": 2,  # the two <=2-row nation lookups
+    "tpch_q9_product_profit": 1,  # nation; part is sf-scaled, no hint
+    "tpch_q2_best_supplier": 2,  # region->nation, then nations into supplier
+    # q11's bounded hints (region->nation, nations into supplier) live inside
+    # the lazily-checkpointed part-value aggregate, which explain renders as
+    # an ExistingRDD scan without expanding the subtree; the visible plan has
+    # only the 1-row threshold BroadcastNestedLoopJoin (bounded, not a BHJ)
+    "tpch_q11_important_parts": 0,
+    "tpch_q20_promotion_suppliers": 1,  # nation; HAVING agg side shuffles
+    "tpch_q21_waiting_suppliers": 1,  # nation; semi/anti sides shuffle
 }
 
 
