@@ -517,3 +517,55 @@ def connected_components(
             "raise max_iter (pointer jumping needs ~log2(diameter) rounds)"
         )
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    max_dist: int = 20,
+    length_bucket: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Near-duplicate pairs by bounded Levenshtein distance.
+
+    Levenshtein is O(len^2) per pair, so the candidate set must be
+    sub-quadratic before any distance is computed.  Blocking: equi-join on
+    (lang, floor(length / length_bucket)) — same-language, similar-length
+    documents only.  Two cheap pre-filters run before the quadratic kernel:
+    id ordering (each unordered pair once) and |len(a) - len(b)| <= max_dist
+    (a length gap is a Levenshtein lower bound).  The distance itself is
+    the built-in JVM expression — no Python in the loop.
+
+    Scale notes: block sizes are bounded by the (lang x length-bucket)
+    granularity, the shuffle key; a pathological single-length corpus shows
+    up as block skew, handled the same way as blocked_pairs (salt the block
+    key) — see tests/test_skew.py.  Documents a boundary apart can land in
+    adjacent buckets and be missed; callers wanting guaranteed recall at
+    distance d should bucket by floor(len / b) with b > d and probe the
+    neighbor bucket (doubles candidates; not the default).
+    """
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.col(lang_col).alias("lg"),
+        F.floor(F.col(length_col) / length_bucket).cast("int").alias("lb"),
+        F.length(text_col).alias("ln"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lg") == F.col("b.lg"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(F.abs(F.col("a.ln") - F.col("b.ln")) <= max_dist)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein(F.col("a.t"), F.col("b.t")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

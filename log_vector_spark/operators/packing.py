@@ -1,0 +1,110 @@
+"""Sequence packing for training-data pipelines.
+
+Pretraining batches want fixed token budgets per sequence; documents don't
+come in budget-sized pieces.  Two standard packings, each in its natural
+Spark shape:
+
+* ``pack_offsets`` — concat-then-split: documents are concatenated per
+  group in a deterministic order and the stream is cut every ``budget``
+  tokens, so a document may span a cut.  This is pure window arithmetic
+  (cumulative token offsets -> bin indices): scan + one window per group,
+  no Python, fully oracle-able.  At 100 TB the only shuffle is the
+  per-group window partitioning, and group count (sources) bounds the
+  parallelism — the same layout a writer would use for packed .bin shards.
+
+* ``pack_next_fit`` — greedy next-fit: a document never spans bins; a new
+  bin starts when the current one can't fit the next document whole.  The
+  running bin fill is inherently sequential state, which no window frame
+  expresses, so this is the applyInPandas path: one pandas kernel per
+  group, arrow-batched, parallel across groups.  (Next-fit is the packing
+  with a sequential-order guarantee; first-fit-decreasing would need a
+  global sort by size and loses append-order reproducibility.)
+
+The reference has no packing surface (it chunks single documents,
+index.py:236-260); this is brief-driven LLM-pipeline scope.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# Whitespace token count as pure column arithmetic (identical expression is
+# used in the DuckDB oracle): single-space-joined corpora make this exact;
+# for general text swap in functions.text.token_count (same contract).
+def _ws_token_count(text_col: str) -> Column:
+    t = F.col(text_col)
+    return (F.length(t) - F.length(F.regexp_replace(t, " ", "")) + F.lit(1)).cast("bigint")
+
+
+def pack_offsets(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-split packing: global token offsets -> bin indices.
+
+    Returns one row per document with its token count, end offset within
+    the group's concatenated stream, the first and last budget-bin it lands
+    in, and whether it spans a bin boundary (the rows a packed-shard writer
+    needs to split).
+    """
+    toks = _ws_token_count(text_col)
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    cum = F.sum("toks").over(w)
+    return (
+        docs.select(group_col, order_col, toks.alias("toks"))
+        .withColumn("cum_toks", cum)
+        .select(
+            order_col,
+            group_col,
+            "toks",
+            "cum_toks",
+            F.floor((F.col("cum_toks") - F.col("toks")) / budget).cast("int").alias("first_bin"),
+            F.floor((F.col("cum_toks") - 1) / budget).cast("int").alias("last_bin"),
+        )
+        .withColumn("spans_boundary", F.col("first_bin") != F.col("last_bin"))
+    )
+
+
+def pack_next_fit(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy next-fit packing: whole documents only, sequential bins.
+
+    Within each group (processed in ``order_col`` order) a document joins
+    the current bin if it fits, else opens a new one; an oversized document
+    (> budget) gets a bin of its own rather than being dropped — the caller
+    decides whether to truncate.  Sequential state -> applyInPandas, one
+    kernel invocation per group, parallel across groups.
+    """
+    toks_df = docs.select(
+        group_col, order_col, _ws_token_count(text_col).alias("toks")
+    )
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        bin_ids, fills = [], []
+        bin_id, fill = 0, 0
+        for t in pdf["toks"]:
+            if fill > 0 and fill + t > budget:
+                bin_id += 1
+                fill = 0
+            fill += int(t)
+            bin_ids.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int32")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    out_schema = (
+        f"{group_col} string, {order_col} bigint, toks bigint, bin_id int, bin_fill bigint"
+    )
+    return toks_df.groupBy(group_col).applyInPandas(assign, out_schema)

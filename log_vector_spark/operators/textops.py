@@ -128,3 +128,45 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.countDistinct("tok").alias("vocab_size"))
     )
     return totals.crossJoin(vocab)
+
+
+# --- PII scrubbing (round 3) ------------------------------------------------
+#
+# Pattern set kept to the RE2/Java common subset (no lookarounds, no
+# backrefs) so the identical pattern strings run in Spark (Java regex) and
+# DuckDB (RE2) — the oracle contract.  Order matters: SSN and IPv4 before
+# the generic phone pattern (a phone regex would otherwise eat half an SSN),
+# email first (its local part can contain digits a phone pattern would
+# partially claim).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()./ -]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace every PII match with its typed placeholder (scan-stage)."""
+    out = text
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per PII category, evaluated on the ORIGINAL text.
+
+    Counted sequentially on the scrubbed-so-far value (like scrub_pii), so
+    categories don't double-count each other's spans.
+    """
+    cols = []
+    scrubbed = text
+    for name, pattern, token in PII_PATTERNS:
+        cols.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pattern), F.lit(0)))
+            .cast("int")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+    return cols

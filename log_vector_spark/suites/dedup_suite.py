@@ -381,3 +381,26 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "id_a", "id_b", F.round(matches / 8.0, 6).alias("jaccard_est")
     )
+
+
+@register(
+    "dedup_edit_distance",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, text, length(text) AS ln,
+             CAST(floor(n_chars / 32) AS INTEGER) AS lb
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE abs(a.ln - b.ln) <= 20 AND levenshtein(a.text, b.text) <= 20
+    """,
+    doc="Bounded-Levenshtein near-dup pairs: (lang, length-bucket) blocking "
+    "keeps the candidate set sub-quadratic, a length-gap lower bound "
+    "pre-filters before the O(len^2) distance, the distance itself is the "
+    "built-in JVM expression (operators/dedup.py:edit_distance_pairs).",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.edit_distance_pairs(table(spark, "documents", sf_dir))

@@ -477,3 +477,50 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= 3)
     )
+
+
+# --- sequence packing (round 3) --------------------------------------------
+
+from log_vector_spark.operators import packing as packing_ops  # noqa: E402
+
+
+@register(
+    "pack_offsets",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS toks
+      FROM documents
+    ), c AS (
+      SELECT *, CAST(sum(toks) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_toks
+      FROM t
+    )
+    SELECT doc_id, source, toks, cum_toks,
+           CAST(floor((cum_toks - toks) / 256.0) AS INTEGER) AS first_bin,
+           CAST(floor((cum_toks - 1) / 256.0) AS INTEGER) AS last_bin,
+           CAST(floor((cum_toks - toks) / 256.0) AS INTEGER)
+             <> CAST(floor((cum_toks - 1) / 256.0) AS INTEGER) AS spans_boundary
+    FROM c
+    """,
+    doc="Concat-then-split sequence packing at a 256-token budget: cumulative "
+    "token offsets per source -> first/last bin per document and the "
+    "boundary-spanning flag a packed-shard writer needs.  Pure window "
+    "arithmetic, one shuffle on the group key "
+    "(operators/packing.py:pack_offsets).",
+)
+def pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing_ops.pack_offsets(table(spark, "documents", sf_dir), budget=256)
+
+
+@register(
+    "pack_next_fit",
+    oracle=None,  # sequential bin state is not SQL-expressible; see
+    # tests/test_packing.py for the budget/order/determinism properties and
+    # the pack_offsets parity bound
+    doc="Greedy next-fit packing at a 256-token budget: whole documents "
+    "only, new bin when the next document doesn't fit.  Sequential state -> "
+    "applyInPandas per source, parallel across sources "
+    "(operators/packing.py:pack_next_fit).",
+)
+def pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing_ops.pack_next_fit(table(spark, "documents", sf_dir), budget=256)

@@ -157,3 +157,53 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(g2).alias("pass_tokens"),
         F.count_if(g3).alias("pass_stopwords"),
     )
+
+
+# --- PII scrubbing (round 3) ------------------------------------------------
+
+def _pii_oracle() -> str:
+    """Build the sequential scrub CTE chain from the shared pattern table.
+
+    Single source of truth: the exact pattern strings from
+    textops.PII_PATTERNS are embedded, so a pattern edit cannot diverge the
+    two engines.  Patterns stay in the RE2/Java common subset; DuckDB needs
+    the explicit 'g' flag Spark applies implicitly.
+    """
+    ctes, prev = [], "text"
+    for i, (name, pattern, token) in enumerate(textops.PII_PATTERNS):
+        src = "documents" if i == 0 else f"s{i - 1}"
+        ctes.append(
+            f"s{i} AS (SELECT doc_id{', ' if i else ', '}"
+            + ", ".join(f"n_{n}" for n, _, _ in textops.PII_PATTERNS[:i])
+            + (", " if i else "")
+            + f"CAST(len(regexp_extract_all({prev}, '{pattern}')) AS INTEGER) AS n_{name}, "
+            f"regexp_replace({prev}, '{pattern}', '{token}', 'g') AS t{i} FROM {src})"
+        )
+        prev = f"t{i}"
+    n = len(textops.PII_PATTERNS)
+    counts = ", ".join(f"n_{name}" for name, _, _ in textops.PII_PATTERNS)
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT doc_id, {counts}, md5(t{n - 1}) AS scrubbed_md5 "
+        f"FROM s{n - 1}"
+    )
+
+
+@register(
+    "pii_scrub",
+    oracle=_pii_oracle(),
+    doc="PII redaction: email/SSN/IPv4/phone patterns replaced with typed "
+    "placeholders, counted per category as they are scrubbed (sequential, "
+    "no double counting).  Scan-stage regexp_replace chain — no shuffle, no "
+    "Python (operators/textops.py:scrub_pii).  This corpus contains no PII "
+    "(counts all zero, md5 = original), so the regex semantics are pinned "
+    "by tests/test_pii.py fixtures with synthetic PII; the oracle verifies "
+    "the full chain executes identically in both engines.",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        *textops.pii_counts(t),
+        F.md5(textops.scrub_pii(t)).alias("scrubbed_md5"),
+    )
