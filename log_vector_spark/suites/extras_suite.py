@@ -258,3 +258,88 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         )
     )
+
+
+@register(
+    "embedding_quantization",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> abs(x)),
+                         (acc, x) -> greatest(acc, x)) / 127.0 AS scale
+      FROM e
+    )
+    -- list_reduce folds: bit-identical to Spark's sequential F.aggregate
+    -- (list_sum may sum in a different order and drifts at the 6th dp).
+    -- 6-dp values are emitted as floor(x*1e6 + 0.5) scaled BIGINTs: engine
+    -- round() implementations disagree on decimal-boundary doubles
+    -- (BigDecimal-exact HALF_UP vs multiply-then-round), floor does not.
+    SELECT vec_id,
+           CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_e6,
+           CAST(floor(list_reduce(list_transform(v,
+                 x -> abs(x - floor(x / scale + 0.5) * scale)),
+                 (acc, x) -> greatest(acc, x)) * 1000000 + 0.5) AS BIGINT) AS max_abs_err_e6,
+           CAST(floor(list_reduce(list_transform(v,
+                   x -> x * floor(x / scale + 0.5) * scale), (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_transform(v,
+                        x -> floor(x / scale + 0.5) * scale
+                             * floor(x / scale + 0.5) * scale),
+                        (acc, x) -> acc + x))) * 1000000 + 0.5) AS BIGINT) AS cos_orig_e6,
+           CAST(list_reduce(list_transform(v,
+                 x -> abs(floor(x / scale + 0.5))),
+                 (acc, x) -> greatest(acc, x)) AS INTEGER) AS max_code
+    FROM s WHERE scale > 0
+    """,
+    doc="Symmetric per-vector int8 quantization audit: scale = max|x|/127, "
+    "code = floor(x/scale + 0.5) (explicit half-up — identical in both "
+    "engines, no engine round() dependence), dequant = code*scale.  Emits "
+    "per-vector scale, max reconstruction error, cosine(original, "
+    "dequantized) and the max |code| (bounded by 127 by construction).  "
+    "Scan-stage HOFs only — the 4x storage cut for a 100 TB embedding "
+    "column is decided by exactly this audit.  Zero vectors (scale 0) are "
+    "excluded in both engines.",
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    df = emb.select("vec_id", v.alias("v")).withColumn(
+        "scale",
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: F.abs(x)),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        )
+        / F.lit(127.0),
+    ).filter(F.col("scale") > 0)
+
+    def dq(x):
+        return F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale")
+
+    def lsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    def lmax(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: F.greatest(acc, x))
+
+    vv = F.col("v")
+    def e6(col):
+        # explicit scaled-int 6-dp: floor(x*1e6 + 0.5), identical in DuckDB
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+
+    return df.select(
+        "vec_id",
+        e6(F.col("scale")).alias("scale_e6"),
+        e6(lmax(F.transform(vv, lambda x: F.abs(x - dq(x))))).alias("max_abs_err_e6"),
+        e6(
+            lsum(F.transform(vv, lambda x: x * dq(x)))
+            / (
+                F.sqrt(lsum(F.transform(vv, lambda x: x * x)))
+                * F.sqrt(lsum(F.transform(vv, lambda x: dq(x) * dq(x))))
+            )
+        ).alias("cos_orig_e6"),
+        lmax(F.transform(vv, lambda x: F.abs(F.floor(x / F.col("scale") + F.lit(0.5)))))
+        .cast("int")
+        .alias("max_code"),
+    )

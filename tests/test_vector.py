@@ -138,3 +138,18 @@ def test_null_array_scores_null_not_zero(spark):
     ).collect()[0]
     assert r.c_hof is None and r.c_unrolled is None and r.c_rhs is None
     assert r.n_hof is None and r.n_unrolled is None
+
+
+@pytest.mark.spark
+def test_quantization_quality_floor(spark):
+    """int8 symmetric quantization: codes bounded by 127 by construction,
+    and 64-dim embeddings must keep cosine >= 0.999 after dequantization
+    (the audit that justifies the 4x storage cut)."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["embedding_quantization"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.max_code <= 127
+        assert r.cos_orig_e6 >= 999000
+        assert r.max_abs_err_e6 <= r.scale_e6 // 2 + 1  # err <= scale/2 (+1 ulp at 6dp)

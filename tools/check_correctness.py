@@ -98,6 +98,14 @@ def main() -> int:
         help="local[] parallelism — run the gate at several values to prove "
         "results are partition-count-invariant (the driver's setting is unknown)",
     )
+    ap.add_argument(
+        "--json",
+        default=None,
+        metavar="PATH",
+        help="also write a per-query result artifact (the committed "
+        "CORRECTNESS_full_r{N}.json files) so rounds have a full-registry "
+        "record beyond the driver's 50-query sample",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -123,6 +131,7 @@ def main() -> int:
         names = [n for n in names if n in set(args.only.split(","))]
 
     failed = []
+    record: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -130,27 +139,56 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
+            record[name] = {"status": "fail", "err": f"spark error: {e}"}
             continue
         if name not in oracles:
             status = f"rows-only ({len(sdf)} rows)"
             if len(sdf) == 0:
                 status += "  ** EMPTY **"
             print(f"ok?  {name}: {status}  [{time.time()-t0:.1f}s]")
+            record[name] = {"status": "rows-only", "spark_rows": len(sdf), "err": None}
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {e}")
             failed.append(name)
+            record[name] = {"status": "fail", "err": f"oracle error: {e}"}
             continue
         problems = compare(name, sdf, odf)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems) + f"  [{time.time()-t0:.1f}s]")
             failed.append(name)
+            record[name] = {
+                "status": "fail",
+                "spark_rows": len(sdf),
+                "oracle_rows": len(odf),
+                "err": "; ".join(problems),
+            }
         else:
             print(f"PASS {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
+            record[name] = {
+                "status": "pass",
+                "spark_rows": len(sdf),
+                "oracle_rows": len(odf),
+                "err": None,
+            }
 
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    if args.json:
+        import json
+
+        summary = {
+            "sf_dir": args.sf_dir,
+            "vanilla": args.vanilla,
+            "cpus": args.cpus,
+            "n_queries": len(names),
+            "n_passed": len(names) - len(failed),
+            "queries": record,
+        }
+        with open(args.json, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {args.json}")
     return 1 if failed else 0
 
 
