@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""One-decade scale experiment: build a 10x replica of sf0.1 (~sf1) and
+re-measure the most expensive queries to validate each operator's claimed
+scale posture empirically (VERDICT r2 item 7).
+
+The replica is NOT naive duplication — that would be a correctness lie for
+dedup/similarity operators (every copy would near-dup every original and
+candidate pairs would explode for the wrong reason).  Per copy i:
+
+* fact/dim keys shift by (max_key + 1) * i, so join fan-outs and group
+  cardinalities scale linearly, exactly as a larger TPC-H sf does;
+* document text is translated through a 10-letter rotation (distinct per
+  copy), so cross-copy shingle overlap vanishes while WITHIN-copy
+  duplicates are preserved — the duplicate RATE stays constant;
+* embeddings are circularly shifted by 6*i dimensions, decorrelating
+  copies in cosine space while keeping within-copy neighbor structure.
+
+Writes the replica under .scratch/sf1-replica/ (gitignored, ~1 GB) and
+prints one JSON line: per-query seconds at sf0.1 and sf1 and the ratio.
+A linear-posture operator should land near 10x (modulo fixed overheads);
+anything super-linear is a scale bug to fix or document.
+
+Usage: python tools/scale_bench.py [--skip-build] [--queries a,b,c]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1-replica")
+COPIES = 10
+
+# the expensive set from BENCH_r02 + one representative per posture class
+DEFAULT_QUERIES = [
+    "tpch_q1",              # pure scan+agg: must be ~linear
+    "tpch_q5_region",       # shuffle-join chain: ~linear
+    "tpch_q13_custdist",    # outer join + two-level agg: ~linear
+    "events_hourly",        # time-bucket agg: ~linear
+    "dedup_ngram_jaccard",  # shingle equi-join: ~linear in pairs
+    "dedup_minhash_pairs",  # LSH banding: ~linear
+    "similarity_join",      # label-blocked pairs: fixed #labels -> QUADRATIC per block
+    "dedup_embedding",      # label-blocked near-dup: same quadratic risk
+    "dedup_embedding_ivf",  # IVF blocks scale with data: should stay ~linear
+    "dedup_clusters",       # iterative CC over LSH pairs
+]
+
+
+def _shift(df, col, offset):
+    from pyspark.sql import functions as F
+
+    return df.withColumn(col, F.col(col) + F.lit(offset))
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(OUT, exist_ok=True)
+    raw = {t: spark.read.parquet(f"{SRC}/{t}.parquet") for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    )}
+    maxes = {
+        "orderkey": raw["orders"].agg(F.max("o_orderkey")).first()[0] + 1,
+        "custkey": raw["customer"].agg(F.max("c_custkey")).first()[0] + 1,
+        "suppkey": raw["supplier"].agg(F.max("s_suppkey")).first()[0] + 1,
+        "partkey": raw["part"].agg(F.max("p_partkey")).first()[0] + 1,
+        "doc_id": raw["documents"].agg(F.max("doc_id")).first()[0] + 1,
+        "vec_id": raw["embeddings"].agg(F.max("vec_id")).first()[0] + 1,
+        "event_id": raw["events"].agg(F.max("event_id")).first()[0] + 1,
+        "user_id": raw["events"].agg(F.max("user_id")).first()[0] + 1,
+    }
+
+    alpha = "abcdefghij"
+
+    def copies(name):
+        out = None
+        for i in range(COPIES):
+            df = raw[name]
+            if name == "orders":
+                df = _shift(_shift(df, "o_orderkey", maxes["orderkey"] * i), "o_custkey", maxes["custkey"] * i)
+            elif name == "lineitem":
+                df = _shift(_shift(_shift(df, "l_orderkey", maxes["orderkey"] * i), "l_partkey", maxes["partkey"] * i), "l_suppkey", maxes["suppkey"] * i)
+            elif name == "customer":
+                df = _shift(df, "c_custkey", maxes["custkey"] * i)
+            elif name == "supplier":
+                df = _shift(df, "s_suppkey", maxes["suppkey"] * i)
+            elif name == "part":
+                df = _shift(df, "p_partkey", maxes["partkey"] * i)
+            elif name == "events":
+                df = _shift(_shift(df, "event_id", maxes["event_id"] * i), "user_id", maxes["user_id"] * i)
+            elif name == "documents":
+                rot = alpha[i:] + alpha[:i]
+                df = _shift(df, "doc_id", maxes["doc_id"] * i).withColumn(
+                    "text", F.translate(F.col("text"), alpha, rot)
+                )
+            elif name == "embeddings":
+                s = (6 * i) % 64
+                df = _shift(df, "vec_id", maxes["vec_id"] * i)
+                if s:
+                    df = df.withColumn(
+                        "embedding",
+                        F.concat(F.slice("embedding", s + 1, 64 - s), F.slice("embedding", 1, s)),
+                    )
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    for t in raw:
+        dest = f"{OUT}/{t}.parquet"
+        if os.path.exists(dest + "/_SUCCESS"):
+            continue
+        n_files = 1 if t in ("region", "nation") else 16
+        copies(t).repartition(n_files).write.mode("overwrite").parquet(dest)
+        print(f"built {t}", file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from log_vector_spark.session import get_spark
+
+    spark = get_spark("scale-bench")
+    if not args.skip_build:
+        build(spark)
+
+    qs = entrymod.queries()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # runtime warmup
+
+    results = {}
+    for name in args.queries.split(","):
+        fn = qs[name]
+        per_sf = {}
+        for label, d in (("sf0.1", SRC), ("sf1", OUT)):
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            per_sf[label] = round(min(runs), 2)
+            print(f"# {name} {label}: {[round(r,2) for r in runs]}", file=sys.stderr, flush=True)
+        per_sf["ratio"] = round(per_sf["sf1"] / per_sf["sf0.1"], 1)
+        results[name] = per_sf
+
+    print(json.dumps({"metric": "sf1_scale_ratios", "copies": COPIES, "queries": results}))
+
+
+if __name__ == "__main__":
+    main()
