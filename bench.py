@@ -63,6 +63,14 @@ HEADLINE = [
     "tpch_q17_small_qty",  # decorrelated scalar-average join
     "tpch_q22_idle_customers",  # scalar subquery + anti join
     "dedup_clusters",      # connected components over LSH pairs (iterative)
+    # round-3 additions
+    "tpch_q7_volume_shipping",    # bilateral-trade star join (faithful Q7)
+    "tpch_q21_waiting_suppliers", # EXISTS + NOT EXISTS double correlation
+    "tpch_q2_best_supplier",      # decorrelated per-group extremum window
+    "pack_offsets",               # sequence packing window arithmetic
+    "pii_scrub",                  # scan-stage regex redaction chain
+    "dedup_edit_distance",        # blocked levenshtein near-dup
+    "embedding_quantization",     # int8 quantization audit HOFs
 ]
 
 

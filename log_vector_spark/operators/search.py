@@ -263,18 +263,47 @@ def knn_ivf(
     return scored.select(vec_id, "score").orderBy(F.desc("score"), F.asc(vec_id)).limit(k)
 
 
+def sqrt_stride(n: int, floor_: int = 16) -> int:
+    """IVF stride for cost-balanced N^1.5 total work: ~sqrt(N)/4.
+
+    A FIXED stride makes centroid count grow linearly with the data, which
+    turns the broadcast argmin assignment into the quadratic term —
+    measured in the one-decade replica experiment (SCALE_r03.json):
+    dedup_embedding_ivf ran at 10.6x for 10x data with stride 37 (N x N/37
+    assignment dots) while every scan/join op ran 1-3x.
+
+    The constant matters as much as the exponent.  Total cost is
+    a·N·(N/s) + p·N·s (assignment dots + within-list pair dots), minimized
+    at s* = sqrt(N·a/p).  The two are NOT equal-cost units: solving the
+    measured sf1-replica pair (stride 37 -> 20.7 s, stride 141 -> 38.7 s,
+    N = 20k) gives p/a ~ 13 — a pair unit is an interpreted HOF dot inside
+    a shuffle join plus the shuffle of both 64-float arrays, an assignment
+    unit is one dot in a codegen'd broadcast stage (BASELINE.md lesson 7).
+    Hence s* ~ sqrt(N)/4, which also lands on the old fixed 37 at N = 20k
+    — correct there by accident, quadratic beyond it.
+    """
+    import math
+
+    return max(floor_, int(math.floor(math.sqrt(n) / 4 + 0.5)))
+
+
 def make_centroids(
     vectors: DataFrame,
-    every: int = 37,
+    every: int | None = None,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic centroid pick: every `every`-th vector (cosine scoring is
-    scale-invariant, so no normalization needed).
+    scale-invariant, so no normalization needed).  Default stride is the
+    sqrt(N) rule (`sqrt_stride` — one count() scan to size it); pass a
+    fixed `every` for reproducible fixtures.
 
-    (A real deployment would run k-means; a fixed stride keeps the operator
-    reproducible for the oracle while exercising the identical plan shape.)
+    (A real deployment would run k-means; a deterministic stride keeps the
+    operator reproducible for the oracle while exercising the identical
+    plan shape.)
     """
+    if every is None:
+        every = sqrt_stride(vectors.count())
     return vectors.filter(F.col(vec_id) % every == 0).select(
         F.col(vec_id).alias("list_id"),
         F.col(vec_col).alias("centroid"),

@@ -190,7 +190,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_ivf",
     oracle="""
     WITH centroids AS (
-      SELECT vec_id AS list_id, embedding AS centroid FROM embeddings WHERE vec_id % 37 = 0
+      -- sqrt(N) stride (same rule as search.sqrt_stride): N^1.5 total cost
+      SELECT vec_id AS list_id, embedding AS centroid
+      FROM embeddings, (SELECT greatest(16, CAST(floor(sqrt(count(*)) / 4 + 0.5) AS BIGINT)) AS s FROM embeddings) st WHERE vec_id % st.s = 0
     ), assigned AS (
       SELECT vec_id, list_id FROM (
         SELECT e.vec_id, c.list_id,
@@ -224,7 +226,7 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.operators.search import make_centroids
 
     emb = table(spark, "embeddings", sf_dir)
-    return dedup.embedding_near_dup_ivf_survivors(emb, make_centroids(emb, every=37), threshold=0.35)
+    return dedup.embedding_near_dup_ivf_survivors(emb, make_centroids(emb), threshold=0.35)
 
 
 @register(

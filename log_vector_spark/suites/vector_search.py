@@ -96,7 +96,9 @@ def similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_ivf",
     oracle=f"""
     WITH centroids AS (
-      SELECT vec_id AS list_id, embedding AS centroid FROM embeddings WHERE vec_id % 37 = 0
+      -- sqrt(N) stride (same rule as search.sqrt_stride): N^1.5 total cost
+      SELECT vec_id AS list_id, embedding AS centroid
+      FROM embeddings, (SELECT greatest(16, CAST(floor(sqrt(count(*)) / 4 + 0.5) AS BIGINT)) AS s FROM embeddings) st WHERE vec_id % st.s = 0
     ), probed AS (
       SELECT list_id FROM (
         SELECT list_id, round({_cos('centroid', _Q)}, 6) AS qscore FROM centroids
@@ -121,7 +123,7 @@ def similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, "embeddings", sf_dir)
-    cents = search.make_centroids(emb, every=37)
+    cents = search.make_centroids(emb)  # sqrt(N)-stride default
     return search.knn_ivf(emb, cents, QVEC, k=5, nprobe=4)
 
 

@@ -35,7 +35,7 @@ def test_ivf_full_probe_equals_exact(spark, emb):
     from log_vector_spark.functions.vector import fixed_query_vector
     from log_vector_spark.operators.search import knn_ivf, knn_topk, make_centroids
 
-    cents = make_centroids(emb)
+    cents = make_centroids(emb, every=37)
     n_lists = cents.count()
     q = fixed_query_vector(dim=64, seed=7)
     exact = knn_topk(emb, q, k=K).collect()
@@ -48,7 +48,7 @@ def test_ivf_recall_monotone_and_useful(spark, emb):
     from log_vector_spark.functions.vector import fixed_query_vector
     from log_vector_spark.operators.search import knn_ivf, knn_topk, make_centroids
 
-    cents = make_centroids(emb)
+    cents = make_centroids(emb, every=37)
     recalls_8 = []
     for seed in SEEDS:
         q = fixed_query_vector(dim=64, seed=seed)

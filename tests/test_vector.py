@@ -153,3 +153,14 @@ def test_quantization_quality_floor(spark):
         assert 0 < r.max_code <= 127
         assert r.cos_orig_e6 >= 999000
         assert r.max_abs_err_e6 <= r.scale_e6 // 2 + 1  # err <= scale/2 (+1 ulp at 6dp)
+
+
+def test_sqrt_stride_policy():
+    from log_vector_spark.operators.search import sqrt_stride
+
+    assert sqrt_stride(100) == 16          # floor wins at tiny N
+    assert sqrt_stride(2_000) == 16        # sf0.01-scale
+    assert sqrt_stride(20_000) == 35       # ~the empirically optimal 37 at sf1
+    assert sqrt_stride(2_000_000) == 354   # keeps growing as sqrt(N)/4
+    # asymptotics: work a*N^2/s + p*N*s is N^1.5 when s ~ sqrt(N)
+    assert sqrt_stride(200_000_000) == 3536
