@@ -112,6 +112,15 @@ BASELINE_SEC = {
     "tpch_q17_small_qty": 0.66,
     "tpch_q22_idle_customers": 0.43,
     "dedup_clusters": 2.9,
+    # r3 rows, measured in the round-3 window (~1.4-1.5x slower than the r1
+    # clean window — treat as upper bounds like the r2 rows)
+    "tpch_q7_volume_shipping": 1.32,
+    "tpch_q21_waiting_suppliers": 1.31,
+    "tpch_q2_best_supplier": 1.11,
+    "pack_offsets": 0.32,
+    "pii_scrub": 0.48,
+    "dedup_edit_distance": 7.54,
+    "embedding_quantization": 0.66,
 }
 
 

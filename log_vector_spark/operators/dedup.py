@@ -565,7 +565,12 @@ def edit_distance_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.levenshtein(F.col("a.t"), F.col("b.t")).alias("dist"),
+            # banded DP: with a threshold the kernel fills a (2d+1)-wide
+            # diagonal band, O(d*len) per pair instead of O(len^2) — at
+            # sf0.1 (175k candidate pairs of ~300-char docs) this is the
+            # difference between ~2G and ~16G DP cells.  Returns -1 when
+            # the distance exceeds the threshold.
+            F.levenshtein(F.col("a.t"), F.col("b.t"), max_dist).alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") >= 0)
     )

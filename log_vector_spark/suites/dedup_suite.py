@@ -406,3 +406,90 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_distance_pairs(table(spark, "documents", sf_dir))
+
+
+# --- PageRank over the near-dup graph (round 3) -----------------------------
+
+_PAIRS_CTE = f"""
+    docs AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
+    h AS (SELECT doc_id, {_MH_BASE} AS h FROM sh),
+    seeded AS (SELECT doc_id, h, unnest(range(0, 8)) AS seed FROM h),
+    sig AS (SELECT doc_id, seed,
+                   min((h * ({_MH_AS}[CAST(seed AS INTEGER) + 1]) + seed) % {_MH_P}) AS minhash
+            FROM seeded GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY 1, 2),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              WHERE a.doc_id < b.doc_id)
+"""
+
+_PR_SCALE = 1_000_000_000_000  # fixed-point micro-micro units
+
+
+def _pr_iter_sql(k: int) -> str:
+    prev = "r0" if k == 1 else f"i{k - 1}"
+    return f"""
+    c{k} AS (SELECT ed.v, sum({prev}.r // ed.deg) AS contrib
+             FROM ed JOIN {prev} ON ed.u = {prev}.v GROUP BY 1),
+    i{k} AS (SELECT d.doc_id AS v,
+                    (SELECT (15 * {_PR_SCALE}) // (100 * count(*)) FROM documents)
+                    + (85 * COALESCE(c{k}.contrib, 0)) // 100 AS r
+             FROM documents d LEFT JOIN c{k} ON d.doc_id = c{k}.v)"""
+
+
+@register(
+    "doc_pagerank",
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+    deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+    ed AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg ON e.u = deg.u),
+    r0 AS (SELECT doc_id AS v,
+                  (SELECT {_PR_SCALE} // count(*) FROM documents) AS r
+           FROM documents),
+    {_pr_iter_sql(1)},
+    {_pr_iter_sql(2)},
+    {_pr_iter_sql(3)}
+    SELECT v AS doc_id, r AS rank_fp FROM i3
+    """,
+    doc="PageRank (damping 0.85, 3 unrolled iterations) over the symmetric "
+    "MinHash-LSH near-dup graph, in FIXED-POINT integer arithmetic: float "
+    "sums are partitioning-order-dependent, BIGINT sums are associative, so "
+    "the identical rank lands bit-exact in any engine at any parallelism — "
+    "the reproducibility property a cross-cluster dedup-authority score "
+    "needs.  Each iteration is one join + one aggregate on the edge list "
+    "(shuffle = |edges|); dangling mass is deliberately not redistributed "
+    "(documented deviation from textbook PR — it needs a per-iteration "
+    "global scalar that would add a barrier per round).",
+)
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    n = docs.count()
+    base = (15 * _PR_SCALE) // (100 * n)
+    pairs = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2)
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # (u, v, deg(u)) once — reused by every iteration
+    ed = e.join(deg, "u").localCheckpoint(eager=False)
+    ranks = docs.select(
+        F.col("doc_id").alias("v"), F.lit(_PR_SCALE // n).cast("long").alias("r")
+    )
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    for _ in range(3):
+        contrib = (
+            ed.join(ranks, ed.u == ranks.v)
+            .select(ed.v.alias("dst"), F.expr("r div deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, nodes.v == contrib.dst, "left").select(
+            nodes.v,
+            (F.lit(base) + F.expr("85 * coalesce(contrib, 0) div 100")).alias("r"),
+        )
+    return ranks.select(F.col("v").alias("doc_id"), F.col("r").alias("rank_fp"))

@@ -343,3 +343,45 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("max_code"),
     )
+
+
+@register(
+    "events_zorder_buckets",
+    oracle=(lambda _z: f"""
+    WITH d AS (
+      SELECT user_id % 256 AS x,
+             (dayofyear(ts) * 24 + hour(ts)) % 256 AS y
+      FROM events
+    ), z AS (SELECT x, y, {_z} AS zv FROM d)
+    SELECT zv >> 10 AS z_bucket, count(*) AS n,
+           min(x) AS min_user_b, max(x) AS max_user_b,
+           CAST(min(y) AS INTEGER) AS min_hour_b, CAST(max(y) AS INTEGER) AS max_hour_b
+    FROM z GROUP BY 1
+    """)(__import__("log_vector_spark.operators.layout", fromlist=["zvalue_sql"]).zvalue_sql("x", "y", bits=8)),
+    doc="Z-order clustering audit: Morton-interleave (user bucket, hour "
+    "bucket), 8-bit dims, group by the top 6 z-bits (the file-assignment a clustered "
+    "writer uses — operators/layout.py:zorder_write) and report each "
+    "bucket's bounding box.  Small boxes on BOTH dims = parquet min/max "
+    "stats prune files for filters on either column.  Pure shift/mask "
+    "arithmetic in the scan stage; the oracle carries the identical "
+    "interleave expression.",
+)
+def events_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.layout import zvalue
+
+    ev = table(spark, "events", sf_dir)
+    d = ev.select(
+        (F.col("user_id") % 256).alias("x"),
+        ((F.dayofyear("ts") * 24 + F.hour("ts")) % 256).cast("bigint").alias("y"),
+    )
+    z = d.withColumn("zv", zvalue(F.col("x"), F.col("y"), bits=8))
+    return (
+        z.groupBy(F.shiftright("zv", 10).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_user_b"),
+            F.max("x").alias("max_user_b"),
+            F.min("y").cast("int").alias("min_hour_b"),
+            F.max("y").cast("int").alias("max_hour_b"),
+        )
+    )
