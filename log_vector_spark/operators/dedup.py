@@ -574,3 +574,61 @@ def edit_distance_pairs(
         )
         .filter(F.col("dist") >= 0)
     )
+
+
+def edit_distance_pairs_banded(
+    docs: DataFrame,
+    max_dist: int = 20,
+    min_common: int = 5,
+    df_cap: int = 64,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by bounded Levenshtein with CONTENT-derived candidates.
+
+    `edit_distance_pairs` blocks on (lang, length-bucket) — fixed
+    cardinality, so blocks densify quadratically as the corpus grows
+    (measured: 175k candidates at sf0.1 for 25 true pairs).  Here the
+    candidate set derives from the content itself: pairs sharing at least
+    `min_common` RARE shingles (document frequency <= `df_cap`).  Docs
+    within edit distance d of ~L chars share all but O(d) shingles, so the
+    recall floor is generous; shingles above the df cap are skipped the way
+    search engines skip stopwords — hot shingles generate quadratic join
+    fan-out but carry no pair information.  Candidate count tracks the TRUE
+    near-dup rate (25 candidates -> 25 pairs at sf0.01), not the corpus
+    density, and every stage is an equi-join or aggregate.  Verification is
+    the threshold-banded JVM levenshtein, O(d*len) per pair.
+    """
+    w = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    sh = w.select(
+        "id",
+        F.explode(
+            F.array_distinct(shingles_from_words(tokens(F.col("t")), shingle_n))
+        ).alias("shingle"),
+    )
+    rare = sh.join(
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= df_cap),
+        "shingle",
+    ).select("id", "shingle")
+    cand = (
+        rare.select(F.col("shingle"), F.col("id").alias("id_a"))
+        .join(rare.select(F.col("shingle"), F.col("id").alias("id_b")), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    ta = w.select(F.col("id").alias("id_a"), F.col("t").alias("t_a"))
+    tb = w.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.abs(F.length("t_a") - F.length("t_b")) <= max_dist)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("t_a"), F.col("t_b"), max_dist).alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )

@@ -493,3 +493,30 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(base) + F.expr("85 * coalesce(contrib, 0) div 100")).alias("r"),
         )
     return ranks.select(F.col("v").alias("doc_id"), F.col("r").alias("rank_fp"))
+
+
+@register(
+    "dedup_edit_distance_banded",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_WORDS} AS words, text FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle) WHERE df.df <= 64),
+    cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING count(*) >= 5)
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(da.text, db.text) AS INTEGER) AS dist
+    FROM cand c JOIN docs da ON c.id_a = da.doc_id JOIN docs db ON c.id_b = db.doc_id
+    WHERE abs(length(da.text) - length(db.text)) <= 20
+      AND levenshtein(da.text, db.text) <= 20
+    """,
+    doc="Bounded-Levenshtein near-dup with content-derived candidates: pairs "
+    "sharing >= 5 rare shingles (df <= 64), then banded levenshtein verify.  "
+    "Candidate count tracks the true dup rate, not corpus density — the "
+    "scale-correct form of dedup_edit_distance (which measured 175k "
+    "fixed-block candidates at sf0.1 for 25 true pairs; this generates 25).  "
+    "operators/dedup.py:edit_distance_pairs_banded.",
+)
+def dedup_edit_distance_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.edit_distance_pairs_banded(table(spark, "documents", sf_dir))
