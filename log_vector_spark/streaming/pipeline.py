@@ -315,3 +315,63 @@ def read_continuous_rollup(spark: SparkSession, out_path: str) -> DataFrame:
         F.round(F.col("tv").cast("double"), 6).alias("total_value"),
         F.round((F.col("tv").cast("double") / F.col("n")), 6).alias("avg_value"),
     )
+
+
+def run_stream_ivf_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    max_files_per_trigger: int = 1,
+) -> dict:
+    """Streaming vector ingestion with incremental IVF assignment.
+
+    The write-time half of the IVF design (SCALE.md "Vector search"): as
+    embedding batches arrive, each vector is assigned to its nearest
+    centroid and appended to the store PARTITIONED BY list_id, so query-time
+    probes prune to nprobe/nlists of the files from the first batch onward.
+
+    Centroids are frozen from the FIRST batch (sqrt-stride over it): IVF
+    lists must be stable across a stream — re-deriving centroids per batch
+    would scatter the same vector to different lists over time.  A real
+    deployment re-trains centroids offline and rewrites the store when
+    recall degrades (the compaction job is the natural place).  Assignment
+    is the same broadcast argmin as the batch path; foreachBatch appends
+    each micro-batch with dynamic partition placement.
+
+    Returns {'rows': total rows written, 'n_lists': centroid count}.
+    """
+    from log_vector_spark.operators.search import ivf_assign, make_centroids
+
+    emb_schema = "vec_id long, embedding array<float>, label int"
+    src = (
+        spark.readStream.schema(emb_schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(sf_dir)
+    )
+
+    state: dict = {"centroids": None}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if state["centroids"] is None:
+            state["centroids"] = make_centroids(batch_df).localCheckpoint(eager=True)
+        assigned = ivf_assign(batch_df, state["centroids"])
+        (
+            assigned.select("vec_id", "embedding", "label", "list_id")
+            .write.mode("append")
+            .partitionBy("list_id")
+            .parquet(out_path)
+        )
+
+    q = src.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stored = spark.read.parquet(out_path)
+    return {
+        "rows": stored.count(),
+        "n_lists": stored.select("list_id").distinct().count(),
+    }
