@@ -71,6 +71,9 @@ HEADLINE = [
     "pii_scrub",                  # scan-stage regex redaction chain
     "dedup_edit_distance",        # blocked levenshtein near-dup
     "embedding_quantization",     # int8 quantization audit HOFs
+    "dedup_edit_distance_banded", # rare-shingle candidates + banded levenshtein
+    "doc_pagerank",               # fixed-point iterative graph rank
+    "events_zorder_buckets",      # Morton interleave + bucket agg
 ]
 
 
@@ -121,6 +124,9 @@ BASELINE_SEC = {
     "pii_scrub": 0.48,
     "dedup_edit_distance": 7.54,
     "embedding_quantization": 0.66,
+    "dedup_edit_distance_banded": 4.3,
+    "doc_pagerank": 2.73,
+    "events_zorder_buckets": 0.47,
 }
 
 

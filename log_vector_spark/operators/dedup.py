@@ -580,7 +580,7 @@ def edit_distance_pairs_banded(
     docs: DataFrame,
     max_dist: int = 20,
     min_common: int = 5,
-    df_cap: int = 64,
+    df_cap: int = 16,
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -591,7 +591,13 @@ def edit_distance_pairs_banded(
     cardinality, so blocks densify quadratically as the corpus grows
     (measured: 175k candidates at sf0.1 for 25 true pairs).  Here the
     candidate set derives from the content itself: pairs sharing at least
-    `min_common` RARE shingles (document frequency <= `df_cap`).  Docs
+    `min_common` RARE shingles (document frequency <= `df_cap`).  Join
+    fan-out is bounded by df_cap^2 per shingle and the total candidate
+    volume by df_cap x |postings| — linear in the corpus with a constant
+    the cap controls.  Measured on this corpus: cap 64 and cap 16 verify
+    the IDENTICAL pair set at sf0.01 AND sf0.1 (dup-shared shingles have
+    tiny df by nature) while cap 16 is up to 16x cheaper in the join;
+    cap 8 starts losing pairs (256 -> 178 at sf0.1).  Docs
     within edit distance d of ~L chars share all but O(d) shingles, so the
     recall floor is generous; shingles above the df cap are skipped the way
     search engines skip stopwords — hot shingles generate quadratic join
@@ -601,16 +607,28 @@ def edit_distance_pairs_banded(
     the threshold-banded JVM levenshtein, O(d*len) per pair.
     """
     w = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    sh = w.select(
+    # words materialized as a real column BEFORE shingling: an expression
+    # argument re-evaluates inside the transform lambda per gram — the
+    # quadratic re-split of BASELINE.md round-1 lesson 2 (measured here:
+    # 8.7 s -> 0.6 s for the derivation stage at sf0.1)
+    words = w.select("id", tokens(F.col("t")).alias("words"))
+    sh = words.select(
         "id",
         F.explode(
-            F.array_distinct(shingles_from_words(tokens(F.col("t")), shingle_n))
+            F.array_distinct(shingles_from_words(F.col("words"), shingle_n))
         ).alias("shingle"),
     )
-    rare = sh.join(
-        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= df_cap),
-        "shingle",
-    ).select("id", "shingle")
+    # rare feeds BOTH sides of the candidate self-join (and derives from an
+    # explode + HOF subtree + a df aggregate) — materialize it once instead
+    # of recomputing the whole derivation per join side
+    rare = (
+        sh.join(
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= df_cap),
+            "shingle",
+        )
+        .select("id", "shingle")
+        .localCheckpoint(eager=False)
+    )
     cand = (
         rare.select(F.col("shingle"), F.col("id").alias("id_a"))
         .join(rare.select(F.col("shingle"), F.col("id").alias("id_b")), "shingle")

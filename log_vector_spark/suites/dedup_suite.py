@@ -501,7 +501,7 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH docs AS (SELECT doc_id, {_WORDS} AS words, text FROM documents),
     sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
     df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
-    rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle) WHERE df.df <= 64),
+    rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle) WHERE df.df <= 16),
     cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
              FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
              GROUP BY 1, 2 HAVING count(*) >= 5)
@@ -512,7 +512,7 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND levenshtein(da.text, db.text) <= 20
     """,
     doc="Bounded-Levenshtein near-dup with content-derived candidates: pairs "
-    "sharing >= 5 rare shingles (df <= 64), then banded levenshtein verify.  "
+    "sharing >= 5 rare shingles (df <= 16), then banded levenshtein verify.  "
     "Candidate count tracks the true dup rate, not corpus density — the "
     "scale-correct form of dedup_edit_distance (which measured 175k "
     "fixed-block candidates at sf0.1 for 25 true pairs; this generates 25).  "
