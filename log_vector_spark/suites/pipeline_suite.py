@@ -524,3 +524,66 @@ def pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_ops.pack_next_fit(table(spark, "documents", sf_dir), budget=256)
+
+
+_RERANK_TERMS = ("table", "scan", "join", "filter", "query")
+
+
+@register(
+    "rag_rerank",
+    oracle=f"""
+    WITH scored AS (
+      SELECT vec_id,
+             round(list_cosine_similarity(embedding::DOUBLE[],
+                   {vector_sql_literal(fixed_query_vector(64))}::DOUBLE[]), 6) AS score
+      FROM embeddings
+    ), cand AS (
+      SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 20
+    ), overl AS (
+      SELECT c.vec_id, c.score,
+             CAST(len(list_intersect(
+                   list_distinct(list_filter(string_split(d.text, ' '), x -> x <> '')),
+                   ['table', 'scan', 'join', 'filter', 'query'])) AS INTEGER) AS overlap
+      FROM cand c JOIN documents d ON d.doc_id = c.vec_id
+    )
+    SELECT vec_id, score, overlap,
+           CAST(row_number() OVER (ORDER BY overlap DESC, score DESC, vec_id ASC) AS INTEGER) AS rank
+    FROM overl ORDER BY rank LIMIT 5
+    """,
+    doc="Retrieve-then-rerank: ANN/exact retrieval gets top-20 by cosine "
+    "(cheap, recall-oriented), a second-stage scorer reranks to top-5 — "
+    "here a lexical query-term-overlap score standing in for a "
+    "cross-encoder (which would be a pandas_udf at the same spot; the "
+    "plumbing — small candidate set, broadcast join to the doc table, "
+    "rerank window — is identical).  The two-stage shape is what makes "
+    "reranking affordable at 100 TB: the expensive scorer sees 20 rows, "
+    "not the corpus.",
+)
+def rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from log_vector_spark.functions.text import distinct_tokens
+
+    emb = table(spark, "embeddings", sf_dir)
+    docs = table(spark, "documents", sf_dir)
+    cand = search.knn_topk(emb, fixed_query_vector(64), k=20)
+    overl = docs.join(F.broadcast(cand), docs.doc_id == cand.vec_id).select(
+        "vec_id",
+        "score",
+        F.size(
+            F.array_intersect(
+                distinct_tokens(F.col("text")),
+                F.array(*[F.lit(t) for t in _RERANK_TERMS]),
+            )
+        ).alias("overlap"),
+    )
+    return (
+        overl.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("overlap"), F.desc("score"), F.asc("vec_id"))
+            ),
+        )
+        .orderBy("rank")
+        .limit(5)
+    )
