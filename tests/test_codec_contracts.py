@@ -30,3 +30,20 @@ def test_decode_audio_names_missing_dependency():
         pass
     with pytest.raises(NotImplementedError, match="audio codec"):
         decode_audio(b"RIFF")
+
+
+def test_pdf_extract_degrades_to_null_without_pypdf():
+    """S4 contract (VERDICT r2 item 4): with pypdf absent the per-page
+    extractor must degrade to NULL per file — never raise — preserving the
+    reference's per-file error isolation (index.py:281-295).  If pypdf IS
+    installed, a garbage blob still isolates to NULL."""
+    import pandas as pd
+
+    from log_vector_spark.sources.corpus import extract_pdf_text
+
+    # call the pandas_udf's underlying kernel directly (no session needed)
+    kernel = extract_pdf_text.func
+    out = list(kernel(iter([pd.Series([b"%PDF-garbage", None])])))
+    assert len(out) == 1
+    vals = list(out[0])
+    assert vals == [None, None]
