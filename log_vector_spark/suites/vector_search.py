@@ -165,3 +165,48 @@ def knn_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+@register(
+    "similarity_join_ivf",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS list_id, embedding AS centroid
+      FROM embeddings,
+           (SELECT greatest(16, CAST(floor(sqrt(count(*)) / 4 + 0.5) AS BIGINT)) AS s
+            FROM embeddings) st
+      WHERE vec_id % st.s = 0
+    ), assigned AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_cos('e.embedding', 'c.centroid')}, 6) DESC, c.list_id ASC
+               ) AS crank
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE crank = 1
+    ), u AS (
+      SELECT a.list_id, e.vec_id,
+             list_transform(embedding::DOUBLE[], x -> x /
+               sqrt(list_reduce(list_transform(embedding::DOUBLE[], y -> y * y),
+                                (acc, v) -> acc + v))) AS unit
+      FROM embeddings e JOIN assigned a USING (vec_id)
+    )
+    SELECT a.list_id AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.unit, b.unit), 6) AS score
+    FROM u a JOIN u b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.25
+    """,
+    doc="Similarity join with IVF-list blocking — the label-free scale twin "
+    "of similarity_join.  The label-blocked form's candidate volume grows "
+    "quadratically when label cardinality is fixed (measured 6.5x for 10x "
+    "data, SCALE_r03.json); IVF lists derive from the data with the "
+    "sqrt-stride rule, so within-list pair volume stays ~N^1.5 at any "
+    "scale.  Same salted pair generator, same exact in-block verify.",
+)
+def similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    assigned = search.ivf_assign(emb, search.make_centroids(emb)).select(
+        "vec_id", "embedding", "list_id"
+    )
+    return search.similarity_join(assigned, threshold=0.25, block_col="list_id")
