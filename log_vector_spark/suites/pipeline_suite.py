@@ -587,3 +587,91 @@ def rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(5)
     )
+
+
+def _nested_scrub_sql(col: str) -> str:
+    """The pii chain as one nested regexp_replace expression (fragment form
+    of text_suite._pii_oracle, for composing into larger pipelines)."""
+    from log_vector_spark.operators.textops import PII_PATTERNS
+
+    out = col
+    for _, pattern, token in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pattern}', '{token}', 'g')"
+    return out
+
+
+@register(
+    "training_data_pipeline",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, lang, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source, lang, text,
+             CAST(len(words) AS INTEGER) AS n_tokens,
+             CAST(len(list_filter(words, t -> t IN ('the', 'a', 'of', 'to', 'and')))
+                  AS INTEGER) AS n_stop
+      FROM d
+    ), q AS (
+      SELECT doc_id, source, text, n_tokens,
+             round((n_stop / n_tokens) * 0.5 + least(n_tokens, 100) / 100.0 * 0.5, 6) AS quality
+      FROM m WHERE lang = 'en'
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), surv AS (
+      SELECT q.doc_id, q.source, {_nested_scrub_sql('q.text')} AS scrubbed
+      FROM q JOIN keep USING (doc_id)
+      WHERE n_tokens >= 30 AND quality >= 0.3
+    ), t AS (
+      SELECT doc_id, source, scrubbed,
+             CAST(len(list_filter(string_split(scrubbed, ' '), x -> x <> '')) AS BIGINT) AS toks
+      FROM surv
+    ), c AS (
+      SELECT *, CAST(sum(toks) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_toks
+      FROM t
+    )
+    SELECT doc_id, source, toks, cum_toks,
+           CAST(floor((cum_toks - toks) / 256.0) AS INTEGER) AS first_bin,
+           CAST(floor((cum_toks - 1) / 256.0) AS INTEGER) AS last_bin,
+           md5(scrubbed) AS scrubbed_md5
+    FROM c
+    """,
+    doc="The full training-data preparation chain as ONE lazy plan: language "
+    "filter -> quality floor -> exact-dedup survivors -> PII scrub -> token "
+    "count -> concat-then-split packing assignment per source.  Every stage "
+    "is an already-oracle-checked operator (text_quality, exact_dedup, "
+    "scrub_pii, pack_offsets); the composition shuffles three times "
+    "(dedup's hash agg, the survivor semi-join, the packing window) — "
+    "everything else rides the scan stage.  Per-document output ready for a packed-shard writer.",
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from log_vector_spark.functions.text import tokens as tok_fn
+    from log_vector_spark.operators import dedup, textops
+
+    docs = table(spark, "documents", sf_dir)
+    quality = textops.text_quality(docs.filter(F.col("lang") == "en"), carry_cols=("source", "text"))
+    keep_ids = dedup.exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    surv = (
+        quality.filter((F.col("n_tokens") >= 30) & (F.col("quality") >= 0.3))
+        .join(keep_ids, "doc_id", "left_semi")
+        .select("doc_id", "source", textops.scrub_pii(F.col("text")).alias("scrubbed"))
+    )
+    t = surv.select(
+        "doc_id", "source", "scrubbed", F.size(tok_fn(F.col("scrubbed"))).cast("bigint").alias("toks")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        t.withColumn("cum_toks", F.sum("toks").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "toks",
+            "cum_toks",
+            F.floor((F.col("cum_toks") - F.col("toks")) / 256).cast("int").alias("first_bin"),
+            F.floor((F.col("cum_toks") - 1) / 256).cast("int").alias("last_bin"),
+            F.md5("scrubbed").alias("scrubbed_md5"),
+        )
+    )
