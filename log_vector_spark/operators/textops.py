@@ -155,10 +155,12 @@ def scrub_pii(text: Column) -> Column:
 
 
 def pii_counts(text: Column) -> list[Column]:
-    """One count column per PII category, evaluated on the ORIGINAL text.
+    """One count column per PII category.
 
-    Counted sequentially on the scrubbed-so-far value (like scrub_pii), so
-    categories don't double-count each other's spans.
+    Each category is counted on the scrubbed-so-far value (the same
+    sequential order scrub_pii applies), so categories never double-count
+    each other's spans — an SSN already replaced by <SSN> can't also match
+    the phone pattern.
     """
     cols = []
     scrubbed = text
