@@ -19,8 +19,12 @@ Usage:  python tools/ask.py STORE_PATH [output_file.md]
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable, Iterable, Iterator
+
+# `python tools/ask.py` puts tools/ (not the repo root) on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 EXIT_WORDS = {"exit", "quit", "q"}
 TOP_K = 5  # reference ask.py:188 n_results=5
