@@ -280,3 +280,29 @@ def test_q15_reuses_revenue_aggregation(spark):
     # the checkpointed revenue view means the expensive lineitem agg
     # appears ONCE; the max side is a broadcast of one row
     assert has_broadcast_join(df)
+
+
+@pytest.mark.spark
+def test_training_pipeline_shuffle_budget(spark):
+    """The composed chain must keep its documented shuffle budget: dedup
+    hash agg, survivor semi-join, packing window — and nothing else."""
+    import __spark_entry__ as m
+
+    df = m.queries()["training_data_pipeline"](spark, SF)
+    p = plan_string(df, "simple")
+    assert p.count("CartesianProduct") == 0
+    assert p.count("Exchange ") == 3, p.count("Exchange ")
+    # one scan for the quality/scrub path + one for the dedup grain
+    assert p.count("FileScan") == 2
+
+
+@pytest.mark.spark
+def test_rag_rerank_candidates_are_broadcast(spark):
+    """Second-stage rerank must see a broadcast top-20, never a shuffled
+    corpus-wide join."""
+    import __spark_entry__ as m
+
+    df = m.queries()["rag_rerank"](spark, SF)
+    p = plan_string(df, "simple")
+    assert "BroadcastHashJoin" in p
+    assert p.count("CartesianProduct") == 0
