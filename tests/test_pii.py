@@ -76,3 +76,29 @@ def test_counts_match_duckdb_chain_on_fixtures(spark):
     pd.testing.assert_frame_equal(
         spark_out.astype({"doc_id": "int64"}), oracle.astype({"doc_id": "int64"})
     )
+
+
+@pytest.mark.spark
+def test_scrub_is_idempotent_on_random_text(spark):
+    """scrub(scrub(x)) == scrub(x): placeholders must never re-match any
+    pattern (e.g. a <PHONE> token containing digits would re-trigger the
+    phone regex and corrupt counts on a second pass)."""
+    import random
+    import string
+
+    rng = random.Random(42)
+    alphabet = string.ascii_letters + string.digits + " @.-()+/\n<>_%"
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 200))) for _ in range(300)]
+    texts += [t for t, _, _ in FIXTURES]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    rows = (
+        df.select(
+            "id",
+            scrub_pii(F.col("text")).alias("once"),
+            scrub_pii(scrub_pii(F.col("text"))).alias("twice"),
+        )
+        .collect()
+    )
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert r.once == r.twice, r.id
