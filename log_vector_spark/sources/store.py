@@ -136,3 +136,38 @@ def read_manifest(spark: SparkSession, path: str) -> dict:
     if not m.get("embedding_type"):
         raise ValueError("manifest missing embedding_type")
     return m
+
+
+def quantize_for_store(chunks: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """int8 storage form: (codes array<tinyint>, scale) replaces the float
+    vector — a 4x cut on the dominant column of a 100 TB store.
+
+    Symmetric per-vector quantization (scale = max|x|/127, code =
+    floor(x/scale + 0.5)); the audited reconstruction quality for this
+    scheme is pinned by the `embedding_quantization` query + its pytest
+    floor (cosine >= 0.999 at 64 dims).  `dequantize_embedding` restores
+    array<double> for scoring; exact/rerank paths can keep a float copy of
+    the candidate subset only.  Zero vectors keep scale 0 and all-zero
+    codes (dequantize returns the zero vector, matching the embed-error
+    sentinel).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = (
+        F.aggregate(F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x))
+        / F.lit(127.0)
+    )
+    out = chunks.withColumn("_scale", scale)
+    codes = F.when(
+        F.col("_scale") > 0,
+        F.transform(v, lambda x: F.floor(x / F.col("_scale") + F.lit(0.5)).cast("tinyint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return (
+        out.withColumn("embedding_q", codes)
+        .withColumnRenamed("_scale", "embedding_scale")
+        .drop(vec_col)
+    )
+
+
+def dequantize_embedding(codes_col: str = "embedding_q", scale_col: str = "embedding_scale"):
+    """codes + scale -> array<double> column for scoring."""
+    return F.transform(F.col(codes_col), lambda c: c.cast("double") * F.col(scale_col))

@@ -164,3 +164,26 @@ def test_sqrt_stride_policy():
     assert sqrt_stride(2_000_000) == 354   # keeps growing as sqrt(N)/4
     # asymptotics: work a*N^2/s + p*N*s is N^1.5 when s ~ sqrt(N)
     assert sqrt_stride(200_000_000) == 3536
+
+
+@pytest.mark.spark
+def test_quantized_store_roundtrip_preserves_neighbors(spark):
+    """quantize_for_store -> dequantize: top-5 cosine neighbors of the fixed
+    query are unchanged vs the float store (the retrieval property the 4x
+    storage cut must not break)."""
+    from log_vector_spark.functions.vector import fixed_query_vector
+    from log_vector_spark.operators.search import knn_topk
+    from log_vector_spark.sources.store import dequantize_embedding, quantize_for_store
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = fixed_query_vector(dim=64, seed=7)
+    exact = [r.vec_id for r in knn_topk(emb, q, k=5).collect()]
+
+    stored = quantize_for_store(emb)
+    assert dict(stored.dtypes)["embedding_q"] == "array<tinyint>"
+    back = stored.withColumn("embedding", dequantize_embedding())
+    dequant = [r.vec_id for r in knn_topk(back, q, k=5).collect()]
+    # scores within ~1e-3 of each other may legitimately swap ranks under
+    # int8 reconstruction error: require full set recall and a stable head
+    assert set(exact) == set(dequant)
+    assert exact[:3] == dequant[:3]
