@@ -210,3 +210,58 @@ def similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "list_id"
     )
     return search.similarity_join(assigned, threshold=0.25, block_col="list_id")
+
+
+@register(
+    "knn_quantized",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> abs(x)),
+                         (acc, x) -> greatest(acc, x)) / 127.0 AS scale
+      FROM e
+    ),
+    -- the stored form: int8 codes + per-vector scale (sources/store.py
+    -- quantize_for_store); dequantized value = code * scale
+    dq AS (
+      SELECT vec_id,
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> floor(x / scale + 0.5) * scale)
+                  ELSE list_transform(v, x -> 0.0) END AS u
+      FROM s
+    )
+    SELECT vec_id,
+           round(list_reduce(list_transform(range(1, 65),
+                   i -> u[i] * ({_Q}::DOUBLE[])[i]), (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_transform(u, x -> x * x), (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_transform({_Q}::DOUBLE[], x -> x * x),
+                           (acc, x) -> acc + x))), 6) AS score
+    FROM dq WHERE list_reduce(list_transform(u, x -> abs(x)), (acc, x) -> greatest(acc, x)) > 0
+    ORDER BY score DESC, vec_id ASC LIMIT 5
+    """,
+    doc="k-NN over the int8-quantized store form: scores are computed on "
+    "dequantized (code*scale) vectors — the scan reads 1/4 the bytes of the "
+    "float column, and at 64 dims the audited reconstruction keeps "
+    "cosine within ~1e-3 (embedding_quantization's pinned floor).  Zero "
+    "vectors (the embed-error sentinel) are excluded from scoring, same as "
+    "a production store would filter its error rows.",
+)
+def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.functions.vector import cosine_similarity, literal_vector
+    from log_vector_spark.sources.store import dequantize_embedding, quantize_for_store
+
+    emb = table(spark, "embeddings", sf_dir)
+    stored = quantize_for_store(emb)
+    u = stored.withColumn("u", dequantize_embedding())
+    nz = u.filter(
+        F.aggregate(
+            F.transform(F.col("u"), lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x)
+        )
+        > 0
+    )
+    scored = nz.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("u"), literal_vector(QVEC)), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
