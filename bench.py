@@ -74,6 +74,10 @@ HEADLINE = [
     "dedup_edit_distance_banded", # rare-shingle candidates + banded levenshtein
     "doc_pagerank",               # fixed-point iterative graph rank
     "events_zorder_buckets",      # Morton interleave + bucket agg
+    "similarity_join_ivf",        # IVF-blocked similarity join (label-free)
+    "training_data_pipeline",     # composed clean->dedup->scrub->pack plan
+    "rag_rerank",                 # retrieve top-20 + lexical rerank to top-5
+    "knn_quantized",              # retrieval over the int8 store form
 ]
 
 
@@ -127,6 +131,10 @@ BASELINE_SEC = {
     "dedup_edit_distance_banded": 4.3,
     "doc_pagerank": 2.73,
     "events_zorder_buckets": 0.47,
+    "similarity_join_ivf": 1.61,
+    "training_data_pipeline": 0.76,
+    "rag_rerank": 0.53,
+    "knn_quantized": 1.64,
 }
 
 
