@@ -426,3 +426,41 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("from_type"), F.asc("to_type"))
         .limit(10)
     )
+
+
+@register(
+    "events_key_skew",
+    oracle="""
+    WITH k AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
+    SELECT count(*) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_key_rows,
+           quantile_cont(c, 0.5) AS p50_key_rows,
+           quantile_cont(c, 0.99) AS p99_key_rows,
+           round(CAST(max(c) AS DOUBLE) * count(*) / CAST(sum(c) AS DOUBLE), 6)
+             AS skew_factor
+    FROM k
+    """,
+    doc="Shuffle-key skew diagnostic for the natural partitioning key "
+    "(user_id): per-key row-count distribution and the max/mean skew "
+    "factor.  This is the measurement that decides whether a groupBy/join "
+    "on the key needs salting or AQE skew-split at scale — run it BEFORE "
+    "shipping the 100 TB job, not after the straggler.  Two-level "
+    "aggregation: per-key counts (map-side combined) then a 1-row summary.",
+)
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = (
+        table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        F.percentile("c", 0.5).alias("p50_key_rows"),
+        F.percentile("c", 0.99).alias("p99_key_rows"),
+        F.round(
+            F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c").cast("double"), 6
+        ).alias("skew_factor"),
+    )
