@@ -1412,3 +1412,72 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+@register(
+    "data_quality_checks",
+    oracle="""
+    SELECT 'lineitem.null_orderkey' AS rule,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS violations
+    UNION ALL
+    SELECT 'lineitem.nonpositive_quantity',
+           (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'lineitem.discount_out_of_range',
+           (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'lineitem.orphan_orderkey',
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders.orphan_custkey',
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'orders.invalid_status',
+           (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+    ORDER BY rule
+    """,
+    doc="Declarative data-quality gate: null-key, domain-range, and "
+    "referential-orphan rules evaluated as one plan.  Scan rules are "
+    "conditional counts that ride the file scan; referential rules are "
+    "left-anti joins (shuffle on the key, map-side combined counts).  At "
+    "100 TB this runs as the admission check before data enters the "
+    "lake/training pipeline — each rule's violation count, not a boolean, "
+    "so the on-call sees blast radius immediately.",
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    orders = table(spark, "orders", sf_dir)
+    customer = table(spark, "customer", sf_dir)
+
+    def one(rule: str, cnt_df: DataFrame) -> DataFrame:
+        return cnt_df.select(F.lit(rule).alias("rule"), F.col("violations"))
+
+    def cnt(df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("violations"))
+
+    scans = [
+        ("lineitem.null_orderkey", cnt(li.filter(F.col("l_orderkey").isNull()))),
+        ("lineitem.nonpositive_quantity", cnt(li.filter(F.col("l_quantity") <= 0))),
+        (
+            "lineitem.discount_out_of_range",
+            cnt(li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))),
+        ),
+        (
+            "lineitem.orphan_orderkey",
+            cnt(li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")),
+        ),
+        (
+            "orders.orphan_custkey",
+            cnt(orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")),
+        ),
+        (
+            "orders.invalid_status",
+            cnt(orders.filter(~F.col("o_orderstatus").isin("O", "F", "P"))),
+        ),
+    ]
+    out = one(*scans[0])
+    for rule, df in scans[1:]:
+        out = out.unionAll(one(rule, df))
+    return out.orderBy("rule")
