@@ -1,0 +1,213 @@
+"""Corpus-curation operators for training-data preparation at 100 TB.
+
+The reference stops at chunk->embed->retrieve; a production pretraining
+pipeline additionally needs corpus-wide span dedup (CCNet/RefinedWeb
+style), rule-based quality gating (Gopher rules), mixture planning across
+source domains, and length-distribution observability.  Everything here is
+built-in Column expressions — the per-document feature extraction runs
+inside the parquet scan stage, and the only shuffles are the unavoidable
+ones (group-by-span-hash for corpus-wide dedup, group-by-domain for the
+mixture plan).
+
+Scale notes per operator are in the docstrings; none of them broadcasts a
+data-scaled relation, and none collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from log_vector_spark.functions.text import tokens
+
+# Tiny fixed stopword list — the operator shape is the point; swap per
+# deployment (same note as textops.STOPWORDS_EN, kept identical so the two
+# quality surfaces agree).
+STOPWORDS_EN = ("the", "a", "of", "to", "and")
+
+SPAN_TOKENS = 10  # tokens per dedup span ("line" stand-in for this corpus)
+
+
+def span_dedup_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = SPAN_TOKENS,
+    max_dup_ratio: float = 0.3,
+) -> DataFrame:
+    """Corpus-wide duplicated-span detection (CCNet/RefinedWeb line dedup).
+
+    Splits every document into consecutive ``span_tokens``-token spans,
+    hashes each span, and counts — across the WHOLE corpus — how many
+    distinct documents contain each span.  A span seen in more than one
+    document is "duplicated"; each document reports its duplicated-span
+    ratio and a keep flag (``dup_ratio <= max_dup_ratio``).
+
+    This is the canonical web-corpus cleaning step between exact dedup and
+    MinHash: it catches boilerplate (headers, navbars, license blocks)
+    that exact-document dedup misses and MinHash under-weights.
+
+    Scale: the exploded span relation is ~|corpus tokens| / span_tokens
+    rows of (doc_id, 16-byte hash) — both shuffles (group-by-hash, then
+    group-by-doc) are linear, hash-partitioned, with map-side partial
+    aggregation.  No broadcast, no driver collect.  At 100 TB the
+    group-by-hash output (span -> n_docs) is the only wide intermediate
+    and it shrinks with duplication.
+    """
+    w = tokens(F.col(text_col))
+    n_spans = F.ceil(F.size(w) / F.lit(float(span_tokens))).cast("int")
+    # sequence(0, -1) DESCENDS in Spark — guard empty docs to an empty array.
+    idx = F.when(n_spans >= 1, F.sequence(F.lit(0), n_spans - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    span_hashes = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(w, i * span_tokens + 1, span_tokens))
+        ),
+    )
+    spans = docs.select(F.col(id_col), F.explode(span_hashes).alias("h"))
+    per_span = spans.groupBy("h").agg(F.countDistinct(id_col).alias("nd"))
+    per_doc = (
+        spans.join(per_span, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count_if(F.col("nd") > 1).alias("n_dup_spans"),
+        )
+    )
+    dup_ratio = F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+    return per_doc.select(
+        id_col,
+        "n_spans",
+        "n_dup_spans",
+        dup_ratio.alias("dup_ratio"),
+        (dup_ratio <= max_dup_ratio).alias("keep"),
+    )
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, public paper).
+
+    Four declarative per-document rules, each reported as its own flag so
+    drop-rate dashboards can attribute removals, plus the conjunction:
+
+      ok_word_count : 50 <= n_words <= 100_000
+      ok_mean_len   : 3 <= mean word length <= 10
+      ok_symbols    : symbol-to-word ratio <= 0.1
+      ok_stopwords  : >= 2 distinct stopwords present
+
+    Pure scan-stage Column math — at 100 TB this is a zero-shuffle
+    projection the cleaning pipeline fuses into its first pass.
+    """
+    w = tokens(F.col(text_col))
+    n_words = F.size(w).cast("int")
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("int")
+    n_symbols = F.length(
+        F.regexp_replace(F.col(text_col), "[a-z0-9 ]", "")
+    ).cast("int")
+    mean_word_len = F.round(n_alpha / n_words, 6)
+    symbol_ratio = F.round(n_symbols / n_words, 6)
+    n_stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(w), F.array(*[F.lit(s) for s in STOPWORDS_EN]))
+    ).cast("int")
+    ok_word_count = (n_words >= 50) & (n_words <= 100_000)
+    ok_mean_len = (mean_word_len >= 3) & (mean_word_len <= 10)
+    ok_symbols = symbol_ratio <= 0.1
+    ok_stopwords = n_stop_distinct >= 2
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        n_stop_distinct.alias("n_stop_distinct"),
+        ok_word_count.alias("ok_word_count"),
+        ok_mean_len.alias("ok_mean_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_stopwords.alias("ok_stopwords"),
+        (ok_word_count & ok_mean_len & ok_symbols & ok_stopwords).alias("gopher_pass"),
+    )
+
+
+def domain_mixture_plan(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture planning: per-domain token budgets for a uniform target mix.
+
+    Aggregates token counts per source domain, then computes each domain's
+    current share and the sampling rate that moves the mix toward uniform:
+    ``rate = min(1, total_tokens_all / (n_domains * domain_tokens))`` —
+    over-represented domains are down-sampled, under-represented ones kept
+    whole (rate capped at 1; up-weighting is an epoch-count decision, not
+    a sampling one).  ``planned_tokens`` is the resulting budget.
+
+    Scale: one linear group-by-domain shuffle with map-side combine; the
+    window functions run over the tiny post-aggregate relation (one row
+    per domain), so the unpartitioned window is NOT a scale hazard.
+    """
+    per = (
+        docs.select(F.col(domain_col).alias("domain"), tokens(F.col(text_col)).alias("w"))
+        .select("domain", F.size("w").cast("int").alias("nt"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("domain_tokens"),
+        )
+    )
+    everything = Window.partitionBy()
+    total = F.sum("domain_tokens").over(everything)
+    n_domains = F.count(F.lit(1)).over(everything)
+    share = F.round(F.col("domain_tokens") / total, 6)
+    rate = F.round(
+        F.least(F.lit(1.0), total / (n_domains * F.col("domain_tokens"))), 6
+    )
+    return per.select(
+        "domain",
+        "n_docs",
+        "domain_tokens",
+        share.alias("current_share"),
+        rate.alias("sample_rate"),
+        F.floor(F.col("domain_tokens") * rate).cast("bigint").alias("planned_tokens"),
+    )
+
+
+def token_histogram(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Log2-bucketed document-length histogram with cumulative share.
+
+    Bucket = floor(log2(n_tokens)), computed EXACTLY as integer bit-length
+    (``length(bin(n)) - 1``) rather than floating log2 — float log is the
+    classic cross-engine off-by-one at exact powers of two.  Reports per
+    bucket: doc count, token total, cumulative docs, cumulative doc share.
+
+    The shape every curation run prints before choosing chunk/pack sizes.
+    Scale: scan-stage bucket assignment, one tiny group-by (≤64 buckets),
+    windows over the post-aggregate only.
+    """
+    nt = F.size(tokens(F.col(text_col))).cast("bigint")
+    bucket = (F.length(F.bin(nt)) - 1).cast("int")
+    per = (
+        docs.select(bucket.alias("bucket"), nt.alias("nt"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("bucket_tokens"),
+        )
+    )
+    by_bucket = Window.partitionBy().orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    everything = Window.partitionBy()
+    cum_docs = F.sum("n_docs").over(by_bucket)
+    return per.select(
+        "bucket",
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket)").alias("bucket_lo"),
+        "n_docs",
+        "bucket_tokens",
+        cum_docs.alias("cum_docs"),
+        F.round(cum_docs / F.sum("n_docs").over(everything), 6).alias("cum_doc_share"),
+    )

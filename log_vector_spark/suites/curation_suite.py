@@ -1,0 +1,135 @@
+"""Oracle-checked corpus-curation queries (span dedup, Gopher rules,
+mixture planning, length histograms) over the `documents` table.
+
+These extend the training-data surface beyond the reference's
+chunk->embed->retrieve flow (the reference has no corpus curation at all);
+each Spark plan's DuckDB twin is derived primitive-by-primitive from the
+same definitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from log_vector_spark.catalog import table
+from log_vector_spark.operators import curation
+from log_vector_spark.registry import register
+
+_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_STOP = "('the', 'a', 'of', 'to', 'and')"
+
+
+@register(
+    "span_dedup_ratio",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    i AS (SELECT doc_id, words,
+                 unnest(range(CAST(ceil(len(words) / 10.0) AS BIGINT))) AS i
+          FROM w),
+    l AS (SELECT doc_id,
+                 md5(array_to_string(words[(i*10+1):(i*10+10)], ' ')) AS h
+          FROM i),
+    g AS (SELECT h, count(DISTINCT doc_id) AS nd FROM l GROUP BY h),
+    p AS (SELECT l.doc_id,
+                 count(*) AS n_spans,
+                 count(*) FILTER (g.nd > 1) AS n_dup_spans
+          FROM l JOIN g USING (h) GROUP BY l.doc_id)
+    SELECT doc_id, n_spans, n_dup_spans,
+           round(n_dup_spans / n_spans, 6) AS dup_ratio,
+           (round(n_dup_spans / n_spans, 6) <= 0.3) AS keep
+    FROM p
+    """,
+    doc="CCNet-style corpus-wide span dedup: per-doc duplicated 10-token-span "
+    "ratio + keep flag.  Two linear hash shuffles, no broadcast, no collect.",
+)
+def span_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.span_dedup_ratio(table(spark, "documents", sf_dir))
+
+
+@register(
+    "gopher_rules",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, {_WORDS} AS words FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(words) AS INTEGER) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_alpha,
+             CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INTEGER) AS n_symbols,
+             CAST(len(list_distinct(list_filter(words, t -> t IN {_STOP}))) AS INTEGER)
+               AS n_stop_distinct
+      FROM d
+    ),
+    f AS (
+      SELECT doc_id, n_words,
+             round(n_alpha / n_words, 6) AS mean_word_len,
+             round(n_symbols / n_words, 6) AS symbol_ratio,
+             n_stop_distinct,
+             (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+             (round(n_alpha / n_words, 6) >= 3
+              AND round(n_alpha / n_words, 6) <= 10) AS ok_mean_len,
+             (round(n_symbols / n_words, 6) <= 0.1) AS ok_symbols,
+             (n_stop_distinct >= 2) AS ok_stopwords
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stop_distinct,
+           ok_word_count, ok_mean_len, ok_symbols, ok_stopwords,
+           (ok_word_count AND ok_mean_len AND ok_symbols AND ok_stopwords) AS gopher_pass
+    FROM f
+    """,
+    doc="Gopher-style rule-based quality gate: four per-doc flags + the "
+    "conjunction, all scan-stage Column math (zero shuffle).",
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.gopher_rules(table(spark, "documents", sf_dir))
+
+
+@register(
+    "domain_mixture",
+    oracle=f"""
+    WITH per AS (
+      SELECT source AS domain, count(*) AS n_docs,
+             CAST(sum(len({_WORDS})) AS BIGINT) AS domain_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT domain, n_docs, domain_tokens,
+           round(domain_tokens / sum(domain_tokens) OVER (), 6) AS current_share,
+           round(least(1.0, sum(domain_tokens) OVER ()
+                            / (count(*) OVER () * domain_tokens)), 6) AS sample_rate,
+           CAST(floor(domain_tokens
+                      * round(least(1.0, sum(domain_tokens) OVER ()
+                                         / (count(*) OVER () * domain_tokens)), 6))
+                AS BIGINT) AS planned_tokens
+    FROM per
+    """,
+    doc="Mixture planning: per-domain token budget moving the corpus toward a "
+    "uniform domain mix (down-sample over-represented domains, cap rate at 1). "
+    "One linear group-by-domain shuffle; windows run on the per-domain rows.",
+)
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.domain_mixture_plan(table(spark, "documents", sf_dir))
+
+
+@register(
+    "token_histogram",
+    oracle=f"""
+    WITH d AS (SELECT CAST(len({_WORDS}) AS BIGINT) AS nt FROM documents),
+    b AS (SELECT CAST(length(bin(nt)) - 1 AS INTEGER) AS bucket, nt FROM d),
+    per AS (SELECT bucket, count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS bucket_tokens
+            FROM b GROUP BY bucket)
+    SELECT bucket,
+           (1::BIGINT << bucket) AS bucket_lo,
+           n_docs, bucket_tokens,
+           sum(n_docs) OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs,
+           round(sum(n_docs) OVER (ORDER BY bucket
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / sum(n_docs) OVER (), 6) AS cum_doc_share
+    FROM per
+    """,
+    doc="Log2-bucketed doc-length histogram with cumulative share; bucket via "
+    "integer bit-length (no float log2 cross-engine edge).  Scan-stage bucket "
+    "assignment, tiny group-by, windows over <=64 rows.",
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.token_histogram(table(spark, "documents", sf_dir))

@@ -464,3 +464,40 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c").cast("double"), 6
         ).alias("skew_factor"),
     )
+
+
+@register(
+    "events_mode_value",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS v, count(*) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, v
+    ),
+    r AS (
+      SELECT event_type, v, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, v ASC) AS rn
+      FROM c
+    )
+    SELECT event_type, v AS mode_value, cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+    doc="Deterministic per-group mode: most frequent integer-floored value "
+    "per event type, ties broken (count DESC, value ASC) via row_number so "
+    "both engines agree.  Argmax-per-group shape: linear two-key group-by "
+    "with map-side combine, then a window over the small (type, v) counts.",
+)
+def events_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    c = (
+        e.select("event_type", F.floor("value").cast("bigint").alias("v"))
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("cnt").desc(), F.col("v").asc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("v").alias("mode_value"), F.col("cnt").alias("mode_count"))
+    )

@@ -1481,3 +1481,45 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rule, df in scans[1:]:
         out = out.unionAll(one(rule, df))
     return out.orderBy("rule")
+
+
+@register(
+    "orders_median_gap",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap
+      FROM orders
+    )
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           round(quantile_cont(gap, 0.5), 6) AS median_gap_days,
+           round(avg(gap), 6) AS avg_gap_days
+    FROM g GROUP BY o_custkey HAVING count(*) >= 2
+    """,
+    doc="Per-customer inter-order cadence: lag() gaps in days, exact median "
+    "and mean per customer (customers with >= 2 orders).  Tie order pinned "
+    "by (o_orderdate, o_orderkey) so the lag sequence is deterministic; "
+    "equal dates yield the same gap multiset regardless.  One hash shuffle "
+    "on o_custkey reused by both the window and the aggregate (no second "
+    "exchange).",
+)
+def orders_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap"),
+    )
+    return (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.percentile("gap", 0.5), 6).alias("median_gap_days"),
+            F.round(F.avg("gap"), 6).alias("avg_gap_days"),
+        )
+        .filter(F.col("n_orders") >= 2)
+    )

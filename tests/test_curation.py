@@ -1,0 +1,100 @@
+"""Semantics + plan-shape guardrails for the corpus-curation operators."""
+
+import pytest
+from pyspark.sql import Row
+
+from log_vector_spark.operators import curation
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_span_dedup_flags_shared_spans(spark):
+    # Two docs sharing an identical 10-token span; a third fully unique.
+    shared = " ".join(f"w{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    uniq_c = " ".join(f"c{i}" for i in range(10))
+    out = {
+        r["doc_id"]: r
+        for r in curation.span_dedup_ratio(
+            _docs(spark, [shared + " " + uniq_a, shared + " " + uniq_b, uniq_c])
+        ).collect()
+    }
+    assert out[0]["n_spans"] == 2 and out[0]["n_dup_spans"] == 1
+    assert out[0]["dup_ratio"] == 0.5 and not out[0]["keep"]
+    assert out[1]["dup_ratio"] == 0.5
+    assert out[2]["n_dup_spans"] == 0 and out[2]["keep"]
+
+
+def test_span_dedup_repeat_within_one_doc_is_not_dup(spark):
+    # Same span twice in ONE doc: corpus-wide criterion is distinct docs.
+    span = " ".join(f"x{i}" for i in range(10))
+    row = curation.span_dedup_ratio(_docs(spark, [span + " " + span])).collect()[0]
+    assert row["n_spans"] == 2 and row["n_dup_spans"] == 0
+
+
+def test_span_dedup_drops_empty_docs(spark):
+    rows = curation.span_dedup_ratio(_docs(spark, ["", "one two"])).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_gopher_rules_each_gate(spark):
+    good = " ".join(["the", "of"] + [f"word{i}" for i in range(60)])
+    too_short = "the of tiny"
+    long_words = " ".join(["the", "of"] + ["x" * 40 for _ in range(60)])
+    no_stop = " ".join(f"word{i}" for i in range(60))
+    out = {
+        r["doc_id"]: r
+        for r in curation.gopher_rules(
+            _docs(spark, [good, too_short, long_words, no_stop])
+        ).collect()
+    }
+    assert out[0]["gopher_pass"]
+    assert not out[1]["ok_word_count"] and not out[1]["gopher_pass"]
+    assert not out[2]["ok_mean_len"]
+    assert out[3]["n_stop_distinct"] == 0 and not out[3]["ok_stopwords"]
+
+
+def test_gopher_rules_is_scan_stage_no_exchange(spark):
+    plan = curation.gopher_rules(
+        _docs(spark, ["the of words"])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_token_histogram_power_of_two_boundary(spark):
+    # 8 tokens must land in bucket 3 (lo=8), not bucket 2 — the float-log2
+    # edge the integer bit-length formulation exists to avoid.
+    rows = curation.token_histogram(
+        _docs(spark, [" ".join(f"t{i}" for i in range(8))])
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["bucket"] == 3 and rows[0]["bucket_lo"] == 8
+
+
+def test_token_histogram_cumulative_share(spark):
+    texts = ["one two", "a b c d", "p q r s"]  # buckets 1, 2, 2
+    rows = sorted(
+        curation.token_histogram(_docs(spark, texts)).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == [1, 2]
+    assert [r["cum_docs"] for r in rows] == [1, 3]
+    assert rows[-1]["cum_doc_share"] == 1.0
+
+
+def test_domain_mixture_caps_rate_and_conserves(spark):
+    df = spark.createDataFrame(
+        [Row(source="big", text=" ".join(["w"] * 90)), Row(source="small", text="w w w w w w w w w w")]
+    )
+    out = {r["domain"]: r for r in curation.domain_mixture_plan(df).collect()}
+    # Under-represented domain keeps everything (rate capped at 1).
+    assert out["small"]["sample_rate"] == 1.0
+    assert out["small"]["planned_tokens"] == out["small"]["domain_tokens"]
+    # Over-represented domain is sampled down toward the uniform share.
+    assert out["big"]["sample_rate"] == pytest.approx(100 / (2 * 90), abs=1e-6)
+    assert out["big"]["planned_tokens"] <= out["big"]["domain_tokens"]
