@@ -1,0 +1,97 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+Semantic clustering is the workhorse behind curriculum bucketing, cluster-
+balanced sampling, and topic-level dedup in pretraining pipelines (the
+reference engine has no clustering; this extends the brief's similarity
+surface).  The implementation is the canonical Spark shape:
+
+  * centroids are a k-row relation, explicitly ``broadcast()`` — k is a
+    user constant, never data-scaled, so the hint is safe at any corpus
+    size (contrast the round-2 fact-table-broadcast findings);
+  * assignment is scan-stage work per vector (k distance folds, no
+    shuffle);
+  * the centroid update is one linear shuffle keyed (cluster, dim) with
+    map-side partial aggregation producing k*dim rows.
+
+Determinism contract (what makes this oracle-pairable against unrolled
+SQL): seeds are the k lowest-id vectors; distances are rounded to 6dp
+before the argmin; ties break on centroid id; updated centroid components
+are decimal-exact means rounded to 6dp.  Both engines therefore walk the
+identical rounded state through every iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _l2(a, b) -> F.Column:
+    """Euclidean distance between two double-array columns (left-to-right
+    fold, matching DuckDB's list_distance accumulation order)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+    """Nearest centroid per vector: rounded distance, ties to lowest cid."""
+    j = vectors.crossJoin(
+        F.broadcast(centroids.select("cid", F.col("e").alias("ce")))
+    ).withColumn("d", F.round(_l2(F.col("e"), F.col("ce")), 6))
+    w = Window.partitionBy(id_col).orderBy("d", "cid")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "e", "cid", "d")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Per-cluster element-wise mean, decimal-exact then rounded to 6dp."""
+    dims = assigned.select("cid", F.posexplode("e").alias("dim", "x"))
+    per = dims.groupBy("cid", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(28,20)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("xm")
+    )
+    return per.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "xm"))),
+            lambda s: s.getField("xm"),
+        ).alias("e")
+    )
+
+
+def kmeans_assignments(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run `iters` Lloyd rounds; return (id, cluster, dist) per vector.
+
+    Seeds = the k lowest-id vectors (deterministic, oracle-reproducible;
+    swap for k-means|| sampling in production where determinism across
+    engines is not required).
+    """
+    v = vectors.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("e")
+    )
+    seed_w = Window.orderBy(id_col)  # k rows only — single-partition window is fine
+    c = (
+        v.orderBy(id_col)
+        .limit(k)
+        .select((F.row_number().over(seed_w) - 1).alias("cid"), "e")
+    )
+    assigned = _assign(v, c, id_col)
+    for _ in range(iters - 1):
+        assigned = _assign(v, _update(assigned), id_col)
+    return assigned.select(
+        id_col, F.col("cid").alias("cluster"), F.col("d").alias("dist")
+    )

@@ -265,3 +265,56 @@ def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine_similarity(F.col("u"), literal_vector(QVEC)), 6).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd iterations in DuckDB mirroring operators/cluster.py:
+    same seeds (k lowest ids), same rounded-distance argmin with cid
+    tie-break, same decimal-exact rounded centroid means."""
+    assign = (
+        "SELECT vec_id, e, cid, d FROM ("
+        "  SELECT v.vec_id, v.e, {c}.cid,"
+        "         round(list_distance(v.e, {c}.e), 6) AS d,"
+        "         row_number() OVER (PARTITION BY v.vec_id"
+        "                            ORDER BY round(list_distance(v.e, {c}.e), 6),"
+        "                                     {c}.cid) AS rn"
+        "  FROM v CROSS JOIN {c}) WHERE rn = 1"
+    )
+    update = (
+        "SELECT cid, list(xm ORDER BY dim) AS e FROM ("
+        "  SELECT cid, dim,"
+        "         round(CAST(sum(CAST(x AS DECIMAL(28,20))) AS DOUBLE) / count(*), 6) AS xm"
+        "  FROM (SELECT cid, t.i AS dim, e[t.i] AS x"
+        "        FROM {a}, (SELECT unnest(range(1, 65)) AS i) t)"
+        "  GROUP BY cid, dim) GROUP BY cid"
+    )
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e"
+        f"       FROM v ORDER BY vec_id LIMIT {k})",
+        "a0 AS (" + assign.format(c="c0") + ")",
+    ]
+    for it in range(1, iters):
+        ctes.append(f"c{it} AS (" + update.format(a=f"a{it-1}") + ")")
+        ctes.append(f"a{it} AS (" + assign.format(c=f"c{it}") + ")")
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vec_id, CAST(cid AS INTEGER) AS cluster, d AS dist FROM a{iters-1}"
+    )
+
+
+@register(
+    "kmeans_clusters",
+    oracle=_kmeans_oracle(),
+    doc="Two Lloyd rounds of k-means (k=8) over the embedding table: "
+    "deterministic lowest-id seeds, broadcast centroids (k rows — bounded, "
+    "never data-scaled), scan-stage assignment, linear (cluster, dim)-keyed "
+    "update shuffle.  Semantic bucketing for curriculum/cluster-balanced "
+    "sampling (operators/cluster.py).",
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.cluster import kmeans_assignments
+
+    emb = table(spark, "embeddings", sf_dir)
+    out = kmeans_assignments(emb, k=8, iters=2)
+    return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"), "dist")

@@ -1,0 +1,54 @@
+"""k-means guardrails: separation, determinism, and plan shape."""
+
+from pyspark.sql import Row
+
+from log_vector_spark.operators.cluster import kmeans_assignments
+
+
+def _vecs(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+
+
+def test_kmeans_separates_two_obvious_blobs(spark):
+    blob_a = [[0.0 + d, 0.0] for d in (0, 0.1, 0.2)]
+    blob_b = [[10.0 + d, 10.0] for d in (0, 0.1, 0.2)]
+    out = kmeans_assignments(_vecs(spark, blob_a + blob_b), k=2, iters=3).collect()
+    by_id = {r["vec_id"]: r["cluster"] for r in out}
+    assert len({by_id[0], by_id[1], by_id[2]}) == 1
+    assert len({by_id[3], by_id[4], by_id[5]}) == 1
+    assert by_id[0] != by_id[3]
+
+
+def test_kmeans_iteration_moves_centroids(spark):
+    # Seeds are the 2 lowest ids — both in blob A — so round 1 lumps all of
+    # blob B onto seed 1; the round-2 recomputed centroid must pull blob B's
+    # members to a tighter distance than the seed gave them.
+    blob_a = [[0.0, 0.0], [0.2, 0.0]]
+    blob_b = [[10.0, 10.0], [10.2, 10.0]]
+    df = _vecs(spark, blob_a + blob_b)
+    one = {r["vec_id"]: r["dist"] for r in kmeans_assignments(df, k=2, iters=1).collect()}
+    two = {r["vec_id"]: r["dist"] for r in kmeans_assignments(df, k=2, iters=2).collect()}
+    assert two[2] < one[2] and two[3] < one[3]
+
+
+def test_kmeans_is_deterministic_across_partitionings(spark):
+    vecs = [[float(i % 7), float((i * 3) % 5)] for i in range(40)]
+    df = _vecs(spark, vecs)
+    a = sorted(map(tuple, kmeans_assignments(df, k=4, iters=2).collect()))
+    b = sorted(map(tuple, kmeans_assignments(df.repartition(13), k=4, iters=2).collect()))
+    assert a == b
+
+
+def test_kmeans_broadcasts_centroids_not_vectors(spark):
+    df = _vecs(spark, [[float(i), 0.0] for i in range(20)])
+    plan = (
+        kmeans_assignments(df, k=2, iters=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # The vector side must never be the broadcast build side: every broadcast
+    # in this plan stems from the k-row centroid relation (LocalTableScan /
+    # aggregated update), so no shuffle-scaled exchange feeds a broadcast.
+    assert "SortMergeJoin" not in plan
