@@ -78,6 +78,10 @@ HEADLINE = [
     "training_data_pipeline",     # composed clean->dedup->scrub->pack plan
     "rag_rerank",                 # retrieve top-20 + lexical rerank to top-5
     "knn_quantized",              # retrieval over the int8 store form
+    "span_dedup_ratio",           # corpus-wide span dedup (CCNet shape)
+    "gopher_rules",               # zero-shuffle rule-based quality gate
+    "kmeans_clusters",            # 2 Lloyd rounds, broadcast centroids
+    "orders_median_gap",          # lag window + exact median per customer
 ]
 
 
@@ -135,6 +139,11 @@ BASELINE_SEC = {
     "training_data_pipeline": 0.76,
     "rag_rerank": 0.53,
     "knn_quantized": 1.64,
+    # measured fresh in the same round-3 window (3 reps, min)
+    "span_dedup_ratio": 1.50,
+    "gopher_rules": 0.63,
+    "kmeans_clusters": 1.33,
+    "orders_median_gap": 0.54,
 }
 
 
