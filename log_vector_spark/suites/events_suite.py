@@ -501,3 +501,46 @@ def events_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", F.col("v").alias("mode_value"), F.col("cnt").alias("mode_count"))
     )
+
+
+@register(
+    "events_winsorized",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(round(e.value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_raw,
+           round(CAST(sum(CAST(round(least(greatest(e.value, q.p01), q.p99), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_winsor,
+           round(min(q.p01), 6) AS p01,
+           round(min(q.p99), 6) AS p99
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Winsorized robust statistics: per-type exact p01/p99 (tiny aggregate, "
+    "broadcast back — build side bounded by |event types|), values clamped to "
+    "the band, decimal-exact means before/after.  The outlier-robust metric "
+    "pass a telemetry pipeline runs before alerting on shifts.",
+)
+def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "events", sf_dir)
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", 0.01).alias("p01"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+    j = e.join(F.broadcast(q), "event_type")
+    clamped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    dec = lambda c: F.sum(F.round(c, 6).cast("decimal(18,6)")).cast("double")  # noqa: E731
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(dec(F.col("value")) / F.count(F.lit(1)), 6).alias("mean_raw"),
+        F.round(dec(clamped) / F.count(F.lit(1)), 6).alias("mean_winsor"),
+        F.round(F.min("p01"), 6).alias("p01"),
+        F.round(F.min("p99"), 6).alias("p99"),
+    )

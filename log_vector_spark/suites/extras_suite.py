@@ -385,3 +385,32 @@ def events_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").cast("int").alias("max_hour_b"),
         )
     )
+
+
+def _projection_oracle() -> str:
+    cols = ", ".join(
+        f"round(list_dot_product(embedding::DOUBLE[], "
+        f"{vector_sql_literal(p)}::DOUBLE[]), 6) AS proj_{i}"
+        for i, p in enumerate(PLANES)
+    )
+    return f"SELECT vec_id, {cols} FROM embeddings"
+
+
+@register(
+    "embedding_projection",
+    oracle=_projection_oracle(),
+    doc="Random-projection dimensionality reduction 64 -> 8 (Johnson-"
+    "Lindenstrauss sketch over the same fixed hyperplanes the LSH path "
+    "uses): one dot product per plane, scan-stage, zero shuffle.  The "
+    "cheap-prefilter representation stored next to full vectors so "
+    "candidate generation reads 8 doubles instead of 64 floats per row.",
+)
+def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    return emb.select(
+        "vec_id",
+        *[
+            F.round(dot_product(F.col("embedding"), literal_vector(p)), 6).alias(f"proj_{i}")
+            for i, p in enumerate(PLANES)
+        ],
+    )

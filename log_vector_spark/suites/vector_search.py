@@ -267,7 +267,7 @@ def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+def _kmeans_oracle(k: int = 8, iters: int = 2, final: str | None = None) -> str:
     """Unrolled Lloyd iterations in DuckDB mirroring operators/cluster.py:
     same seeds (k lowest ids), same rounded-distance argmin with cid
     tie-break, same decimal-exact rounded centroid means."""
@@ -297,10 +297,10 @@ def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
     for it in range(1, iters):
         ctes.append(f"c{it} AS (" + update.format(a=f"a{it-1}") + ")")
         ctes.append(f"a{it} AS (" + assign.format(c=f"c{it}") + ")")
-    return (
-        "WITH " + ", ".join(ctes)
-        + f" SELECT vec_id, CAST(cid AS INTEGER) AS cluster, d AS dist FROM a{iters-1}"
-    )
+    last = f"a{iters-1}"
+    if final is None:
+        final = f"SELECT vec_id, CAST(cid AS INTEGER) AS cluster, d AS dist FROM {last}"
+    return "WITH " + ", ".join(ctes) + " " + final.format(a=last)
 
 
 @register(
@@ -318,3 +318,35 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, "embeddings", sf_dir)
     out = kmeans_assignments(emb, k=8, iters=2)
     return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"), "dist")
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=_kmeans_oracle(
+        final="""
+        SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY cid
+                                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+          FROM {a}) WHERE rn <= 20
+        """
+    ),
+    doc="Cluster-balanced sampling: k-means buckets (k=8, 2 rounds), then a "
+    "deterministic content-hash rank takes 20 vectors per cluster — the "
+    "diversity-preserving downsampling step between semantic clustering and "
+    "training-mix assembly.  Same scale posture as kmeans_clusters plus one "
+    "bounded per-cluster window.",
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from log_vector_spark.operators.cluster import kmeans_assignments
+
+    assigned = kmeans_assignments(table(spark, "embeddings", sf_dir), k=8, iters=2)
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+    )
