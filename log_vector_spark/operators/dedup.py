@@ -127,20 +127,16 @@ def _minhash_columns(
     )
 
 
-def minhash_band_pairs(
+def _minhash_bands(
     docs: DataFrame,
-    n_hashes: int = 8,
-    rows_per_band: int = 2,
-    shingle_n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    n_hashes: int,
+    rows_per_band: int,
+    shingle_n: int,
+    id_col: str,
+    text_col: str,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs.
-
-    band_key = md5 of the band's minhashes in seed order; the candidate join
-    is an equi-join on (band, band_key) — the classic sub-quadratic LSH
-    candidate generation.
-    """
+    """(id, band, band_key) LSH band buckets — md5 of the band's minhashes
+    in seed order."""
     if n_hashes % rows_per_band:
         raise ValueError("n_hashes must divide evenly into bands")
     mins = _minhash_columns(docs, n_hashes, shingle_n, id_col, text_col)
@@ -156,9 +152,60 @@ def minhash_band_pairs(
         )
         for b in range(n_bands)
     ]
-    bands = mins.select(
+    return mins.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+
+
+def minhash_incremental_survivors(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental MinHash dedup: which NEW documents survive against an
+    already-indexed corpus — the daily-ingest shape at 100 TB.
+
+    A batch document is dropped when any of its LSH band buckets collides
+    with (a) any corpus document, or (b) a more-senior (lower-id) batch
+    document.  Crucially the corpus is never self-joined: the corpus side
+    contributes only its band buckets (at scale these are precomputed at
+    index time and stored partitioned by (band, band_key)), so per-ingest
+    cost is |batch| band generation plus two equi-joins keyed on band
+    buckets — independent of |corpus| beyond the join fan-in.
+    """
+    bc = _minhash_bands(corpus, n_hashes, rows_per_band, shingle_n, id_col, text_col)
+    bb = _minhash_bands(batch, n_hashes, rows_per_band, shingle_n, id_col, text_col)
+    hit_corpus = bb.join(bc, ["band", "band_key"], "left_semi").select(id_col)
+    a = bb.select("band", "band_key", F.col(id_col).alias("id_a"))
+    b = bb.select("band", "band_key", F.col(id_col).alias("id_b"))
+    hit_batch = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_b").alias(id_col))
+    )
+    dups = hit_corpus.union(hit_batch).distinct()
+    return batch.select(id_col).join(dups, id_col, "left_anti")
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    band_key = md5 of the band's minhashes in seed order; the candidate join
+    is an equi-join on (band, band_key) — the classic sub-quadratic LSH
+    candidate generation.
+    """
+    bands = _minhash_bands(docs, n_hashes, rows_per_band, shingle_n, id_col, text_col)
     a = bands.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a"))
     b = bands.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("id_b"))
     return (

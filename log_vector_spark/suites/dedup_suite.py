@@ -520,3 +520,51 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_edit_distance_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_distance_pairs_banded(table(spark, "documents", sf_dir))
+
+
+def _bands_cte(src: str, alias: str) -> str:
+    """The docs->shingles->sig->bands chain over a filtered document set."""
+    return f"""
+    {alias}_docs AS (SELECT doc_id, {_WORDS} AS words FROM ({src})),
+    {alias}_sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle
+                   FROM {alias}_docs),
+    {alias}_h AS (SELECT doc_id, {_MH_BASE} AS h FROM {alias}_sh),
+    {alias}_seeded AS (SELECT doc_id, h, unnest(range(0, 8)) AS seed FROM {alias}_h),
+    {alias}_sig AS (SELECT doc_id, seed,
+                           min((h * ({_MH_AS}[CAST(seed AS INTEGER) + 1]) + seed) % {_MH_P})
+                             AS minhash
+                    FROM {alias}_seeded GROUP BY 1, 2),
+    {alias}_bands AS (SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+                             md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed))
+                               AS band_key
+                      FROM {alias}_sig GROUP BY 1, 2)"""
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_bands_cte("SELECT doc_id, text FROM documents WHERE doc_id < 400", "c")},
+    {_bands_cte("SELECT doc_id, text FROM documents WHERE doc_id >= 400", "n")},
+    dup AS (
+      SELECT DISTINCT n_bands.doc_id
+      FROM n_bands JOIN c_bands
+        ON n_bands.band = c_bands.band AND n_bands.band_key = c_bands.band_key
+      UNION
+      SELECT DISTINCT b.doc_id
+      FROM n_bands a JOIN n_bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM dup)
+    """,
+    doc="Incremental MinHash dedup — the daily-ingest shape: new batch "
+    "(doc_id >= 400) against the indexed corpus (doc_id < 400) via LSH band "
+    "buckets.  The corpus is never self-joined; its bands are the index "
+    "(precomputed at write time at scale), so per-ingest cost is batch band "
+    "generation + two band-keyed equi-joins, independent of corpus size.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    return dedup.minhash_incremental_survivors(corpus, batch)
