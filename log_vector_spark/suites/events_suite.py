@@ -544,3 +544,34 @@ def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("p01"), 6).alias("p01"),
         F.round(F.min("p99"), 6).alias("p99"),
     )
+
+
+@register(
+    "events_locf",
+    oracle="""
+    SELECT event_id, user_id,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS last_purchase_value
+    FROM events
+    """,
+    doc="Last-observation-carried-forward: at every event, the user's most "
+    "recent purchase value (NULL before the first) — IGNORE NULLS window "
+    "semantics, the stream-local as-of that needs no join.  One hash "
+    "shuffle on user_id; the running state is O(1) per row.",
+)
+def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return e.select(
+        "event_id", "user_id", F.round(carried, 6).alias("last_purchase_value")
+    )
