@@ -70,3 +70,45 @@ def test_simhash_hamming_anticorrelates_with_jaccard(spark):
         sum(hi) / len(hi),
         sum(lo) / len(lo),
     )
+
+
+def test_incremental_survivors_semantics(spark):
+    from pyspark.sql import Row
+
+    from log_vector_spark.operators.dedup import minhash_incremental_survivors
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " tokX"   # near-dup of base
+    fresh = " ".join(f"new{i}" for i in range(40))
+    fresh_near = " ".join(f"new{i}" for i in range(39)) + " newX"
+    corpus = spark.createDataFrame([Row(doc_id=0, text=base)])
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=near),        # collides with corpus -> dropped
+            Row(doc_id=101, text=fresh),       # unique -> survives
+            Row(doc_id=102, text=fresh_near),  # intra-batch dup of 101 -> dropped
+        ]
+    )
+    got = sorted(r["doc_id"] for r in minhash_incremental_survivors(corpus, batch).collect())
+    assert got == [101]
+
+
+def test_incremental_never_self_joins_corpus(spark):
+    from pyspark.sql import Row
+
+    from log_vector_spark.operators.dedup import minhash_incremental_survivors
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"c{i}_{j}" for j in range(20))) for i in range(6)]
+    )
+    batch = spark.createDataFrame(
+        [Row(doc_id=100, text=" ".join(f"b{j}" for j in range(20)))]
+    )
+    plan = (
+        minhash_incremental_survivors(corpus, batch)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # Corpus bands appear once as a semi-join build input; no corpus-corpus
+    # pair join exists in the plan (that shape would re-sketch the whole
+    # index per ingest at scale).
+    assert plan.count("LeftSemi") == 1
