@@ -575,3 +575,61 @@ def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id", F.round(carried, 6).alias("last_purchase_value")
     )
+
+
+@register(
+    "events_resample_5m",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT))::TIMESTAMP AS b,
+             value
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, b, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+      FROM e GROUP BY 1, 2
+    ),
+    r AS (SELECT min(b) AS lo, max(b) AS hi FROM e),
+    g AS (SELECT unnest(generate_series(lo, hi, INTERVAL '5 minutes')) AS b FROM r),
+    t AS (SELECT DISTINCT event_type FROM e)
+    SELECT t.event_type, g.b AS bucket_start,
+           coalesce(c.n, 0) AS n,
+           coalesce(c.total_value, 0.0) AS total_value
+    FROM t CROSS JOIN g
+    LEFT JOIN c ON c.event_type = t.event_type AND c.b = g.b
+    """,
+    doc="Dense 5-minute resampling with zero-fill: the sparse per-bucket "
+    "aggregate is left-joined onto a generated (type x grid) frame so gaps "
+    "become explicit 0 rows — what charting/anomaly jobs need downstream.  "
+    "The grid derives from a 1-row min/max aggregate and is bounded by "
+    "time-range/granularity (never data-scaled); the only wide shuffle is "
+    "the per-bucket aggregate with map-side combine.  Buckets are wall-"
+    "clock window() starts (NTZ-safe, like the tumbling-window queries).",
+)
+def events_resample_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "events", sf_dir).select(
+        "event_type",
+        F.window("ts", "5 minutes").start.alias("b"),
+        "value",
+    )
+    c = e.groupBy("event_type", "b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+            "total_value"
+        ),
+    )
+    grid = (
+        e.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("interval 5 minutes"))).alias("b")
+        )
+    )
+    frame = e.select("event_type").distinct().crossJoin(grid)
+    return frame.join(c, ["event_type", "b"], "left").select(
+        "event_type",
+        F.col("b").alias("bucket_start"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
