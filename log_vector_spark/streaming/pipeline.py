@@ -375,3 +375,44 @@ def run_stream_ivf_ingest(
         "rows": stored.count(),
         "n_lists": stored.select("list_id").distinct().count(),
     }
+
+
+def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the streaming events feed broadcast-joined
+    with a static dimension (per-type category + mean value computed once
+    from the batch table), then aggregated per category.
+
+    The static side is planned as a broadcast per micro-batch — the
+    canonical "enrich the firehose with reference data" shape.  No
+    watermark needed: the join is stateless (static side never changes
+    within the run); state is only the final windowless aggregate.
+    """
+    name = f"stream_enrich_{next(_COUNTER)}"
+    from log_vector_spark.catalog import table
+
+    batch_events = table(spark, "events", sf_dir)
+    dim = batch_events.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("type_mean")
+    ).withColumn(
+        "category",
+        F.when(F.col("event_type").isin("error", "purchase"), F.lit("critical"))
+        .otherwise(F.lit("routine")),
+    )
+    enriched = stream_events(spark, sf_dir).join(F.broadcast(dim), "event_type")
+    agg = enriched.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+            "total_value"
+        ),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

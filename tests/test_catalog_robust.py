@@ -91,3 +91,17 @@ def test_arrow_fallback_truncates_true_nanos_and_keeps_tz(spark, tmp_path):
         assert got[1] == datetime.datetime(2024, 1, 1, 12, 0, 0, 999)
     finally:
         spark.conf.set("spark.sql.session.timeZone", saved_tz)
+
+
+def test_schema_evolution_merge_reads_union_of_columns(spark, tmp_path):
+    """Day-2 files gaining a column must not break day-1 readers: with
+    mergeSchema the union schema comes back, old files NULL-fill."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(d + "/day=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(d + "/day=2")
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert {"id", "v", "score", "day"} <= set(df.columns)
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5

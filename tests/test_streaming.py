@@ -214,3 +214,34 @@ def test_continuous_rollup_incremental_merge_equals_batch(spark, tmp_path):
     all_events = spark.createDataFrame(b1 + b2, schema)
     want = {tuple(r) for r in hourly_rollup(all_events).collect()}
     assert got == want and len(want) == 4
+
+
+@pytest.mark.spark
+def test_stream_static_broadcast_enrich_equals_batch(spark):
+    from pyspark.sql import functions as F
+
+    from log_vector_spark.catalog import table
+    from log_vector_spark.streaming.pipeline import run_stream_static_enrich
+
+    sf = "/root/testdata/sf0.001"
+    e = table(spark, "events", sf)
+    dim = e.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("type_mean")).withColumn(
+        "category",
+        F.when(F.col("event_type").isin("error", "purchase"), F.lit("critical")).otherwise(
+            F.lit("routine")
+        ),
+    )
+    batch = {
+        tuple(r)
+        for r in e.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+                "total_value"
+            ),
+        )
+        .collect()
+    }
+    stream = {tuple(r) for r in run_stream_static_enrich(spark, sf).collect()}
+    assert stream == batch and len(stream) == 2
