@@ -38,15 +38,23 @@ def _l2(a, b) -> F.Column:
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
-    """Nearest centroid per vector: rounded distance, ties to lowest cid."""
+    """Nearest centroid per vector: rounded distance, ties to lowest cid.
+
+    argmin as a groupBy struct-min, NOT a window: the k-way scored relation
+    is reduced map-side (partial min per partition), so the shuffle carries
+    one row per vector instead of k — at production k (thousands of lists)
+    a window would shuffle the k-times-larger scored relation wholesale.
+    The struct orders (d, cid, ...) so ties still break to the lowest cid;
+    cid is unique per scored row, so the trailing payload never compares.
+    """
     j = vectors.crossJoin(
         F.broadcast(centroids.select("cid", F.col("e").alias("ce")))
     ).withColumn("d", F.round(_l2(F.col("e"), F.col("ce")), 6))
-    w = Window.partitionBy(id_col).orderBy("d", "cid")
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "e", "cid", "d")
+    best = j.groupBy(id_col).agg(
+        F.min(F.struct(F.col("d"), F.col("cid"), F.col("e"))).alias("m")
+    )
+    return best.select(
+        id_col, F.col("m.e").alias("e"), F.col("m.cid").alias("cid"), F.col("m.d").alias("d")
     )
 
 

@@ -52,3 +52,16 @@ def test_kmeans_broadcasts_centroids_not_vectors(spark):
     # in this plan stems from the k-row centroid relation (LocalTableScan /
     # aggregated update), so no shuffle-scaled exchange feeds a broadcast.
     assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assignment_is_agg_not_window(spark):
+    # The argmin must reduce map-side: no Window node for the per-vector
+    # nearest-centroid choice (a window would shuffle the k-times-larger
+    # scored relation; the struct-min groupBy shuffles one row per vector).
+    df = _vecs(spark, [[float(i), 1.0] for i in range(30)])
+    plan = (
+        kmeans_assignments(df, k=2, iters=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") <= 1  # only the k-row seed numbering
+    assert "partial_min" in plan or "partial min" in plan.lower()
