@@ -82,6 +82,10 @@ HEADLINE = [
     "gopher_rules",               # zero-shuffle rule-based quality gate
     "kmeans_clusters",            # 2 Lloyd rounds, broadcast centroids
     "orders_median_gap",          # lag window + exact median per customer
+    "dedup_incremental",          # batch-vs-corpus band-index dedup
+    "events_winsorized",          # per-type p01/p99 clamp robust stats
+    "events_resample_5m",         # dense grid zero-fill resampling
+    "cluster_balanced_sample",    # kmeans buckets + hash-rank sampling
 ]
 
 
@@ -144,6 +148,10 @@ BASELINE_SEC = {
     "gopher_rules": 0.63,
     "kmeans_clusters": 1.33,
     "orders_median_gap": 0.54,
+    "dedup_incremental": 1.65,
+    "events_winsorized": 0.72,
+    "events_resample_5m": 0.48,
+    "cluster_balanced_sample": 1.48,
 }
 
 
