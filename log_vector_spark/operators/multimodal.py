@@ -6,9 +6,10 @@ manufactures a binary payload from text (utf-8 bytes) to exercise identical
 plumbing: schema, Arrow batch shape, partitioning, and udf signatures are
 all real; only the codec call is faked/stubbed.
 
-* decode_image / decode_audio: STUBS — raise NotImplementedError when a real
-  codec (PIL / soundfile) is absent in the container; the mapInPandas
-  batch plumbing around them is real and tested.
+* decode_image / decode_audio: REAL for uncompressed containers — 24-bit
+  BMP in pure numpy, 16-bit PCM WAV via stdlib `wave` (no optional deps);
+  compressed formats (PNG/JPEG/FLAC/OGG) remain import-gated on
+  PIL/soundfile with NotImplementedError naming the missing dependency.
 * byte_histogram: a deterministic stand-in "feature extractor" (16-bin byte
   histogram -> array<double>) so the full binary -> feature -> similarity
   path runs end-to-end without codecs.
@@ -52,23 +53,195 @@ def attach_binary(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
-def decode_image(content: bytes) -> "np.ndarray":  # pragma: no cover - stub
-    """STUB: real deployments plug PIL/cv2 here; the container has neither."""
+# --- REAL codecs for uncompressed containers (stdlib/numpy only) -----------
+#
+# The container has no PIL/soundfile, but BMP (24-bit uncompressed) and WAV
+# (16-bit PCM) need neither: BMP is a fixed header + padded BGR rows, WAV is
+# stdlib `wave`.  decode_image / decode_audio are therefore REAL for these
+# containers — bytes in, pixel/sample arrays out — and import-gated only for
+# compressed formats (PNG/JPEG -> PIL, FLAC/OGG -> soundfile).
+
+
+def encode_bmp(px: "np.ndarray") -> bytes:
+    """24-bit uncompressed BMP from an (h, w, 3) uint8 RGB array: BGR
+    channel order, bottom-up rows, rows padded to 4 bytes."""
+    import struct
+
+    h, w, _ = px.shape
+    pad = (-(w * 3)) % 4
+    rows = [px[y][:, ::-1].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)]
+    data = b"".join(rows)
+    offset = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + data
+
+
+def decode_image(content: bytes) -> "np.ndarray":
+    """REAL decode for 24-bit uncompressed BMP (pure numpy: header parse,
+    bottom-up un-flip, BGR->RGB, row-padding strip).  Compressed formats
+    are import-gated on PIL."""
+    import struct
+
+    b = bytes(content)
+    if b[:2] == b"BM" and len(b) >= 54:
+        offset = struct.unpack("<I", b[10:14])[0]
+        _, w, h, _, bpp, comp = struct.unpack("<IiiHHI", b[14:34])
+        if bpp == 24 and comp == 0 and w > 0:
+            stride = w * 3 + ((-(w * 3)) % 4)
+            arr = np.frombuffer(b, np.uint8, count=stride * abs(h), offset=offset)
+            px = arr.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)[:, :, ::-1]
+            if h > 0:  # positive height = bottom-up storage
+                px = px[::-1]
+            return np.ascontiguousarray(px)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
-        raise NotImplementedError("image codec not available in this container") from e
-    raise NotImplementedError("wire PIL decode here")
+        raise NotImplementedError(
+            "image codec for non-BMP content not available in this container "
+            "(install PIL for PNG/JPEG)"
+        ) from e
+    raise NotImplementedError("wire PIL decode here")  # pragma: no cover
 
 
-def decode_audio(content: bytes) -> "np.ndarray":  # pragma: no cover - stub
-    """STUB: real deployments plug soundfile/librosa here; the container has
-    neither."""
+def encode_wav(samples: "np.ndarray", rate: int = 8000) -> bytes:
+    """16-bit PCM mono WAV from an int16 sample array (stdlib wave)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_audio(content: bytes) -> tuple["np.ndarray", int]:
+    """REAL decode for 16-bit PCM WAV via stdlib wave: returns (int16 mono
+    samples, sample_rate); multi-channel is mean-downmixed.  Non-WAV /
+    compressed audio is import-gated on soundfile."""
+    import io
+    import wave
+
     try:
-        import soundfile  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError("audio codec not available in this container") from e
-    raise NotImplementedError("wire soundfile decode here")
+        with wave.open(io.BytesIO(bytes(content)), "rb") as w:
+            rate, nch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if sw != 2:
+            raise ValueError("only 16-bit PCM handled natively")
+        a = np.frombuffer(raw, dtype="<i2")
+        if nch > 1:
+            a = a.reshape(-1, nch).mean(axis=1).astype(np.int16)
+        return a, rate
+    except NotImplementedError:
+        raise
+    except Exception:
+        try:
+            import soundfile  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "audio codec for non-PCM-WAV content not available in this "
+                "container (install soundfile for FLAC/OGG)"
+            ) from e
+        raise NotImplementedError("wire soundfile decode here")  # pragma: no cover
+
+
+# Deterministic synthetic payloads (the testdata ships no media files).
+# Integer-only signal math so DuckDB can replay the same values closed-form
+# — the oracle then verifies the ENTIRE synth -> encode -> decode -> feature
+# round trip: any codec bug (row padding, BGR order, bottom-up flip,
+# endianness) breaks the hash match.
+
+AUDIO_N, AUDIO_RATE = 400, 8000
+IMG_H, IMG_W = 16, 15  # width 15 -> 45-byte rows -> padding is exercised
+
+
+def synth_audio_samples(seed: int) -> "np.ndarray":
+    """Triangle-ish integer test signal: v[n] = ((n*step) % 2000) - 1000."""
+    step = 37 + (seed % 64)
+    n = np.arange(AUDIO_N, dtype=np.int64)
+    return (((n * step) % 2000) - 1000).astype(np.int16)
+
+
+def synth_image_pixels(seed: int) -> "np.ndarray":
+    """Deterministic (16, 15, 3) uint8 pattern, closed-form per channel."""
+    y, x, c = np.meshgrid(
+        np.arange(IMG_H, dtype=np.int64),
+        np.arange(IMG_W, dtype=np.int64),
+        np.arange(3, dtype=np.int64),
+        indexing="ij",
+    )
+    return (((seed * 31 + y * IMG_W + x) * 97 + c * 7) % 256).astype(np.uint8)
+
+
+def audio_features_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc ids -> synthesized WAV bytes -> REAL stdlib decode -> DSP features
+    (peak, RMS, zero-crossing count) over mapInPandas."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_crossings", T.IntegerType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "sample_rate", "n_samples", "peak", "rms", "zero_crossings")}
+            for mid in pdf[id_col]:
+                samples, rate = decode_audio(encode_wav(synth_audio_samples(int(mid)), AUDIO_RATE))
+                v = samples.astype(np.float64)
+                neg = samples < 0
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(samples))
+                rows["peak"].append(int(np.max(np.abs(samples.astype(np.int64)))))
+                rows["rms"].append(round(float(np.sqrt(np.mean(v * v))), 6))
+                rows["zero_crossings"].append(int(np.count_nonzero(neg[1:] != neg[:-1])))
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(extract, out_schema)
+
+
+def image_stats_bmp(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc ids -> synthesized BMP bytes -> REAL numpy decode -> per-image
+    channel means + luminance over mapInPandas."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("mean_luma", T.DoubleType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "height", "width", "mean_r", "mean_g", "mean_b", "mean_luma")}
+            for mid in pdf[id_col]:
+                px = decode_image(encode_bmp(synth_image_pixels(int(mid))))
+                f = px.astype(np.float64)
+                luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+                rows["media_id"].append(int(mid))
+                rows["height"].append(px.shape[0])
+                rows["width"].append(px.shape[1])
+                rows["mean_r"].append(round(float(f[:, :, 0].mean()), 6))
+                rows["mean_g"].append(round(float(f[:, :, 1].mean()), 6))
+                rows["mean_b"].append(round(float(f[:, :, 2].mean()), 6))
+                rows["mean_luma"].append(round(float(luma.mean()), 6))
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(extract, out_schema)
 
 
 def resize_thumbnail(media: DataFrame, height: int = 8, width: int = 8) -> DataFrame:

@@ -675,3 +675,70 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("scrubbed").alias("scrubbed_md5"),
         )
     )
+
+
+@register(
+    "audio_features_wav",
+    oracle="""
+    WITH n AS (SELECT unnest(range(400)) AS i),
+    d AS (SELECT doc_id, 37 + (doc_id % 64) AS step FROM documents),
+    s AS (SELECT doc_id, i, ((i * step) % 2000) - 1000 AS v FROM d CROSS JOIN n),
+    z AS (
+      SELECT doc_id, v,
+             CASE WHEN lag(v) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+                   AND ((v < 0) <> (lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0))
+                  THEN 1 ELSE 0 END AS zc
+      FROM s
+    )
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate,
+           400 AS n_samples,
+           CAST(max(abs(v)) AS INTEGER) AS peak,
+           round(sqrt(avg(CAST(v * v AS DOUBLE))), 6) AS rms,
+           CAST(sum(zc) AS INTEGER) AS zero_crossings
+    FROM z GROUP BY doc_id
+    """,
+    doc="REAL audio codec path: deterministic integer test signal -> 16-bit "
+    "PCM WAV bytes (stdlib wave) -> REAL decode -> peak/RMS/zero-crossing "
+    "features, over mapInPandas.  The oracle replays the signal closed-form, "
+    "so any encode/decode bug (endianness, sample width, framing) breaks the "
+    "hash match — this is the audio-decode capability gap from round 2 made "
+    "real for uncompressed containers (operators/multimodal.py:decode_audio; "
+    "compressed formats remain import-gated on soundfile).",
+)
+def audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.multimodal import audio_features_wav as afw
+
+    return afw(table(spark, "documents", sf_dir))
+
+
+@register(
+    "image_stats_bmp",
+    oracle="""
+    WITH ys AS (SELECT unnest(range(16)) AS y),
+    xs AS (SELECT unnest(range(15)) AS x),
+    px AS (
+      SELECT doc_id,
+             ((doc_id * 31 + y * 15 + x) * 97 + 0) % 256 AS r,
+             ((doc_id * 31 + y * 15 + x) * 97 + 7) % 256 AS g,
+             ((doc_id * 31 + y * 15 + x) * 97 + 14) % 256 AS b
+      FROM documents CROSS JOIN ys CROSS JOIN xs
+    )
+    SELECT doc_id AS media_id, 16 AS height, 15 AS width,
+           round(avg(CAST(r AS DOUBLE)), 6) AS mean_r,
+           round(avg(CAST(g AS DOUBLE)), 6) AS mean_g,
+           round(avg(CAST(b AS DOUBLE)), 6) AS mean_b,
+           round(avg(0.299 * r + 0.587 * g + 0.114 * b), 6) AS mean_luma
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL image codec path: deterministic pixel pattern -> 24-bit BMP "
+    "bytes -> REAL pure-numpy decode (bottom-up un-flip, BGR->RGB, 4-byte "
+    "row padding at width 15) -> channel means + luminance, over "
+    "mapInPandas.  The oracle computes the pattern closed-form, so any "
+    "decode bug breaks the hash match (operators/multimodal.py:decode_image; "
+    "PNG/JPEG remain import-gated on PIL).",
+)
+def image_stats_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.multimodal import image_stats_bmp as isb
+
+    return isb(table(spark, "documents", sf_dir))

@@ -1,6 +1,8 @@
-"""Contract tests for the honest codec stubs: when the optional library is
-absent, the NotImplementedError must NAME the missing capability so a user
-knows what to install — not fail with a bare ImportError mid-pipeline."""
+"""Codec contracts: decode_image/decode_audio are REAL for uncompressed
+containers (24-bit BMP in pure numpy, 16-bit PCM WAV via stdlib wave);
+for compressed formats with the optional library absent, the
+NotImplementedError must NAME the missing capability so a user knows what
+to install — not fail with a bare ImportError mid-pipeline."""
 
 import pytest
 
@@ -47,3 +49,57 @@ def test_pdf_extract_degrades_to_null_without_pypdf():
     assert len(out) == 1
     vals = list(out[0])
     assert vals == [None, None]
+
+
+def test_wav_roundtrip_is_real_no_optional_deps():
+    import numpy as np
+
+    from log_vector_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+        synth_audio_samples,
+    )
+
+    s = synth_audio_samples(11)
+    back, rate = decode_audio(encode_wav(s, 8000))
+    assert rate == 8000 and np.array_equal(back, s)
+
+
+def test_wav_decode_downmixes_stereo():
+    import io
+    import wave
+
+    import numpy as np
+
+    from log_vector_spark.operators.multimodal import decode_audio
+
+    left = np.array([100, -100, 300], dtype="<i2")
+    right = np.array([300, 100, 500], dtype="<i2")
+    inter = np.empty(6, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(inter.tobytes())
+    mono, rate = decode_audio(buf.getvalue())
+    assert rate == 16000 and mono.tolist() == [200, 0, 400]
+
+
+def test_bmp_roundtrip_exercises_padding_and_flip():
+    import numpy as np
+
+    from log_vector_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        synth_image_pixels,
+    )
+
+    px = synth_image_pixels(11)  # (16, 15, 3): 45-byte rows -> padded to 48
+    back = decode_image(encode_bmp(px))
+    assert back.shape == (16, 15, 3) and np.array_equal(back, px)
+    # asymmetric probe: a corner-marked image survives the bottom-up flip
+    marked = np.zeros((2, 3, 3), dtype=np.uint8)
+    marked[0, 0] = (255, 0, 0)  # top-left red must come back top-left red
+    assert np.array_equal(decode_image(encode_bmp(marked)), marked)
