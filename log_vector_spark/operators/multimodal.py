@@ -4,7 +4,9 @@ Images/audio/video ride through the engine as opaque `binary` columns with
 typed metadata structs — the testdata has no media files, so `attach_binary`
 manufactures a binary payload from text (utf-8 bytes) to exercise identical
 plumbing: schema, Arrow batch shape, partitioning, and udf signatures are
-all real; only the codec call is faked/stubbed.
+all real.  The codec layer is REAL for uncompressed containers (BMP/WAV
+below) and import-gated for compressed ones; video frame sampling remains
+a byte-stride stand-in (no stdlib video codec exists).
 
 * decode_image / decode_audio: REAL for uncompressed containers — 24-bit
   BMP in pure numpy, 16-bit PCM WAV via stdlib `wave` (no optional deps);
@@ -343,3 +345,45 @@ def frame_sample(media: DataFrame, stride: int = 64, max_frames: int = 8) -> Dat
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(sample, out_schema)
+
+
+def resize_image(px: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """REAL nearest-neighbor resize on a decoded (h, w, 3) pixel array:
+    source index = (dest_index * src_extent) // dest_extent per axis."""
+    h, w, _ = px.shape
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return px[yi][:, xi]
+
+
+def image_thumbs_bmp(
+    docs: DataFrame, out_h: int = 8, out_w: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """doc ids -> BMP bytes -> REAL decode -> REAL nearest-neighbor resize
+    -> thumbnail checksum/mean over mapInPandas.  The checksum (integer sum
+    of all sampled RGB values) pins the exact index math of the resampler."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("thumb_h", T.IntegerType()),
+            T.StructField("thumb_w", T.IntegerType()),
+            T.StructField("checksum", T.LongType()),
+            T.StructField("mean_value", T.DoubleType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "thumb_h", "thumb_w", "checksum", "mean_value")}
+            for mid in pdf[id_col]:
+                thumb = resize_image(
+                    decode_image(encode_bmp(synth_image_pixels(int(mid)))), out_h, out_w
+                )
+                rows["media_id"].append(int(mid))
+                rows["thumb_h"].append(out_h)
+                rows["thumb_w"].append(out_w)
+                rows["checksum"].append(int(thumb.astype(np.int64).sum()))
+                rows["mean_value"].append(round(float(thumb.astype(np.float64).mean()), 6))
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(extract, out_schema)

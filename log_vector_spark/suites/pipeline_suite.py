@@ -742,3 +742,31 @@ def image_stats_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.operators.multimodal import image_stats_bmp as isb
 
     return isb(table(spark, "documents", sf_dir))
+
+
+@register(
+    "image_thumbs_bmp",
+    oracle="""
+    WITH di AS (SELECT unnest(range(8)) AS i),
+    dj AS (SELECT unnest(range(8)) AS j),
+    dc AS (SELECT unnest(range(3)) AS c),
+    sampled AS (
+      SELECT doc_id,
+             ((doc_id * 31 + ((i * 16) // 8) * 15 + ((j * 15) // 8)) * 97 + c * 7) % 256
+               AS val
+      FROM documents CROSS JOIN di CROSS JOIN dj CROSS JOIN dc
+    )
+    SELECT doc_id AS media_id, 8 AS thumb_h, 8 AS thumb_w,
+           CAST(sum(val) AS BIGINT) AS checksum,
+           round(avg(CAST(val AS DOUBLE)), 6) AS mean_value
+    FROM sampled GROUP BY doc_id
+    """,
+    doc="REAL thumbnail path: BMP decode -> nearest-neighbor resize 16x15 -> "
+    "8x8 on actual pixels; the integer checksum pins the resampler's exact "
+    "index math ((dest*src)//dest per axis) against the closed-form oracle "
+    "(operators/multimodal.py:resize_image).",
+)
+def image_thumbs_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.multimodal import image_thumbs_bmp as itb
+
+    return itb(table(spark, "documents", sf_dir))

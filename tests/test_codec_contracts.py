@@ -103,3 +103,17 @@ def test_bmp_roundtrip_exercises_padding_and_flip():
     marked = np.zeros((2, 3, 3), dtype=np.uint8)
     marked[0, 0] = (255, 0, 0)  # top-left red must come back top-left red
     assert np.array_equal(decode_image(encode_bmp(marked)), marked)
+
+
+def test_nearest_neighbor_resize_index_math():
+    import numpy as np
+
+    from log_vector_spark.operators.multimodal import resize_image
+
+    src = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = resize_image(src, 2, 3)
+    assert out.shape == (2, 3, 3)
+    # dest (i, j) samples src ((i*4)//2, (j*6)//3) = (2i, 2j)
+    for i in range(2):
+        for j in range(3):
+            assert (out[i, j] == src[2 * i, 2 * j]).all()
