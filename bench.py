@@ -86,6 +86,8 @@ HEADLINE = [
     "events_winsorized",          # per-type p01/p99 clamp robust stats
     "events_resample_5m",         # dense grid zero-fill resampling
     "cluster_balanced_sample",    # kmeans buckets + hash-rank sampling
+    "audio_features_wav",         # REAL WAV decode + DSP features (mapInPandas)
+    "image_thumbs_bmp",           # REAL BMP decode + NN resize (mapInPandas)
 ]
 
 
@@ -152,6 +154,8 @@ BASELINE_SEC = {
     "events_winsorized": 0.72,
     "events_resample_5m": 0.48,
     "cluster_balanced_sample": 1.48,
+    "audio_features_wav": 0.55,
+    "image_thumbs_bmp": 0.74,
 }
 
 
