@@ -568,3 +568,69 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") < 400)
     batch = docs.filter(F.col("doc_id") >= 400)
     return dedup.minhash_incremental_survivors(corpus, batch)
+
+
+@register(
+    "dedup_graph_stats",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    j AS (SELECT s.doc_id, s.simhash, d.source FROM sim s JOIN documents d USING (doc_id)),
+    e AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM j a JOIN j b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    ),
+    nodes AS (SELECT a AS id FROM e UNION SELECT b AS id FROM e),
+    deg AS (
+      SELECT id, count(*) AS d FROM (
+        SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e
+      ) GROUP BY id
+    ),
+    tri AS (
+      SELECT count(*) AS n FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT max(d) FROM deg) AS max_degree,
+           (SELECT round(avg(CAST(d AS DOUBLE)), 6) FROM deg) AS avg_degree,
+           (SELECT n FROM tri) AS n_triangles
+    """,
+    doc="Near-dup graph diagnostics over the SimHash pair graph: node/edge "
+    "counts, degree stats, and a distributed triangle count (edges oriented "
+    "a<b; wedge join e1.b=e2.a closed against the edge set — two equi-joins, "
+    "the standard MapReduce triangle shape that never materializes "
+    "neighborhoods).  The observability pass run before trusting transitive "
+    "dedup clusters: a skyrocketing triangle/edge ratio means the similarity "
+    "threshold is merging unrelated content.",
+)
+def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        dedup.simhash_pairs(table(spark, "documents", sf_dir), max_hamming=6)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    nodes = e.select(F.col("a").alias("id")).union(e.select(F.col("b").alias("id"))).distinct()
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(
+            deg.agg(
+                F.max("d").alias("max_degree"),
+                F.round(F.avg(F.col("d").cast("double")), 6).alias("avg_degree"),
+            )
+        )
+        .crossJoin(tri.select(F.col("n").alias("n_triangles")))
+    )
