@@ -1523,3 +1523,57 @@ def orders_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@register(
+    "nation_high_balance_full_join",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk, count(*) AS n_cust,
+             round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS cust_bal
+      FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+    ),
+    s AS (
+      SELECT s_nationkey AS nk, count(*) AS n_supp,
+             round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS supp_bal
+      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+    )
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(cust_bal, 0.0) AS cust_bal,
+           coalesce(n_supp, 0) AS n_supp,
+           coalesce(supp_bal, 0.0) AS supp_bal
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    doc="FULL OUTER join shape: per-nation high-balance customer vs supplier "
+    "aggregates, either side absent -> zero-filled row (18 one-sided rows at "
+    "sf0.01, so both null directions are really exercised).  Aggregates "
+    "first, then the outer join runs on <=25-row inputs — at scale the "
+    "outer join's hash tables are nation-sized, never fact-sized.",
+)
+def nation_high_balance_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, "customer", sf_dir)
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).alias("cust_bal"),
+        )
+    )
+    s = (
+        table(spark, "supplier", sf_dir)
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double"), 2).alias("supp_bal"),
+        )
+    )
+    return c.join(s, c["nk_c"] == s["nk_s"], "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+    )
