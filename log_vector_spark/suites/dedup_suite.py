@@ -606,9 +606,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "threshold is merging unrelated content.",
 )
 def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The edge set feeds 7 downstream subplans (nodes, degrees, 3 triangle
+    # aliases, 2 counts): materialize it ONCE — without this the SimHash
+    # pipeline re-executes per consumer (measured 69 exchanges / 32 scans in
+    # the PLANS.md audit; ~10 exchanges after).  Same pattern as
+    # dedup_clusters' localCheckpoint of its edge set.
     e = (
         dedup.simhash_pairs(table(spark, "documents", sf_dir), max_hamming=6)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=True)
     )
     nodes = e.select(F.col("a").alias("id")).union(e.select(F.col("b").alias("id"))).distinct()
     deg = (
