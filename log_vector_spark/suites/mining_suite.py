@@ -241,3 +241,47 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 1000000
     ) / 1000000.0
     return docs.filter(draw < F.col("n_chars") / 600.0).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "unigram_logprob",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vsize FROM v),
+    lp AS (
+      SELECT tok, log10(CAST(cnt + 1 AS DOUBLE) / CAST(total + vsize AS DOUBLE)) AS lp
+      FROM v CROSS JOIN t
+    )
+    SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 6) AS avg_logprob
+    FROM toks JOIN lp USING (tok) GROUP BY doc_id
+    """,
+    doc="Unigram language-model quality score (the CCNet perplexity signal "
+    "with the KenLM swapped for a corpus-fit add-1-smoothed unigram model): "
+    "per-doc mean log10 probability of its tokens under the corpus "
+    "distribution.  Shapes: one |vocab|-sized aggregate, a 1-row totals "
+    "aggregate (broadcast by construction), then tokens join the "
+    "vocab-probability table — shuffle keyed by token, volume |tokens| "
+    "once.  Low scores flag out-of-distribution/junk docs before the "
+    "expensive embed stage.",
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks(spark, sf_dir)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").cast("bigint").alias("total"), F.count(F.lit(1)).alias("vsize")
+    )
+    lp = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.log10(
+            (F.col("cnt") + 1).cast("double") / (F.col("total") + F.col("vsize")).cast("double")
+        ).alias("lp"),
+    )
+    return (
+        toks.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )

@@ -1577,3 +1577,41 @@ def nation_high_balance_full_join(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
         F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
     )
+
+
+@register(
+    "orders_yoy_growth",
+    oracle="""
+    WITH y AS (
+      SELECT o_orderpriority AS priority, year(o_orderdate) AS yr,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, yr, revenue,
+           round((revenue - lag(revenue) OVER (PARTITION BY priority ORDER BY yr))
+                 / lag(revenue) OVER (PARTITION BY priority ORDER BY yr), 6) AS yoy_growth
+    FROM y
+    """,
+    doc="Year-over-year revenue growth per order priority: decimal-exact "
+    "yearly aggregate, then lag over the tiny (priority, year) frame — the "
+    "window runs post-aggregation so its partition count is bounded.",
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    y = (
+        table(spark, "orders", sf_dir)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("priority").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return y.select(
+        "priority", "yr", "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
+    )
