@@ -15,6 +15,7 @@ from log_vector_spark.operators import dedup
 from log_vector_spark.registry import register
 
 _WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_STOP = "('the', 'a', 'of', 'to', 'and')"
 _SHINGLES = (
     "list_transform(range(1, greatest(len(words) - 1, 1)), "
     "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
@@ -639,4 +640,77 @@ def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .crossJoin(tri.select(F.col("n").alias("n_triangles")))
+    )
+
+
+@register(
+    "dedup_cluster_best_quality",
+    oracle=f"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
+    h AS (SELECT doc_id, {_MH_BASE} AS h FROM sh),
+    seeded AS (SELECT doc_id, h, unnest(range(0, 8)) AS seed FROM h),
+    sig AS (SELECT doc_id, seed,
+                   min((h * ({_MH_AS}[CAST(seed AS INTEGER) + 1]) + seed) % {_MH_P}) AS minhash
+            FROM seeded GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY 1, 2),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(v, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    clusters AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v),
+    q AS (
+      SELECT doc_id,
+             round((CAST(len(list_filter(words, t -> t IN {_STOP})) AS INTEGER)
+                    / CAST(len(words) AS INTEGER)) * 0.5
+                   + least(CAST(len(words) AS INTEGER), 100) / 100.0 * 0.5, 6) AS quality
+      FROM docs
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.quality,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+      FROM clusters c JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS survivor_doc_id, quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Quality-aware dedup survivor selection: within each transitive "
+    "near-dup cluster keep the HIGHEST-quality document (ties to lowest id) "
+    "— what a production pipeline keeps, rather than the arbitrary min-id "
+    "canonical.  The argmax is a min(struct(-quality, doc_id)) hash "
+    "aggregation (map-side combine; one row per cluster crosses the "
+    "shuffle), composed over connected_components and the text_quality "
+    "scan-stage score.",
+)
+def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators import textops
+
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2)
+    clusters = dedup.connected_components(pairs, docs, id_col="doc_id")
+    q = textops.text_quality(docs).select("doc_id", "quality")
+    j = clusters.join(q, "doc_id")
+    best = j.groupBy("cluster_id").agg(
+        F.min(F.struct((-F.col("quality")).alias("nq"), F.col("doc_id"), F.col("quality"))).alias("m"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return best.select(
+        "cluster_id",
+        F.col("m.doc_id").alias("survivor_doc_id"),
+        F.col("m.quality").alias("quality"),
+        F.col("n_members"),
     )
