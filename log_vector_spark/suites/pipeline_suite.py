@@ -1,11 +1,11 @@
 """Ingestion-pipeline queries: chunking, embedding, and the end-to-end
 index->retrieve flow (the reference's whole reason to exist, SURVEY §3.1).
 
-`chunk_fixed` and `embed_map` are fully declarative and oracle-checked.
-`chunk_greedy` and `index_pipeline` go through the pandas_udf kernels
-(greedy line-packing / md5-seeded embedder) — inherently non-SQL, so they
-are rows-only for the driver and covered by pytest + hypothesis instead
-(tests/test_chunk.py, tests/test_embed.py).
+Everything here is oracle-checked, including the pandas_udf kernels:
+`chunk_greedy` and `index_pipeline` replay the greedy line-packing fold and
+the md5-seeded LCG embedder as recursive CTEs, so even the "inherently
+sequential" stages are hash-verified end-to-end (plus pytest + hypothesis
+in tests/test_chunk.py, tests/test_embed.py).
 """
 
 from __future__ import annotations
@@ -311,11 +311,66 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_stream(spark, sf_dir)
 
 
+_INDEX_PIPELINE_ORACLE = """
+    WITH RECURSIVE
+    w AS (
+      SELECT doc_id, source, string_split(replace(text, ' ', chr(10)), chr(10)) AS ws
+      FROM documents
+    ),
+    steps AS (
+      SELECT doc_id, source, ws, 1 AS i, length(ws[1]) + 1 AS cur, 0 AS cidx
+      FROM w WHERE len(ws) >= 1
+      UNION ALL
+      SELECT doc_id, source, ws, i + 1,
+             CASE WHEN cur + length(ws[i+1]) + 1 > 400 THEN length(ws[i+1]) + 1
+                  ELSE cur + length(ws[i+1]) + 1 END,
+             CASE WHEN cur + length(ws[i+1]) + 1 > 400 THEN cidx + 1 ELSE cidx END
+      FROM steps WHERE i < len(ws)
+    ),
+    assigned AS (SELECT doc_id, source, ws[i] AS line, i, cidx FROM steps),
+    chunks AS (
+      SELECT source || ':' || doc_id || ':' || cidx AS chunk_id,
+             string_agg(line, chr(10) ORDER BY i) AS document
+      FROM assigned GROUP BY doc_id, source, cidx
+    ),
+    seeds AS (
+      SELECT chunk_id,
+             CAST(('0x' || substr(md5(document), 1, 16))::UBIGINT % 2147483648 AS BIGINT)
+               AS seed
+      FROM chunks
+    ),
+    lcg(chunk_id, d, state) AS (
+      SELECT chunk_id, 0, (seed * 1103515245 + 12345) % 2147483648 FROM seeds
+      UNION ALL
+      SELECT chunk_id, d + 1, (state * 1103515245 + 12345) % 2147483648
+      FROM lcg WHERE d < 63
+    ),
+    rdims AS (
+      SELECT chunk_id, d, CAST(state AS DOUBLE) / 2147483648.0 - 0.5 AS r FROM lcg
+    ),
+    vecs AS (
+      SELECT chunk_id, list(r ORDER BY d) AS v FROM rdims GROUP BY chunk_id
+    )
+    SELECT chunk_id,
+           round(list_dot_product(v, {q})
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product({q}, {q}))), 6)
+             AS score
+    FROM vecs
+    ORDER BY score DESC, chunk_id ASC LIMIT 10
+"""
+
+
 @register(
     "index_pipeline",
-    oracle=None,  # end-to-end through two pandas_udf kernels
+    oracle=_INDEX_PIPELINE_ORACLE.format(
+        q=f"{vector_sql_literal(fixed_query_vector(64))}::DOUBLE[]"
+    ),
     doc="The reference's full lifecycle as ONE lazy plan: chunk (greedy udf) -> "
-    "embed (deterministic udf) -> cosine top-10 against a fixed query vector.",
+    "embed (deterministic udf) -> cosine top-10 against a fixed query vector.  "
+    "Fully oracle-paired end-to-end: the recursive CTE replays the greedy "
+    "chunker word-by-word (reference index.py:296-319 accounting) and the "
+    "md5-seeded LCG embedder state-by-state, so the final hash verifies the "
+    "WHOLE pipeline, pandas kernels included.",
 )
 def index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, "documents", sf_dir).select(
