@@ -569,13 +569,40 @@ def pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack_next_fit",
-    oracle=None,  # sequential bin state is not SQL-expressible; see
-    # tests/test_packing.py for the budget/order/determinism properties and
-    # the pack_offsets parity bound
+    # The sequential bin state is a per-group fold — replayed exactly by a
+    # recursive CTE stepping documents in id order (same technique as the
+    # chunk_greedy / index_pipeline oracles); tests/test_packing.py pins the
+    # budget/order/determinism properties besides.
+    oracle="""
+    WITH RECURSIVE
+    t AS (
+      SELECT source, doc_id,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS toks
+      FROM documents
+    ),
+    ordered AS (
+      SELECT source, doc_id, toks,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i
+      FROM t
+    ),
+    rec(source, i, doc_id, toks, bin_id, bin_fill) AS (
+      SELECT source, i, doc_id, toks, 0, toks FROM ordered WHERE i = 1
+      UNION ALL
+      SELECT o.source, o.i, o.doc_id, o.toks,
+             CASE WHEN r.bin_fill > 0 AND r.bin_fill + o.toks > 256
+                  THEN r.bin_id + 1 ELSE r.bin_id END,
+             CASE WHEN r.bin_fill > 0 AND r.bin_fill + o.toks > 256
+                  THEN o.toks ELSE r.bin_fill + o.toks END
+      FROM rec r JOIN ordered o ON o.source = r.source AND o.i = r.i + 1
+    )
+    SELECT source, doc_id, toks, CAST(bin_id AS INTEGER) AS bin_id, bin_fill
+    FROM rec
+    """,
     doc="Greedy next-fit packing at a 256-token budget: whole documents "
     "only, new bin when the next document doesn't fit.  Sequential state -> "
     "applyInPandas per source, parallel across sources "
-    "(operators/packing.py:pack_next_fit).",
+    "(operators/packing.py:pack_next_fit); the oracle replays the fold as a "
+    "recursive CTE.",
 )
 def pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_ops.pack_next_fit(table(spark, "documents", sf_dir), budget=256)
