@@ -88,6 +88,10 @@ HEADLINE = [
     "cluster_balanced_sample",    # kmeans buckets + hash-rank sampling
     "audio_features_wav",         # REAL WAV decode + DSP features (mapInPandas)
     "image_thumbs_bmp",           # REAL BMP decode + NN resize (mapInPandas)
+    "unigram_logprob",            # corpus-fit unigram LM quality score
+    "dedup_graph_stats",          # near-dup graph degree + triangle count
+    "dedup_cluster_best_quality", # quality-argmax survivor per CC cluster
+    "orders_yoy_growth",          # yearly decimal agg + lag window
 ]
 
 
@@ -156,6 +160,10 @@ BASELINE_SEC = {
     "cluster_balanced_sample": 1.48,
     "audio_features_wav": 0.55,
     "image_thumbs_bmp": 0.74,
+    "unigram_logprob": 0.86,
+    "dedup_graph_stats": 4.97,
+    "dedup_cluster_best_quality": 3.43,
+    "orders_yoy_growth": 0.39,
 }
 
 
