@@ -92,6 +92,11 @@ HEADLINE = [
     "dedup_graph_stats",          # near-dup graph degree + triangle count
     "dedup_cluster_best_quality", # quality-argmax survivor per CC cluster
     "orders_yoy_growth",          # yearly decimal agg + lag window
+    "bm25_topk",                  # scan-stage Okapi BM25 + distributed top-k
+    "hybrid_rrf",                 # vector+lexical reciprocal-rank fusion
+    "mmr_rerank",                 # MMR diversity selection (applyInPandas)
+    "dsir_weights",               # DSIR hashed-unigram importance weights
+    "source_novelty",             # first-occurrence n-gram attribution
 ]
 
 
@@ -164,6 +169,14 @@ BASELINE_SEC = {
     "dedup_graph_stats": 4.97,
     "dedup_cluster_best_quality": 3.43,
     "orders_yoy_growth": 0.39,
+    # retrieval/selection wave, measured in a ~2.2x-drifted window (reference
+    # queries text_quality/events_hourly ran 2.1-2.3x their clean rows in the
+    # same session) — treat as upper bounds
+    "bm25_topk": 1.01,
+    "hybrid_rrf": 1.50,
+    "mmr_rerank": 0.77,
+    "dsir_weights": 1.26,
+    "source_novelty": 1.79,
 }
 
 

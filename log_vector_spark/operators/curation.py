@@ -211,3 +211,157 @@ def token_histogram(
         cum_docs.alias("cum_docs"),
         F.round(cum_docs / F.sum("n_docs").over(everything), 6).alias("cum_doc_share"),
     )
+
+
+DSIR_BUCKETS = 256  # hashed-unigram feature space (first two md5 hex digits)
+
+
+def _md5_bucket(tok) -> "F.Column":
+    """Token -> 0..255 via the first two hex digits of md5 (functions/
+    text.nibble twin); identical in any engine with md5 + strpos."""
+    from log_vector_spark.functions.text import HEX_DIGITS
+
+    h = F.md5(tok)
+    hi = F.instr(F.lit(HEX_DIGITS), F.substring(h, 1, 1)) - 1
+    lo = F.instr(F.lit(HEX_DIGITS), F.substring(h, 2, 1)) - 1
+    return (hi * 16 + lo).cast("int")
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram n-gram
+    features, per-document log importance weight log p_target(d) -
+    log p_raw(d) under add-one-smoothed bucket unigram models.
+
+    ``target_pred`` is a boolean Column marking the in-domain (target)
+    documents; the raw model is the whole corpus.  Token occurrences hash
+    into 256 md5 buckets; both models are ONE tiny group-by-bucket
+    aggregate computed in the same pass (count + conditional count).  The
+    per-bucket log ratio is rounded to integer MICRO-UNITS (x 1e6) so the
+    per-document sum is exact bigint arithmetic — order-independent and
+    bit-identical in any engine (no float-summation-order hazard).
+
+    Scale: explode -> 256-row aggregate (map-side combine; shuffle volume
+    is 256 rows/partition) -> broadcast 256-row ratio table back onto the
+    exploded frame (map-side join) -> linear group-by-doc bigint sum.
+    Exactly two linear shuffles over |tokens|-row frames; nothing
+    data-scaled is broadcast.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("is_target"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("bucket", _md5_bucket(F.col("tok")))
+    bst = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.col("is_target").cast("bigint")).alias("ct"),
+    )
+    tot = bst.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    lw = (
+        bst.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log((F.col("ct") + 1.0) / (F.col("tt") + float(DSIR_BUCKETS)))
+                    - F.log((F.col("cr") + 1.0) / (F.col("tr") + float(DSIR_BUCKETS)))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("lw_micro"),
+        )
+    )
+    per_doc = (
+        toks.join(F.broadcast(lw), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("lw_micro").cast("bigint").alias("logw_micro"))
+    )
+    return per_doc.select(
+        "doc_id", "logw_micro", (F.col("logw_micro") > 0).alias("keep")
+    )
+
+
+def source_quota_sample(
+    docs: DataFrame,
+    quota: int = 30,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-domain quota sampling: at most ``quota`` documents
+    per source, chosen by content-hash rank (md5 of the id) so the sample
+    is reproducible and append-stable — the document-domain twin of
+    vector_search.cluster_balanced_sample.
+
+    Scale: one window per domain key; domains with few docs cost nothing,
+    and the hash order means no re-shuffle is needed when the corpus grows
+    (previously sampled docs keep their rank prefix unless new docs hash
+    earlier)."""
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .select(F.col(id_col).alias("doc_id"), F.col(domain_col).alias("source"))
+    )
+
+
+def source_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unique-content attribution per source: how many distinct word
+    n-grams does each source contribute FIRST (by lowest doc_id), vs how
+    many distinct n-grams its documents contain at all.
+
+    The novelty ratio separates sources that add new content from sources
+    that re-circulate it — the corpus-level signal behind source-weighting
+    decisions in mixture planning.
+
+    Scale: grams are deduped per-document BEFORE the explode
+    (array_distinct — map-side), the first-occurrence attribution is a
+    min(struct(doc_id, source)) hash aggregate (map-side combine, one row
+    per distinct gram crosses the shuffle), and the per-source rollups are
+    tiny.  Shuffle volume is |distinct grams|, the same budget as
+    vocab_topk / split_contamination."""
+    from log_vector_spark.functions.text import shingles_from_words
+
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("source"),
+        tokens(F.col(text_col)).alias("w"),
+    )
+    grams = w.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(shingles_from_words(F.col("w"), n))).alias("gram"),
+    )
+    firsts = (
+        grams.groupBy("gram")
+        .agg(F.min(F.struct("doc_id", "source")).alias("m"))
+        .select(F.col("m.source").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_first_grams"))
+    )
+    totals = grams.groupBy("source").agg(
+        F.countDistinct("gram").alias("n_grams")
+    )
+    return totals.join(firsts, "source", "left").select(
+        "source",
+        "n_grams",
+        F.coalesce("n_first_grams", F.lit(0)).cast("bigint").alias("n_first_grams"),
+        F.round(
+            F.coalesce("n_first_grams", F.lit(0)).cast("double") / F.col("n_grams"), 6
+        ).alias("novelty_ratio"),
+    )

@@ -51,6 +51,7 @@ def load_all_suites() -> None:
     import log_vector_spark.suites.functions_suite  # noqa: F401
     import log_vector_spark.suites.mining_suite  # noqa: F401
     import log_vector_spark.suites.curation_suite  # noqa: F401
+    import log_vector_spark.suites.retrieval_suite  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

@@ -133,3 +133,103 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.token_histogram(table(spark, "documents", sf_dir))
+
+
+@register(
+    "dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_target, tok,
+             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1 AS INTEGER) AS bucket
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+    ),
+    bst AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
+             CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      FROM toks GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM bst),
+    lw AS (
+      SELECT bucket,
+             CAST(round((ln((ct + 1.0) / (tt + 256.0)) - ln((cr + 1.0) / (tr + 256.0)))
+                        * 1e6, 0) AS BIGINT) AS lw_micro
+      FROM bst CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(lw_micro) AS BIGINT) AS logw_micro,
+           (CAST(sum(lw_micro) AS BIGINT) > 0) AS keep
+    FROM toks JOIN lw USING (bucket)
+    GROUP BY doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023) with lang='en' as the "
+    "target domain: 256 hashed-unigram buckets, add-one-smoothed "
+    "target/raw unigram models, per-doc log importance weight.  The "
+    "per-bucket log ratio is rounded to integer micro-units so the "
+    "per-doc sum is exact bigint math (order-independent, no float-sum "
+    "hazard).  Both models come from ONE 256-row aggregate; the ratio "
+    "table broadcasts back onto the exploded frame "
+    "(operators/curation.py:dsir_logweights).",
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    from pyspark.sql import functions as F
+
+    return curation.dsir_logweights(docs, F.col("lang") == "en")
+
+
+@register(
+    "source_quota_sample",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 30
+    """,
+    doc="Per-domain quota sampling: at most 30 docs per source by "
+    "deterministic content-hash rank — reproducible, append-stable "
+    "down-sampling of over-represented domains (the document twin of "
+    "cluster_balanced_sample).  One window per domain key.",
+)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.source_quota_sample(table(spark, "documents", sf_dir), quota=30)
+
+
+@register(
+    "source_novelty",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, {_WORDS} AS words FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source, gram FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
+                      i -> array_to_string(words[i:i+2], ' '))) AS gram
+        FROM w WHERE len(words) >= 3
+      )
+    ),
+    firsts AS (
+      SELECT src AS source, CAST(count(*) AS BIGINT) AS n_first_grams FROM (
+        SELECT gram, arg_min(source, doc_id) AS src FROM grams GROUP BY gram
+      ) GROUP BY src
+    ),
+    totals AS (
+      SELECT source, CAST(count(DISTINCT gram) AS BIGINT) AS n_grams
+      FROM grams GROUP BY source
+    )
+    SELECT t.source, t.n_grams,
+           CAST(coalesce(f.n_first_grams, 0) AS BIGINT) AS n_first_grams,
+           round(CAST(coalesce(f.n_first_grams, 0) AS DOUBLE) / t.n_grams, 6)
+             AS novelty_ratio
+    FROM totals t LEFT JOIN firsts f ON f.source = t.source
+    """,
+    doc="Unique-content attribution per source: distinct 3-gram count vs "
+    "first-contributed (lowest doc_id) 3-gram count + novelty ratio — the "
+    "corpus-level signal for up/down-weighting sources in mixture "
+    "planning.  Grams dedup per-doc before the explode; attribution is a "
+    "min(struct) hash agg, shuffle = |distinct grams| "
+    "(operators/curation.py:source_novelty).",
+)
+def source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.source_novelty(table(spark, "documents", sf_dir), n=3)
