@@ -97,6 +97,9 @@ HEADLINE = [
     "mmr_rerank",                 # MMR diversity selection (applyInPandas)
     "dsir_weights",               # DSIR hashed-unigram importance weights
     "source_novelty",             # first-occurrence n-gram attribution
+    "ivf_recall_at10",            # retrieval-quality eval (exact vs IVF)
+    "embedding_outliers",         # per-label centroid distance outlier flag
+    "langid_confusion",           # classifier confusion-matrix observability
 ]
 
 
@@ -177,6 +180,9 @@ BASELINE_SEC = {
     "mmr_rerank": 0.77,
     "dsir_weights": 1.26,
     "source_novelty": 1.79,
+    "ivf_recall_at10": 2.24,
+    "embedding_outliers": 1.77,
+    "langid_confusion": 1.01,
 }
 
 

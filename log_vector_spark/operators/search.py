@@ -316,3 +316,48 @@ def normalize_vectors(vectors: DataFrame, vec_col: str = "embedding") -> DataFra
     return vectors.withColumn(
         "norm", F.round(F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))), SCORE_DP)
     ).withColumn("unit", l2_normalize(F.col(vec_col)))
+
+
+def knn_ivf_batch(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Batch IVF approximate top-k: every query probes its own `nprobe`
+    nearest centroid lists; candidates are exact-scored inside.
+
+    The probe table is |queries| x nprobe rows (query id, query vector,
+    list id) — bounded by the query batch, so it broadcasts; the candidate
+    join then touches only the probed lists of the assigned relation.  At
+    scale the assignment is a write-time artifact partitioned by list_id
+    and this becomes a partition-pruned scan per query batch, shuffling
+    nothing data-scaled (the rank window partitions by query_id — full
+    parallelism across the batch).
+    """
+    probed = queries_df.crossJoin(F.broadcast(centroids)).withColumn(
+        "qscore",
+        F.round(cosine_similarity(F.col(query_vec), F.col("centroid")), SCORE_DP),
+    )
+    w_probe = Window.partitionBy(query_id).orderBy(F.desc("qscore"), F.asc("list_id"))
+    probe_lists = (
+        probed.withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= nprobe)
+        .select(query_id, query_vec, "list_id")
+    )
+    assigned = ivf_assign(vectors, centroids, vec_id, vec_col)
+    cand = assigned.join(F.broadcast(probe_lists), "list_id")
+    scored = cand.withColumn(
+        "score", F.round(cosine_similarity(F.col(vec_col), F.col(query_vec)), SCORE_DP)
+    )
+    w_rank = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(vec_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, vec_id, "score", "rank")
+    )

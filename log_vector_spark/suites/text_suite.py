@@ -207,3 +207,55 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         *textops.pii_counts(t),
         F.md5(textops.scrub_pii(t)).alias("scrubbed_md5"),
     )
+
+
+@register(
+    "langid_confusion",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, {_WORDS} AS words FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(words, t -> t IN ('the', 'a', 'of'))) AS INTEGER) AS hits_en,
+             CAST(len(list_filter(words, t -> t IN ('el', 'la', 'de'))) AS INTEGER) AS hits_es,
+             CAST(len(list_filter(words, t -> t IN ('der', 'die', 'das'))) AS INTEGER) AS hits_de,
+             CAST(len(list_filter(words, t -> t IN ('le', 'les', 'et'))) AS INTEGER) AS hits_fr
+      FROM d
+    ),
+    p AS (
+      SELECT lang AS declared_lang,
+             CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'unknown'
+                  WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+                  WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+                  WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+                  ELSE 'fr' END AS predicted_lang
+      FROM h
+    )
+    SELECT declared_lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / sum(count(*)) OVER (PARTITION BY declared_lang), 6)
+             AS share_of_declared,
+           (declared_lang = predicted_lang) AS is_correct
+    FROM p GROUP BY declared_lang, predicted_lang
+    """,
+    doc="Classifier-quality observability for the marker-word language id: "
+    "confusion matrix of declared vs predicted language with per-declared "
+    "row shares — the accuracy surface a curation pipeline inspects before "
+    "trusting lang-based filtering (the heuristic's known weakness: "
+    "es/fr share 'de'/'le' lookalikes).  One groupBy over the scan-stage "
+    "prediction; the share window runs on the <=25 matrix rows.",
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pred = textops.lang_id(table(spark, "documents", sf_dir))
+    conf = pred.groupBy("declared_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("declared_lang")
+    return conf.select(
+        "declared_lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share_of_declared"),
+        (F.col("declared_lang") == F.col("predicted_lang")).alias("is_correct"),
+    )

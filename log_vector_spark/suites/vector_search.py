@@ -350,3 +350,168 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("vec_id", F.col("cluster").cast("int").alias("cluster"))
     )
+
+
+_CENTROIDS_CTE = f"""
+    centroids AS (
+      SELECT vec_id AS list_id, embedding AS centroid
+      FROM embeddings,
+           (SELECT greatest(16, CAST(floor(sqrt(count(*)) / 4 + 0.5) AS BIGINT)) AS s
+            FROM embeddings) st
+      WHERE vec_id % st.s = 0
+    ),
+    assigned AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_cos('e.embedding', 'c.centroid')}, 6) DESC, c.list_id ASC
+               ) AS crank
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE crank = 1
+    )
+"""
+
+
+@register(
+    "ivf_recall_at10",
+    oracle=f"""
+    WITH {_CENTROIDS_CTE},
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_cos('e.embedding', 'q.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rn <= 10
+    ),
+    probed AS (
+      SELECT query_id, list_id FROM (
+        SELECT q.query_id, c.list_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_cos('c.centroid', 'q.qv')}, 6) DESC, c.list_id ASC) AS pr
+        FROM centroids c CROSS JOIN q
+      ) WHERE pr <= 4
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY round({_cos('e.embedding', 'q2.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM embeddings e
+        JOIN assigned a ON a.vec_id = e.vec_id
+        JOIN probed p ON p.list_id = a.list_id
+        JOIN q q2 ON q2.query_id = p.query_id
+      ) WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT exact.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM exact JOIN approx USING (query_id, vec_id) GROUP BY exact.query_id
+    )
+    SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+    """,
+    doc="Retrieval-quality evaluation AS A QUERY: recall@10 of the IVF "
+    "approximate path (sqrt-stride centroids, nprobe=4) against the exact "
+    "top-10, per query, for a 5-query batch.  The eval harness every "
+    "vector-store deployment runs after reindexing — expressed as one "
+    "declarative plan over the batch-IVF operator "
+    "(operators/search.py:knn_ivf_batch), so it scales with the same "
+    "partition-pruned probe shape as production queries.",
+)
+def ivf_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = search.knn_batch_topk(emb, queries_df, k=10).select("query_id", "vec_id")
+    approx = search.knn_ivf_batch(
+        emb, search.make_centroids(emb), queries_df, k=10, nprobe=4
+    ).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = queries_df.select("query_id")
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / 10.0, 6).alias("recall"),
+    )
+
+
+@register(
+    "embedding_outliers",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    dims AS (SELECT label, t.i AS dim, e[t.i] AS x
+             FROM v, (SELECT unnest(range(1, 65)) AS i) t),
+    cent AS (
+      SELECT label, list(xm ORDER BY dim) AS ce FROM (
+        SELECT label, dim,
+               round(CAST(sum(CAST(x AS DECIMAL(28,20))) AS DOUBLE) / count(*), 6) AS xm
+        FROM dims GROUP BY label, dim
+      ) GROUP BY label
+    ),
+    d AS (
+      SELECT v.vec_id, v.label, round(list_distance(v.e, c.ce), 6) AS dist
+      FROM v JOIN cent c USING (label)
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id ASC) AS rnk,
+             count(*) OVER (PARTITION BY label) AS n
+      FROM d
+    )
+    SELECT vec_id, label, dist, (rnk <= n // 20) AS is_outlier FROM r
+    """,
+    doc="Embedding-space drift observability: per-label centroid "
+    "(decimal-exact elementwise mean, the kmeans-update kernel), each "
+    "vector's rounded L2 distance to its own label's centroid, and a "
+    "deterministic top-5% distance flag (integer rank cut — no "
+    "cross-engine percentile-interpolation hazard).  Centroids are "
+    "|labels| rows broadcast back; the flag windows partition by label.  "
+    "The monitoring query a production store runs to catch embedding "
+    "drift or corrupt batches before they poison retrieval.",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, "embeddings", sf_dir)
+    v = emb.select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    dims = v.select("label", F.posexplode("e").alias("dim", "x"))
+    per = dims.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(28,20)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("xm")
+    )
+    cent = per.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "xm"))),
+            lambda s: s.getField("xm"),
+        ).alias("ce")
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    d = v.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", F.round(l2, 6).alias("dist")
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
+    wn = Window.partitionBy("label")
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .select(
+            "vec_id", "label", "dist",
+            (F.col("rnk") <= F.floor(F.col("n") / 20)).alias("is_outlier"),
+        )
+    )
