@@ -100,6 +100,8 @@ HEADLINE = [
     "ivf_recall_at10",            # retrieval-quality eval (exact vs IVF)
     "embedding_outliers",         # per-label centroid distance outlier flag
     "langid_confusion",           # classifier confusion-matrix observability
+    "minhash_estimator_eval",     # MinHash-vs-exact-Jaccard estimator audit
+    "bigram_logprob",             # bigram-LM quality scoring
 ]
 
 
@@ -183,6 +185,8 @@ BASELINE_SEC = {
     "ivf_recall_at10": 2.24,
     "embedding_outliers": 1.77,
     "langid_confusion": 1.01,
+    "minhash_estimator_eval": 2.74,
+    "bigram_logprob": 1.04,
 }
 
 

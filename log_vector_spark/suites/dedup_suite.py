@@ -714,3 +714,129 @@ def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.quality").alias("quality"),
         F.col("n_members"),
     )
+
+
+@register(
+    "minhash_estimator_eval",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
+    h AS (SELECT doc_id, {_MH_BASE} AS h FROM sh),
+    seeded AS (SELECT doc_id, h, unnest(range(0, 8)) AS seed FROM h),
+    sig AS (SELECT doc_id, seed,
+                   min((h * ({_MH_AS}[CAST(seed AS INTEGER) + 1]) + seed) % {_MH_P}) AS minhash
+            FROM seeded GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY 1, 2),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT p.id_a, p.id_b,
+             round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 8.0, 6)
+               AS jaccard_est
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b AND sb.seed = sa.seed
+      GROUP BY p.id_a, p.id_b
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT p.id_a, p.id_b, count(*) AS c
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b
+    ),
+    ex AS (
+      SELECT p.id_a, p.id_b,
+             round(coalesce(c, 0) * 1.0
+                   / (ca.n_sh + cb.n_sh - coalesce(c, 0)), 6) AS jaccard_exact
+      FROM pairs p
+      LEFT JOIN common USING (id_a, id_b)
+      JOIN cnt ca ON ca.doc_id = p.id_a
+      JOIN cnt cb ON cb.doc_id = p.id_b
+    ),
+    j AS (
+      SELECT e.id_a, e.id_b, e.jaccard_est, x.jaccard_exact,
+             abs(CAST(round(e.jaccard_est * 1e6, 0) AS BIGINT)
+                 - CAST(round(x.jaccard_exact * 1e6, 0) AS BIGINT)) AS ae_micro
+      FROM est e JOIN ex x USING (id_a, id_b)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(ae_micro) AS DOUBLE) / (count(*) * 1e6), 6) AS mae,
+           CAST(sum(CASE WHEN jaccard_est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_est_pos,
+           CAST(sum(CASE WHEN jaccard_exact >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos,
+           CAST(sum(CASE WHEN jaccard_est >= 0.5 AND jaccard_exact >= 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+    FROM j
+    """,
+    doc="Estimator-quality eval for the MinHash pipeline AS A QUERY: for "
+    "every LSH candidate pair, the 8-hash Jaccard estimate vs the exact "
+    "distinct-shingle Jaccard; reports pair count, mean absolute error "
+    "(exact bigint micro-unit arithmetic — no float-sum order hazard), "
+    "and the >=0.5 confusion counts an engineer reads before trusting a "
+    "dedup threshold.  Exact Jaccard is computed ONLY on the LSH-bounded "
+    "candidate set (cand x per-doc shingles, linear — never all pairs), "
+    "so the eval scales with the pipeline it audits — the dedup twin of "
+    "ivf_recall_at10.",
+)
+def minhash_estimator_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    from log_vector_spark.functions.text import shingles_from_words, tokens
+
+    pairs = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2)
+    mins = dedup._minhash_columns(docs, 8, 3, "doc_id", "text")
+    a = mins.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)])
+    b = mins.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)])
+    matches = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8))
+    est = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", F.round(matches / 8.0, 6).alias("jaccard_est"))
+    )
+    words = docs.select("doc_id", tokens(F.col("text")).alias("words"))
+    sh = words.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_from_words(F.col("words"), 3))).alias("shingle"),
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        pairs.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ex = (
+        pairs.join(common, ["id_a", "id_b"], "left")
+        .join(cnt.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(cnt.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce("c", F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("c", F.lit(0))),
+                6,
+            ).alias("jaccard_exact"),
+        )
+    )
+    j = est.join(ex, ["id_a", "id_b"]).select(
+        "jaccard_est",
+        "jaccard_exact",
+        F.abs(
+            F.round(F.col("jaccard_est") * 1e6, 0).cast("bigint")
+            - F.round(F.col("jaccard_exact") * 1e6, 0).cast("bigint")
+        ).alias("ae_micro"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("ae_micro").cast("double") / (F.count(F.lit(1)) * 1e6), 6).alias("mae"),
+        F.sum((F.col("jaccard_est") >= 0.5).cast("int")).cast("bigint").alias("n_est_pos"),
+        F.sum((F.col("jaccard_exact") >= 0.5).cast("int")).cast("bigint").alias("n_true_pos"),
+        F.sum(((F.col("jaccard_est") >= 0.5) & (F.col("jaccard_exact") >= 0.5)).cast("int"))
+        .cast("bigint")
+        .alias("n_both"),
+    )

@@ -285,3 +285,59 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "bigram_logprob",
+    oracle=f"""
+    WITH bgs AS ({_BIGRAMS_SQL}),
+    toks AS ({_TOKS_SQL}),
+    uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY tok),
+    bi AS (SELECT bg, count(*) AS cb FROM bgs GROUP BY bg),
+    v AS (SELECT count(*) AS vsize FROM uni),
+    lp AS (
+      SELECT bg, log10(CAST(cb + 1 AS DOUBLE) / CAST(cu + vsize AS DOUBLE)) AS lp
+      FROM bi JOIN uni ON split_part(bg, ' ', 1) = uni.tok CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+    FROM bgs JOIN lp USING (bg) GROUP BY doc_id
+    """,
+    doc="Bigram language-model quality score: per-doc mean log10 "
+    "P(w2|w1) under a corpus-fit add-1-smoothed conditional bigram model "
+    "— the next rung above unigram_logprob on the CCNet perplexity "
+    "ladder (sharper at catching shuffled-word junk that unigram "
+    "statistics cannot see).  Shapes: |vocab| and |bigram vocab| "
+    "aggregates, a 1-row vocab-size broadcast, the probability table "
+    "joined back onto the doc bigrams — every shuffle linear, keyed by "
+    "token/bigram.",
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.functions.text import shingles_from_words, tokens
+
+    docs = table(spark, "documents", sf_dir)
+    words = docs.select("doc_id", tokens(F.col("text")).alias("words"))
+    bgs = words.select(
+        "doc_id", F.explode(shingles_from_words(F.col("words"), n=2)).alias("bg")
+    )
+    toks = _toks(spark, sf_dir)
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    bi = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    v = uni.agg(F.count(F.lit(1)).alias("vsize"))
+    lp = (
+        bi.join(uni, F.substring_index(F.col("bg"), " ", 1) == F.col("tok"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bg",
+            F.log10(
+                (F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("vsize")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return (
+        bgs.join(lp, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
