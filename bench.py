@@ -102,6 +102,8 @@ HEADLINE = [
     "langid_confusion",           # classifier confusion-matrix observability
     "minhash_estimator_eval",     # MinHash-vs-exact-Jaccard estimator audit
     "bigram_logprob",             # bigram-LM quality scoring
+    "store_integrity_audit",      # doc/vector store full-outer admission gate
+    "pack_efficiency",            # next-fit bin utilization report
 ]
 
 
@@ -187,6 +189,8 @@ BASELINE_SEC = {
     "langid_confusion": 1.01,
     "minhash_estimator_eval": 2.74,
     "bigram_logprob": 1.04,
+    "store_integrity_audit": 0.86,
+    "pack_efficiency": 0.94,
 }
 
 

@@ -852,3 +852,113 @@ def image_thumbs_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.operators.multimodal import image_thumbs_bmp as itb
 
     return itb(table(spark, "documents", sf_dir))
+
+
+@register(
+    "store_integrity_audit",
+    oracle="""
+    WITH j AS (
+      SELECT d.doc_id, e.vec_id, e.embedding
+      FROM documents d FULL OUTER JOIN embeddings e ON e.vec_id = d.doc_id
+    )
+    SELECT
+      CAST(count(doc_id) AS BIGINT) AS n_docs,
+      CAST(count(vec_id) AS BIGINT) AS n_vecs,
+      CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_docs_without_vec,
+      CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_vecs_orphaned,
+      CAST(sum(CASE WHEN vec_id IS NOT NULL AND len(embedding) <> 64
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_bad,
+      CAST(sum(CASE WHEN vec_id IS NOT NULL AND len(list_filter(
+                      embedding::DOUBLE[], x -> abs(x) > 0)) = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+      CAST(sum(CASE WHEN vec_id IS NOT NULL AND len(list_filter(
+                      embedding::DOUBLE[], x -> isnan(x) OR isinf(x))) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite_vecs
+    FROM j
+    """,
+    doc="Store-integrity audit across the document and vector tables in ONE "
+    "plan: matched/orphaned counts from a full outer join on the shared id, "
+    "plus per-vector contract checks (dimension = 64, zero-vector "
+    "embed-error sentinels, non-finite elements).  The admission gate a "
+    "production vector store runs after every index build — one full outer "
+    "shuffle join on the id plus scan-stage HOF checks, no broadcast, no "
+    "collect; the output is a single counters row.",
+)
+def store_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir).select("doc_id")
+    emb = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    j = docs.join(emb, docs.doc_id == emb.vec_id, "full_outer")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    has_vec = F.col("vec_id").isNotNull()
+    zero_vec = F.size(F.filter(e, lambda x: F.abs(x) > 0)) == 0
+    nonfinite = (
+        F.size(F.filter(e, lambda x: F.isnan(x) | (F.abs(x) == float("inf")))) > 0
+    )
+    return j.agg(
+        F.count("doc_id").alias("n_docs"),
+        F.count("vec_id").alias("n_vecs"),
+        F.sum((F.col("doc_id").isNotNull() & has_vec).cast("int")).cast("bigint").alias("n_matched"),
+        F.sum(F.col("vec_id").isNull().cast("int")).cast("bigint").alias("n_docs_without_vec"),
+        F.sum(F.col("doc_id").isNull().cast("int")).cast("bigint").alias("n_vecs_orphaned"),
+        F.sum((has_vec & (F.size("embedding") != 64)).cast("int")).cast("bigint").alias("n_dim_bad"),
+        F.sum((has_vec & zero_vec).cast("int")).cast("bigint").alias("n_zero_vecs"),
+        F.sum((has_vec & nonfinite).cast("int")).cast("bigint").alias("n_nonfinite_vecs"),
+    )
+
+
+@register(
+    "pack_efficiency",
+    oracle="""
+    WITH RECURSIVE
+    t AS (
+      SELECT source, doc_id,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS toks
+      FROM documents
+    ),
+    ordered AS (
+      SELECT source, doc_id, toks,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i
+      FROM t
+    ),
+    rec(source, i, doc_id, toks, bin_id, bin_fill) AS (
+      SELECT source, i, doc_id, toks, 0, toks FROM ordered WHERE i = 1
+      UNION ALL
+      SELECT o.source, o.i, o.doc_id, o.toks,
+             CASE WHEN r.bin_fill > 0 AND r.bin_fill + o.toks > 256
+                  THEN r.bin_id + 1 ELSE r.bin_id END,
+             CASE WHEN r.bin_fill > 0 AND r.bin_fill + o.toks > 256
+                  THEN o.toks ELSE r.bin_fill + o.toks END
+      FROM rec r JOIN ordered o ON o.source = r.source AND o.i = r.i + 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
+           CAST(sum(toks) AS BIGINT) AS total_toks,
+           round(CAST(sum(toks) AS DOUBLE) / ((max(bin_id) + 1) * 256), 6)
+             AS utilization,
+           CAST(sum(CASE WHEN toks > 256 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oversized
+    FROM rec GROUP BY source
+    """,
+    doc="Packing-efficiency report per source over the greedy next-fit "
+    "packing (budget 256): bin count, token utilization (tokens / bin "
+    "capacity), and oversized-document count — the numbers that decide "
+    "whether the budget or the ordering needs to change before a packed- "
+    "shard write.  One applyInPandas pass (parallel across sources) plus a "
+    "per-source aggregate; the oracle replays the fold and aggregates it.",
+)
+def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = packing_ops.pack_next_fit(table(spark, "documents", sf_dir), budget=256)
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.max("bin_id") + 1).cast("bigint").alias("n_bins"),
+        F.sum("toks").cast("bigint").alias("total_toks"),
+        F.round(
+            F.sum("toks").cast("double") / ((F.max("bin_id") + 1) * 256), 6
+        ).alias("utilization"),
+        F.sum((F.col("toks") > 256).cast("int")).cast("bigint").alias("n_oversized"),
+    )

@@ -306,3 +306,56 @@ def test_rag_rerank_candidates_are_broadcast(spark):
     p = plan_string(df, "simple")
     assert "BroadcastHashJoin" in p
     assert p.count("CartesianProduct") == 0
+
+
+@pytest.mark.spark
+def test_bm25_is_distributed_topk_with_one_row_stats_broadcast(spark):
+    import __spark_entry__ as m
+
+    df = m.queries()["bm25_topk"](spark, SF)
+    p = plan_string(df)
+    # corpus cut is a TakeOrdered (per-partition heaps), never a global sort
+    assert has_take_ordered(df)
+    # the 1-row stats frame reaches the scan via a broadcast nested-loop
+    # crossJoin — the only join in the plan; nothing data-scaled broadcasts
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+@pytest.mark.spark
+def test_source_novelty_no_hinted_broadcasts(spark):
+    import __spark_entry__ as m
+
+    with no_size_broadcasts(spark):
+        p = plan_string(m.queries()["source_novelty"](spark, SF), "simple")
+    assert p.count("BroadcastHashJoin") == 0  # every join shuffles; nothing hinted
+
+
+@pytest.mark.spark
+def test_dsir_broadcasts_only_bounded_ratio_table(spark):
+    import __spark_entry__ as m
+
+    with no_size_broadcasts(spark):
+        p = plan_string(m.queries()["dsir_weights"](spark, SF), "simple")
+    # exactly one hinted BroadcastHashJoin: the <=256-row bucket-ratio table
+    # back onto the exploded frame; the 1-row totals ride a BNLJ crossJoin
+    assert p.count("BroadcastHashJoin") == 1
+    assert "BroadcastNestedLoopJoin" in p
+
+
+@pytest.mark.spark
+def test_mmr_runs_as_grouped_pandas_kernel(spark):
+    import __spark_entry__ as m
+
+    p = plan_string(m.queries()["mmr_rerank"](spark, SF))
+    assert "FlatMapGroupsInPandas" in p  # Arrow-batched per-query kernel
+
+
+@pytest.mark.spark
+def test_embedding_outliers_broadcasts_only_label_centroids(spark):
+    import __spark_entry__ as m
+
+    with no_size_broadcasts(spark):
+        p = plan_string(m.queries()["embedding_outliers"](spark, SF), "simple")
+    # one hinted broadcast: the |labels|-row centroid table
+    assert p.count("BroadcastHashJoin") == 1
