@@ -416,3 +416,48 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_stream_quality_gate(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> tuple[int, int]:
+    """Streaming curation gate: documents stream -> Gopher rules -> split
+    into admitted/ and quarantine/ parquet sinks in one foreachBatch pass.
+
+    The streaming twin of the batch `gopher_rules` admission filter
+    (operators/curation.py): per-microbatch the rule columns are pure
+    scan-stage expressions (zero shuffle, zero state), so the gate adds no
+    watermark/state-size considerations — it is the cheapest possible
+    streaming stage and belongs FIRST in an ingest topology, shrinking
+    everything downstream (dedup state, embed compute, index writes).
+    Quarantined rows keep their rule flags so operators can audit WHY each
+    document was held out.  Returns (n_admitted, n_quarantined).
+    """
+    import os
+
+    from log_vector_spark.operators.curation import gopher_rules
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        flagged = gopher_rules(batch_df)
+        flagged.filter(F.col("gopher_pass")).write.mode("append").parquet(
+            os.path.join(out_path, "admitted")
+        )
+        flagged.filter(~F.col("gopher_pass")).write.mode("append").parquet(
+            os.path.join(out_path, "quarantine")
+        )
+
+    q = src.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_ok = spark.read.parquet(os.path.join(out_path, "admitted")).count()
+    n_bad = spark.read.parquet(os.path.join(out_path, "quarantine")).count()
+    return n_ok, n_bad

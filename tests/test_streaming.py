@@ -245,3 +245,22 @@ def test_stream_static_broadcast_enrich_equals_batch(spark):
     }
     stream = {tuple(r) for r in run_stream_static_enrich(spark, sf).collect()}
     assert stream == batch and len(stream) == 2
+
+
+def test_stream_quality_gate_splits_and_matches_batch(spark, tmp_path):
+    """The streaming Gopher gate admits/quarantines exactly the documents
+    the batch gopher_rules query does, and loses none."""
+    from log_vector_spark.catalog import table
+    from log_vector_spark.operators.curation import gopher_rules
+    from log_vector_spark.streaming.pipeline import run_stream_quality_gate
+
+    sf = "/root/testdata/sf0.001"
+    n_ok, n_bad = run_stream_quality_gate(spark, sf, str(tmp_path / "gate"))
+    batch = gopher_rules(table(spark, "documents", sf))
+    b_ok = batch.filter("gopher_pass").count()
+    b_bad = batch.filter("NOT gopher_pass").count()
+    assert (n_ok, n_bad) == (b_ok, b_bad)
+    assert n_ok + n_bad == batch.count()
+    # quarantined rows keep their per-rule flags for auditability
+    q = spark.read.parquet(str(tmp_path / "gate" / "quarantine"))
+    assert {"ok_word_count", "ok_mean_len", "ok_symbols", "ok_stopwords"} <= set(q.columns)
