@@ -104,6 +104,9 @@ HEADLINE = [
     "bigram_logprob",             # bigram-LM quality scoring
     "store_integrity_audit",      # doc/vector store full-outer admission gate
     "pack_efficiency",            # next-fit bin utilization report
+    "events_ohlc_hourly",         # OHLC bars: shared-exchange windows + agg
+    "events_twap",                # time-weighted average, exact integer weights
+    "events_retention",           # first-seen cohorts x day-offset matrix
 ]
 
 
@@ -191,6 +194,11 @@ BASELINE_SEC = {
     "bigram_logprob": 1.04,
     "store_integrity_audit": 0.86,
     "pack_efficiency": 0.94,
+    # time-series wave, clean window (events_hourly reference 0.57 ~ 2.4x its
+    # r1 row; treat as upper bounds)
+    "events_ohlc_hourly": 0.74,
+    "events_twap": 0.51,
+    "events_retention": 0.63,
 }
 
 

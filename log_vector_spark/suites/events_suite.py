@@ -633,3 +633,146 @@ def events_resample_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
     )
+
+
+@register(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT hour, event_type,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n
+    FROM r GROUP BY hour, event_type
+    """,
+    doc="OHLC bars per (hour, event type): open/close via deterministic "
+    "(ts, event_id) first/last-row windows, high/low as plain min/max.  "
+    "The windows and the aggregate share the same (hour, type) "
+    "partitioning, so Catalyst reuses ONE exchange for all three.  The "
+    "canonical bar-building shape for metric/tick stores.",
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, "events", sf_dir).withColumn("hour", F.date_trunc("hour", "ts"))
+    wa = Window.partitionBy("hour", "event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    wd = Window.partitionBy("hour", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    r = e.select(
+        "hour", "event_type", "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("hour", "event_type").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "events_twap",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, value, ts,
+             lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    w AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             CAST(epoch_us(nxt) - epoch_us(ts) AS BIGINT) AS dt_us
+      FROM g WHERE nxt IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(dt_us) AS BIGINT) AS span_us,
+           round(CAST(sum(cents * dt_us) AS DOUBLE)
+                 / (100.0 * CAST(sum(dt_us) AS BIGINT)), 6) AS twap
+    FROM w GROUP BY event_type
+    """,
+    doc="Time-weighted average value per event type: each observation is "
+    "held until the next one (lead window), weighted by its holding time "
+    "in microseconds.  Weighting is EXACT integer arithmetic (value in "
+    "cents x bigint micros — no float-summation-order hazard); one "
+    "division at the end.  One window + one aggregate sharing the "
+    "event_type partitioning.  The standard resampling-free average for "
+    "irregular time series (metrics, prices).",
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type", "value", "ts", F.lead("ts").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    weighted = g.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        # ts is TIMESTAMP_NTZ from the catalog; the session is pinned UTC so
+        # the cast is zone-free, and the subtraction cancels any offset anyway
+        (
+            F.unix_micros(F.col("nxt").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).cast("bigint").alias("dt_us"),
+    )
+    return weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("dt_us").cast("bigint").alias("span_us"),
+        F.round(
+            F.sum(F.col("cents") * F.col("dt_us")).cast("double")
+            / (100.0 * F.sum("dt_us").cast("bigint")),
+            6,
+        ).alias("twap"),
+    )
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act GROUP BY cohort_day, day_offset
+    """,
+    doc="Retention cohorts: users keyed by first-seen day, counted per "
+    "(cohort, day offset) on the days they return.  Two linear hash "
+    "aggregations (per-user first-seen, then per-cohort-cell distinct "
+    "users) and one user-keyed join — the product-analytics staple, "
+    "shuffles bounded by |users| and |cohort x offset|.",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "events", sf_dir)
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    act = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    ).select("cohort_day", F.col("day_offset").cast("int").alias("day_offset"), "n_users")
