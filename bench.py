@@ -107,6 +107,7 @@ HEADLINE = [
     "events_ohlc_hourly",         # OHLC bars: shared-exchange windows + agg
     "events_twap",                # time-weighted average, exact integer weights
     "events_retention",           # first-seen cohorts x day-offset matrix
+    "audio_trim_silence",         # REAL codec silence trim (mapInPandas)
 ]
 
 
@@ -199,6 +200,7 @@ BASELINE_SEC = {
     "events_ohlc_hourly": 0.74,
     "events_twap": 0.51,
     "events_retention": 0.63,
+    "audio_trim_silence": 0.70,
 }
 
 

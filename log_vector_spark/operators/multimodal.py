@@ -387,3 +387,51 @@ def image_thumbs_bmp(
             yield pd.DataFrame(rows)
 
     return docs.select(id_col).mapInPandas(extract, out_schema)
+
+
+def audio_trim_silence_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Silence trimming on REAL decoded PCM: pad the deterministic test
+    signal with doc-dependent leading/trailing zero samples, round-trip
+    through the WAV codec, then trim the leading/trailing zero RUNS from
+    the decoded samples (interior zeros are content and stay).
+
+    Reports head/tail trim counts and the RMS of the kept span — the
+    preprocessing step speech pipelines run before feature extraction.
+    Same mapInPandas shape as audio_features_wav; the oracle replays the
+    padded signal closed-form, so a trim off-by-one or a codec framing bug
+    breaks the hash match.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_total", T.IntegerType()),
+            T.StructField("n_head", T.IntegerType()),
+            T.StructField("n_tail", T.IntegerType()),
+            T.StructField("n_kept", T.IntegerType()),
+            T.StructField("rms_kept", T.DoubleType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "n_total", "n_head", "n_tail", "n_kept", "rms_kept")}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                head, tail = mid % 50, (mid * 3) % 40
+                base = synth_audio_samples(mid)
+                padded = np.concatenate(
+                    [np.zeros(head, dtype=np.int16), base, np.zeros(tail, dtype=np.int16)]
+                )
+                samples, _ = decode_audio(encode_wav(padded, AUDIO_RATE))
+                nz = np.nonzero(samples)[0]
+                mn, mx = int(nz[0]), int(nz[-1])
+                kept = samples[mn : mx + 1].astype(np.float64)
+                rows["media_id"].append(mid)
+                rows["n_total"].append(len(samples))
+                rows["n_head"].append(mn)
+                rows["n_tail"].append(len(samples) - 1 - mx)
+                rows["n_kept"].append(mx - mn + 1)
+                rows["rms_kept"].append(round(float(np.sqrt(np.mean(kept * kept))), 6))
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(extract, out_schema)

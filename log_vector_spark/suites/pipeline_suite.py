@@ -962,3 +962,47 @@ def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("utilization"),
         F.sum((F.col("toks") > 256).cast("int")).cast("bigint").alias("n_oversized"),
     )
+
+
+@register(
+    "audio_trim_silence",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 37 + (doc_id % 64) AS step,
+             doc_id % 50 AS h, (doc_id * 3) % 40 AS t
+      FROM documents
+    ),
+    n AS (SELECT unnest(range(490)) AS i),
+    s AS (
+      SELECT doc_id, i, h + 400 + t AS total,
+             CASE WHEN i < h OR i >= h + 400 THEN 0
+                  ELSE ((i - h) * step) % 2000 - 1000 END AS v
+      FROM d JOIN n ON n.i < h + 400 + t
+    ),
+    b AS (
+      SELECT doc_id, total,
+             min(i) FILTER (v <> 0) AS mn,
+             max(i) FILTER (v <> 0) AS mx
+      FROM s GROUP BY doc_id, total
+    )
+    SELECT b.doc_id AS media_id,
+           CAST(b.total AS INTEGER) AS n_total,
+           CAST(b.mn AS INTEGER) AS n_head,
+           CAST(b.total - 1 - b.mx AS INTEGER) AS n_tail,
+           CAST(b.mx - b.mn + 1 AS INTEGER) AS n_kept,
+           round(sqrt(avg(CAST(s.v * s.v AS DOUBLE))), 6) AS rms_kept
+    FROM b JOIN s ON s.doc_id = b.doc_id AND s.i BETWEEN b.mn AND b.mx
+    GROUP BY b.doc_id, b.total, b.mn, b.mx
+    """,
+    doc="REAL codec silence trimming: doc-dependent zero padding around the "
+    "deterministic signal -> 16-bit WAV encode -> REAL stdlib decode -> "
+    "leading/trailing zero-run trim (interior zeros are content and stay) "
+    "-> kept-span RMS, over mapInPandas.  The oracle replays pad+signal "
+    "closed-form and trims with min/max-nonzero-index arithmetic — a trim "
+    "off-by-one or codec framing bug breaks the hash "
+    "(operators/multimodal.py:audio_trim_silence_wav).",
+)
+def audio_trim_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.multimodal import audio_trim_silence_wav
+
+    return audio_trim_silence_wav(table(spark, "documents", sf_dir))

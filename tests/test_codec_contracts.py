@@ -117,3 +117,19 @@ def test_nearest_neighbor_resize_index_math():
     for i in range(2):
         for j in range(3):
             assert (out[i, j] == src[2 * i, 2 * j]).all()
+
+
+def test_audio_trim_preserves_interior_zeros():
+    """Trim removes only the leading/trailing zero RUNS: an interior zero
+    sample is content and must survive into the kept span (and its rms)."""
+    import numpy as np
+
+    from log_vector_spark.operators.multimodal import decode_audio, encode_wav
+
+    sig = np.array([0, 0, 5, 0, -7, 0], dtype=np.int16)
+    decoded, _ = decode_audio(encode_wav(sig))
+    nz = np.nonzero(decoded)[0]
+    mn, mx = int(nz[0]), int(nz[-1])
+    assert (mn, mx) == (2, 4)
+    kept = decoded[mn : mx + 1]
+    assert list(kept) == [5, 0, -7]  # interior zero kept, tail zero trimmed
