@@ -108,6 +108,7 @@ HEADLINE = [
     "events_twap",                # time-weighted average, exact integer weights
     "events_retention",           # first-seen cohorts x day-offset matrix
     "audio_trim_silence",         # REAL codec silence trim (mapInPandas)
+    "bpe_merges",                 # BPE tokenizer training, 3 declarative rounds
 ]
 
 
@@ -201,6 +202,7 @@ BASELINE_SEC = {
     "events_twap": 0.51,
     "events_retention": 0.63,
     "audio_trim_silence": 0.70,
+    "bpe_merges": 1.38,
 }
 
 

@@ -341,3 +341,96 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
     )
+
+
+def _bpe_oracle(rounds: int = 3) -> str:
+    """Unrolled BPE merge-learning in DuckDB, mirroring bpe_merges round by
+    round: same char splitting, same weighted pair counts, same
+    (freq desc, pair asc) argmax, same two-pass replace merge."""
+    ctes = [
+        f"toks AS ({_TOKS_SQL})",
+        "vocab AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok)",
+        "s0 AS (SELECT word, freq, ' ' || array_to_string("
+        "list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)), ' ') || ' ' AS seq"
+        " FROM vocab)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r-1}"
+        ctes.append(
+            f"p{r} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS f FROM ("
+            f"  SELECT freq, unnest(list_transform(range(1, len(syms)),"
+            f"         i -> syms[i] || ' ' || syms[i+1])) AS pair"
+            f"  FROM (SELECT freq, string_split(trim({prev}.seq), ' ') AS syms FROM {prev})"
+            f") GROUP BY pair)"
+        )
+        ctes.append(f"b{r} AS (SELECT pair, f FROM p{r} ORDER BY f DESC, pair ASC LIMIT 1)")
+        if r < rounds:
+            ctes.append(
+                f"s{r} AS (SELECT word, freq,"
+                f" replace(replace(seq, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),"
+                f"         ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq"
+                f" FROM {prev} CROSS JOIN b{r} b)"
+            )
+    final = " UNION ALL ".join(
+        f"SELECT {r} AS round, pair, f AS freq FROM b{r}" for r in range(1, rounds + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + final
+
+
+@register(
+    "bpe_merges",
+    oracle=_bpe_oracle(3),
+    doc="BPE tokenizer training AS A DECLARATIVE PLAN: 3 merge-learning "
+    "rounds over the corpus vocabulary.  Per round: adjacent-symbol pairs "
+    "weighted by word frequency -> one hash aggregate -> 1-row argmax "
+    "(freq desc, pair asc) -> the merge applied to every word's symbol "
+    "sequence via fixed-two-pass string replace (identical left-to-right "
+    "non-overlapping semantics in both engines, probed).  The vocabulary "
+    "relation is |distinct words| — at 100 TB pair counting shuffles the "
+    "VOCAB, never the corpus (the corpus is touched once for frequencies), "
+    "and each round's argmax broadcasts 1 row.  Returns the learned merge "
+    "table (round, pair, freq) — the artifact a tokenizer trainer ships.",
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rounds = 3
+    toks = _toks(spark, sf_dir)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    seqs = vocab.select(
+        "freq",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.expr("transform(sequence(1, length(tok)), i -> substr(tok, i, 1))"), " "
+            ),
+            F.lit(" "),
+        ).alias("seq"),
+    )
+    bests = []
+    for r in range(1, rounds + 1):
+        syms = F.split(F.trim(F.col("seq")), " ")
+        pairs = F.when(
+            F.size(syms) >= 2,
+            F.expr(
+                "transform(sequence(1, size(split(trim(seq), ' ')) - 1),"
+                " i -> element_at(split(trim(seq), ' '), i) || ' ' ||"
+                " element_at(split(trim(seq), ' '), i + 1))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        counted = (
+            seqs.select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("f"))
+        )
+        best = counted.orderBy(F.desc("f"), F.asc("pair")).limit(1)
+        bests.append(best.select(F.lit(r).alias("round"), "pair", F.col("f").alias("freq")))
+        if r < rounds:
+            merged = F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" "))
+            pattern = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+            new_seq = F.replace(F.replace(F.col("seq"), pattern, merged), pattern, merged)
+            seqs = seqs.crossJoin(F.broadcast(best.select("pair"))).select(
+                "freq", new_seq.alias("seq")
+            )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out
