@@ -109,6 +109,7 @@ HEADLINE = [
     "events_retention",           # first-seen cohorts x day-offset matrix
     "audio_trim_silence",         # REAL codec silence trim (mapInPandas)
     "bpe_merges",                 # BPE tokenizer training, 3 declarative rounds
+    "bpe_fertility",              # learned-merge segmentation + per-lang fertility
 ]
 
 
@@ -203,6 +204,7 @@ BASELINE_SEC = {
     "events_retention": 0.63,
     "audio_trim_silence": 0.70,
     "bpe_merges": 1.38,
+    "bpe_fertility": 1.54,
 }
 
 

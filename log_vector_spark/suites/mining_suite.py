@@ -434,3 +434,90 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bests[1:]:
         out = out.unionAll(b)
     return out
+
+
+@register(
+    "bpe_fertility",
+    oracle=f"""
+    {_bpe_oracle(3).rsplit('SELECT 1 AS round', 1)[0]},
+    sfinal AS (SELECT word, freq,
+      replace(replace(s2.seq, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+              ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq
+      FROM s2 CROSS JOIN b3 b),
+    pieces AS (SELECT word, freq, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_pieces
+               FROM sfinal),
+    perlang AS (
+      SELECT d.lang, CAST(sum(p.n_pieces) AS BIGINT) AS total_pieces,
+             CAST(count(*) AS BIGINT) AS total_words
+      FROM (SELECT lang, tok FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                                   FROM documents) WHERE tok <> '') d
+      JOIN pieces p ON p.word = d.tok
+      GROUP BY d.lang
+    )
+    SELECT lang, total_words, total_pieces,
+           round(CAST(total_pieces AS DOUBLE) / total_words, 6) AS fertility
+    FROM perlang
+    """,
+    doc="Tokenizer fertility under the 3 learned BPE merges: every corpus "
+    "token joins its word's segmented piece count (a |vocab|-row broadcast "
+    "join), rolled up per language — pieces-per-word is THE number that "
+    "decides whether a tokenizer needs more merges for a language.  "
+    "Completes the bpe_merges story: train (vocab-sized work) then "
+    "measure (one corpus-linear join + agg).",
+)
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rounds = 3
+    toks_lang = (
+        table(spark, "documents", sf_dir)
+        .select("lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks_lang.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    seqs = vocab.select(
+        F.col("tok").alias("word"),
+        "freq",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.expr("transform(sequence(1, length(tok)), i -> substr(tok, i, 1))"), " "
+            ),
+            F.lit(" "),
+        ).alias("seq"),
+    )
+    for r in range(1, rounds + 1):
+        pairs = F.when(
+            F.size(F.split(F.trim(F.col("seq")), " ")) >= 2,
+            F.expr(
+                "transform(sequence(1, size(split(trim(seq), ' ')) - 1),"
+                " i -> element_at(split(trim(seq), ' '), i) || ' ' ||"
+                " element_at(split(trim(seq), ' '), i + 1))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            seqs.select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("f"))
+            .orderBy(F.desc("f"), F.asc("pair"))
+            .limit(1)
+        )
+        merged = F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" "))
+        pattern = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        new_seq = F.replace(F.replace(F.col("seq"), pattern, merged), pattern, merged)
+        seqs = seqs.crossJoin(F.broadcast(best.select("pair"))).select(
+            "word", "freq", new_seq.alias("seq")
+        )
+    pieces = seqs.select(
+        "word", F.size(F.split(F.trim(F.col("seq")), " ")).cast("bigint").alias("n_pieces")
+    )
+    per = (
+        toks_lang.join(F.broadcast(pieces), toks_lang.tok == pieces.word)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_words"),
+            F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+        )
+    )
+    return per.select(
+        "lang", "total_words", "total_pieces",
+        F.round(F.col("total_pieces").cast("double") / F.col("total_words"), 6).alias("fertility"),
+    )
