@@ -788,7 +788,13 @@ def minhash_estimator_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, "documents", sf_dir)
     from log_vector_spark.functions.text import shingles_from_words, tokens
 
-    pairs = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2)
+    # the LSH band-mining subtree feeds three branches (estimate + the two
+    # exact-side semi-joins); localCheckpoint the tiny pair list so the
+    # shingle->minhash->band derivation runs once (plan audit: 23 exchanges
+    # before)
+    pairs = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2).localCheckpoint(
+        eager=True
+    )
     mins = dedup._minhash_columns(docs, 8, 3, "doc_id", "text")
     a = mins.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)])
     b = mins.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)])

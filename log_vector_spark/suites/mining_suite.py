@@ -395,6 +395,10 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = 3
     toks = _toks(spark, sf_dir)
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    # localCheckpoint the |vocab|-row seed: every merge round (and nothing
+    # else) re-reads it, so the corpus explode+agg runs ONCE instead of once
+    # per round (plan audit showed 18 exchanges before; the dedup_clusters
+    # iterative-plan idiom)
     seqs = vocab.select(
         "freq",
         F.concat(
@@ -404,7 +408,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(" "),
         ).alias("seq"),
-    )
+    ).localCheckpoint(eager=True)
     bests = []
     for r in range(1, rounds + 1):
         syms = F.split(F.trim(F.col("seq")), " ")
@@ -473,6 +477,8 @@ def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
     )
     vocab = toks_lang.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    # same checkpoint rationale as bpe_merges (24 exchanges before: the
+    # corpus scan re-ran for every round AND the fertility join)
     seqs = vocab.select(
         F.col("tok").alias("word"),
         "freq",
@@ -483,7 +489,7 @@ def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(" "),
         ).alias("seq"),
-    )
+    ).localCheckpoint(eager=True)
     for r in range(1, rounds + 1):
         pairs = F.when(
             F.size(F.split(F.trim(F.col("seq")), " ")) >= 2,
