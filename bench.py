@@ -110,6 +110,9 @@ HEADLINE = [
     "audio_trim_silence",         # REAL codec silence trim (mapInPandas)
     "bpe_merges",                 # BPE tokenizer training, 3 declarative rounds
     "bpe_fertility",              # learned-merge segmentation + per-lang fertility
+    "ivf_recall_curve",           # recall@10 sweep over nprobe in one plan
+    "events_value_deciles",       # integer-rank decile boundaries per type
+    "orders_abc_analysis",        # Pareto cumulative-share classification
 ]
 
 
@@ -205,6 +208,10 @@ BASELINE_SEC = {
     "audio_trim_silence": 0.70,
     "bpe_merges": 1.38,
     "bpe_fertility": 1.54,
+    # measured in a ~3x-drifted window (text_quality ref 0.78) — upper bounds
+    "ivf_recall_curve": 4.61,
+    "events_value_deciles": 0.91,
+    "orders_abc_analysis": 1.64,
 }
 
 

@@ -776,3 +776,51 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     ).select("cohort_day", F.col("day_offset").cast("int").alias("day_offset"), "n_users")
+
+
+@register(
+    "events_value_deciles",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn
+      FROM events
+    ),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type),
+    k AS (SELECT unnest(range(1, 10)) AS decile),
+    t AS (
+      SELECT n.event_type, CAST(k.decile AS INTEGER) AS decile,
+             CAST(ceil(n.n * k.decile / 10.0) AS BIGINT) AS target_rn
+      FROM n CROSS JOIN k
+    )
+    SELECT t.event_type, t.decile, r.value AS boundary
+    FROM t JOIN r ON r.event_type = t.event_type AND r.rn = t.target_rn
+    """,
+    doc="Exact decile boundaries per event type by INTEGER RANK (value at "
+    "row ceil(n*k/10), ties by event_id) — no percentile interpolation, so "
+    "no cross-engine float hazard and an unambiguous operational meaning "
+    "('90% of events are at or below this value').  One rank window per "
+    "type + a 45-row target frame joined back.  The distribution report "
+    "behind alerting thresholds and winsorization bounds.",
+)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, "events", sf_dir)
+    r = e.select(
+        "event_type", "value",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+        ).alias("rn"),
+    )
+    n = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    k = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    t = n.crossJoin(F.broadcast(k)).select(
+        F.col("event_type").alias("et"),  # renamed: r shares the same lineage
+        "decile",
+        F.ceil(F.col("n") * F.col("decile") / 10.0).cast("bigint").alias("target_rn"),
+    )
+    return r.join(
+        F.broadcast(t), (r.event_type == t.et) & (r.rn == t.target_rn)
+    ).select(F.col("et").alias("event_type"), "decile", F.col("value").alias("boundary"))

@@ -1615,3 +1615,68 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority", "yr", "revenue",
         F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
     )
+
+
+@register(
+    "orders_abc_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT l_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(revenue) OVER () AS total
+      FROM rev
+    )
+    SELECT l_partkey,
+           CAST(round(revenue, 2) AS DOUBLE) AS revenue,
+           round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+           CASE WHEN round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) <= 0.8 THEN 'A'
+                WHEN round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+    doc="Pareto / ABC classification of parts by revenue: decimal-exact "
+    "per-part revenue, cumulative share in strict (revenue desc, partkey) "
+    "order, class cut at 80%/95% of the ROUNDED share (both engines "
+    "compare the identical 6dp value).  The cumulative window runs over "
+    "the AGGREGATED per-part frame — dimension-sized, orders of magnitude "
+    "below the fact table it summarizes (same posture as domain_mixture); "
+    "at extreme part cardinality the prefix sum becomes a two-phase "
+    "bucket-offset computation, documented not needed at this dimension "
+    "scale.",
+)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, "lineitem", sf_dir)
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("revenue")
+    )
+    w_cum = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    c = rev.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum"),
+        F.sum("revenue").over(w_all).alias("total"),
+    )
+    share = F.round(F.col("cum").cast("double") / F.col("total").cast("double"), 6)
+    return c.select(
+        "l_partkey",
+        # round in DECIMAL space (exact HALF_UP in both engines), THEN cast:
+        # round-on-double disagrees at half-penny values
+        F.round(F.col("revenue"), 2).cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
+    )

@@ -515,3 +515,117 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rnk") <= F.floor(F.col("n") / 20)).alias("is_outlier"),
         )
     )
+
+
+@register(
+    "ivf_recall_curve",
+    oracle=f"""
+    WITH {_CENTROIDS_CTE},
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_cos('e.embedding', 'q.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rn <= 10
+    ),
+    pranked AS (
+      SELECT q.query_id, c.list_id,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round({_cos('c.centroid', 'q.qv')}, 6) DESC, c.list_id ASC) AS pr
+      FROM centroids c CROSS JOIN q
+    ),
+    np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+    probed AS (
+      SELECT np.nprobe, p.query_id, p.list_id
+      FROM pranked p JOIN np ON p.pr <= np.nprobe
+    ),
+    approx AS (
+      SELECT nprobe, query_id, vec_id FROM (
+        SELECT p.nprobe, p.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.nprobe, p.query_id
+                 ORDER BY round({_cos('e.embedding', 'q2.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM embeddings e
+        JOIN assigned a ON a.vec_id = e.vec_id
+        JOIN probed p ON p.list_id = a.list_id
+        JOIN q q2 ON q2.query_id = p.query_id
+      ) WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT a.nprobe, a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM approx a JOIN exact x ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+      GROUP BY a.nprobe, a.query_id
+    )
+    SELECT np.nprobe, CAST(count(*) AS BIGINT) AS n_queries,
+           round(CAST(sum(coalesce(h.n_hits, 0)) AS DOUBLE) / (count(*) * 10), 6)
+             AS mean_recall
+    FROM np CROSS JOIN q
+    LEFT JOIN hits h ON h.nprobe = np.nprobe AND h.query_id = q.query_id
+    GROUP BY np.nprobe
+    """,
+    doc="The IVF tuning curve AS ONE PLAN: mean recall@10 over the 5-query "
+    "batch for nprobe in {{1,2,4,8}}.  The centroid ranking per query is "
+    "computed ONCE and the four probe depths are prefix-filters over it "
+    "(one join against a 4-row literal frame) — the approximate branches "
+    "share the single assignment relation; only the final rank windows "
+    "multiply by |nprobe settings|.  This is the graph an engineer reads "
+    "to pick nprobe before a reindex; expressing it declaratively means "
+    "the whole sweep is one job, not four.",
+)
+def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from log_vector_spark.functions.vector import cosine_similarity
+
+    emb = table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = search.knn_batch_topk(emb, queries_df, k=10).select("query_id", "vec_id")
+    cents = search.make_centroids(emb)
+    pranked = (
+        queries_df.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "qscore", F.round(cosine_similarity(F.col("query_vec"), F.col("centroid")), 6)
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("list_id"))
+            ),
+        )
+    )
+    np_df = spark.createDataFrame([(1,), (2,), (4,), (8,)], ["nprobe"])
+    probed = pranked.join(
+        F.broadcast(np_df), pranked.pr <= np_df.nprobe
+    ).select("nprobe", "query_id", "query_vec", "list_id")
+    assigned = search.ivf_assign(emb, cents).select("vec_id", "embedding", "list_id")
+    cand = assigned.join(F.broadcast(probed), "list_id")
+    scored = cand.withColumn(
+        "score", F.round(cosine_similarity(F.col("embedding"), F.col("query_vec")), 6)
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    approx = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("nprobe", "query_id", "vec_id")
+    )
+    hits = (
+        approx.join(exact, ["query_id", "vec_id"])
+        .groupBy("nprobe", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = np_df.crossJoin(queries_df.select("query_id"))
+    return (
+        base.join(hits, ["nprobe", "query_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.round(
+                F.sum(F.coalesce("n_hits", F.lit(0))).cast("double")
+                / (F.count(F.lit(1)) * 10),
+                6,
+            ).alias("mean_recall"),
+        )
+    )
