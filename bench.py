@@ -113,6 +113,7 @@ HEADLINE = [
     "ivf_recall_curve",           # recall@10 sweep over nprobe in one plan
     "events_value_deciles",       # integer-rank decile boundaries per type
     "orders_abc_analysis",        # Pareto cumulative-share classification
+    "knn_ivf_filtered",           # metadata-filtered ANN, filter below assignment
 ]
 
 
@@ -212,6 +213,7 @@ BASELINE_SEC = {
     "ivf_recall_curve": 4.61,
     "events_value_deciles": 0.91,
     "orders_abc_analysis": 1.64,
+    "knn_ivf_filtered": 1.02,
 }
 
 

@@ -629,3 +629,68 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_recall"),
         )
     )
+
+
+@register(
+    "knn_ivf_filtered",
+    oracle=f"""
+    WITH filt AS (SELECT * FROM embeddings WHERE label IN (1, 3)),
+    centroids AS (
+      SELECT vec_id AS list_id, embedding AS centroid
+      FROM embeddings,
+           (SELECT greatest(16, CAST(floor(sqrt(count(*)) / 4 + 0.5) AS BIGINT)) AS s
+            FROM embeddings) st
+      WHERE vec_id % st.s = 0
+    ),
+    probed AS (
+      SELECT list_id FROM (
+        SELECT list_id, round({_cos('centroid', _Q)}, 6) AS qscore FROM centroids
+      ) ORDER BY qscore DESC, list_id ASC LIMIT 4
+    ),
+    assigned AS (
+      SELECT vec_id, label, list_id FROM (
+        SELECT e.vec_id, e.label, c.list_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_cos('e.embedding', 'c.centroid')}, 6) DESC, c.list_id ASC
+               ) AS crank
+        FROM filt e CROSS JOIN centroids c
+      ) WHERE crank = 1
+    )
+    SELECT e.vec_id, e.label, round({_cos('e.embedding', _Q)}, 6) AS score
+    FROM embeddings e
+    JOIN assigned a ON a.vec_id = e.vec_id
+    JOIN probed p ON p.list_id = a.list_id
+    ORDER BY score DESC, e.vec_id ASC LIMIT 5
+    """,
+    doc="Metadata-FILTERED approximate k-NN: the label predicate applies "
+    "BEFORE the IVF assignment, so at scale the filter reaches the parquet "
+    "scan (pushed filter + partition/row-group pruning) and the expensive "
+    "assignment stage scores only the filtered subset — the 'filtered ANN' "
+    "shape vector stores struggle with when the filter lives outside the "
+    "index.  Centroids still come from the full table (the index is built "
+    "once, queries filter arbitrarily).  Composes knn_topk_filtered's "
+    "pushdown with knn_ivf's probe pruning.",
+)
+def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.functions.vector import cosine_similarity, literal_vector
+
+    emb = table(spark, "embeddings", sf_dir)
+    cents = search.make_centroids(emb)
+    filt = emb.filter(F.col("label").isin(1, 3))
+    probed = (
+        cents.withColumn(
+            "qscore", F.round(cosine_similarity(F.col("centroid"), literal_vector(QVEC)), 6)
+        )
+        .orderBy(F.desc("qscore"), F.asc("list_id"))
+        .limit(4)
+        .select("list_id")
+    )
+    assigned = search.ivf_assign(filt, cents)
+    cand = assigned.join(F.broadcast(probed), "list_id")
+    scored = search.score_against(cand, QVEC)
+    return (
+        scored.select("vec_id", "label", "score")
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+    )

@@ -151,3 +151,25 @@ def test_source_novelty_attributes_first_occurrence(spark):
     out = {r["source"]: r for r in source_novelty(docs, n=3).collect()}
     assert out["srcA"]["n_first_grams"] == 2 and out["srcA"]["novelty_ratio"] == 1.0
     assert out["srcB"]["n_first_grams"] == 0 and out["srcB"]["novelty_ratio"] == 0.0
+
+
+def test_mmr_lambda_one_reduces_to_relevance_ranking(spark):
+    """With lam=1, mu=0 the redundancy term vanishes and MMR must emit the
+    pure relevance order — the reduction invariant that pins the formula."""
+    rows = [(0, 10 + i, 0.9 - 0.1 * i, [float(i), 1.0]) for i in range(5)]
+    cand = _mmr_input(spark, rows)
+    picks = [
+        r["vec_id"]
+        for r in rerank.mmr_select(cand, k=5, lam=1.0, mu=0.0).orderBy("step").collect()
+    ]
+    assert picks == [10, 11, 12, 13, 14]
+
+
+def test_bm25_b_zero_removes_length_normalization(spark):
+    """With b=0 the doc-length term drops out: equal tf => equal score no
+    matter the document length."""
+    docs = spark.createDataFrame(
+        [(0, "cat " + "x " * 100), (1, "cat y")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["score"] for r in rerank.bm25_scored(docs, ("cat",), b=0.0).collect()}
+    assert out[0] == out[1] > 0
