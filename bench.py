@@ -114,6 +114,9 @@ HEADLINE = [
     "events_value_deciles",       # integer-rank decile boundaries per type
     "orders_abc_analysis",        # Pareto cumulative-share classification
     "knn_ivf_filtered",           # metadata-filtered ANN, filter below assignment
+    "events_kmv_distinct",        # deterministic KMV cardinality sketch + audit
+    "events_cusum_changepoint",   # integer-exact CUSUM regime detection
+    "orders_market_basket",       # within-order co-occurrence + lift
 ]
 
 
@@ -214,6 +217,10 @@ BASELINE_SEC = {
     "events_value_deciles": 0.91,
     "orders_abc_analysis": 1.64,
     "knn_ivf_filtered": 1.02,
+    # ~2.6x-drifted window (text_quality ref 0.65) — upper bounds
+    "events_kmv_distinct": 0.64,
+    "events_cusum_changepoint": 0.75,
+    "orders_market_basket": 2.09,
 }
 
 

@@ -824,3 +824,126 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.join(
         F.broadcast(t), (r.event_type == t.et) & (r.rn == t.target_rn)
     ).select(F.col("et").alias("event_type"), "decile", F.col("value").alias("boundary"))
+
+
+@register(
+    "events_kmv_distinct",
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM du
+    ),
+    r AS (
+      SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u ASC, user_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    )
+    SELECT event_type,
+           CAST(nd AS BIGINT) AS n_exact,
+           round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE) ELSE 63.0 / u END, 6)
+             AS kmv_estimate,
+           round(abs(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE) ELSE 63.0 / u END - nd)
+                 / nd, 6) AS rel_error
+    FROM r WHERE rn = least(nd, 64)
+    """,
+    doc="K-minimum-values distinct sketch (k=64) — the DETERMINISTIC "
+    "mergeable cardinality estimator: hash users to [0,1) via md5, keep "
+    "the k smallest per type, estimate (k-1)/u_k; falls back to exact "
+    "below k.  Reported NEXT TO the exact count and relative error, so "
+    "the query is simultaneously the sketch and its audit (the "
+    "estimator-eval discipline).  At scale the k-smallest per group is a "
+    "partial TakeOrdered per partition (k rows per group cross the "
+    "shuffle); unlike HLL the estimate is reproducible bit-for-bit in any "
+    "engine with md5.",
+)
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "events", sf_dir)
+    du = e.select("event_type", "user_id").distinct()
+    h = du.withColumn(
+        "u",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.asc("u"), F.asc("user_id"))
+    wn = Window.partitionBy("event_type")
+    r = h.select(
+        "event_type", "u",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nd"),
+    )
+    est = F.when(F.col("nd") < 64, F.col("nd").cast("double")).otherwise(63.0 / F.col("u"))
+    return r.filter(F.col("rn") == F.least(F.col("nd"), F.lit(64))).select(
+        "event_type",
+        F.col("nd").cast("bigint").alias("n_exact"),
+        F.round(est, 6).alias("kmv_estimate"),
+        F.round(F.abs(est - F.col("nd")) / F.col("nd"), 6).alias("rel_error"),
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS c, CAST(sum(n) AS BIGINT) AS s
+      FROM h GROUP BY event_type
+    ),
+    c AS (
+      SELECT h.event_type, h.hour,
+             sum(h.n * t.c - t.s) OVER (PARTITION BY h.event_type ORDER BY h.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_scaled
+      FROM h JOIN t USING (event_type)
+    )
+    SELECT event_type, hour AS changepoint_hour,
+           CAST(cusum_scaled AS BIGINT) AS peak_cusum_scaled,
+           (cusum_scaled > 0) AS above_mean_regime
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(cusum_scaled) DESC, hour ASC) AS rk
+      FROM c
+    ) WHERE rk = 1
+    """,
+    doc="CUSUM changepoint detection on hourly volumes: cumulative "
+    "deviation from the per-type mean, argmax |cusum| marks the hour the "
+    "regime most likely shifted.  Deviations are scaled by the hour count "
+    "(n*C - S) so the ENTIRE cusum is exact bigint arithmetic — no "
+    "float-cumsum drift, bit-identical in any engine.  One tiny per-type "
+    "aggregate + windows over the |type x hour| rollup.",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "events", sf_dir)
+    h = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("n").cast("bigint").alias("s"),
+    )
+    wc = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = h.join(F.broadcast(t), "event_type").select(
+        "event_type", "hour",
+        F.sum(F.col("n") * F.col("c") - F.col("s")).over(wc).alias("cusum_scaled"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.asc("hour")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("changepoint_hour"),
+            F.col("cusum_scaled").cast("bigint").alias("peak_cusum_scaled"),
+            (F.col("cusum_scaled") > 0).alias("above_mean_regime"),
+        )
+    )

@@ -1680,3 +1680,62 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("cum_share"),
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
     )
+
+
+@register(
+    "orders_market_basket",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lineitem),
+    pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(count(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support,
+           round(CAST(support * n.n_orders AS DOUBLE) / (ca.cnt * cb.cnt), 6) AS lift
+    FROM pairs
+    JOIN pc ca ON ca.l_partkey = part_a
+    JOIN pc cb ON cb.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY support DESC, part_a ASC, part_b ASC LIMIT 20
+    """,
+    doc="Market-basket co-occurrence: top-20 part pairs by within-order "
+    "support, with lift against independence.  The pair join is keyed by "
+    "l_orderkey, so candidate volume is sum over orders of C(items,2) — "
+    "bounded by basket size (~7 items), LINEAR in orders, never a "
+    "part-by-part cartesian.  The association-rules primitive behind "
+    "recommendations and co-purchase analytics.",
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
+    pc = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "support",
+            F.round(
+                (F.col("support") * F.col("n_orders")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
