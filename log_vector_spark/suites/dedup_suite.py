@@ -846,3 +846,78 @@ def minhash_estimator_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_both"),
     )
+
+
+@register(
+    "doc_communities_lpa",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    j AS (SELECT s.doc_id, s.simhash, d.source FROM sim s JOIN documents d USING (doc_id)),
+    e AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM j a JOIN j b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    ),
+    bi AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+    verts AS (SELECT DISTINCT v FROM bi),
+    l0 AS (SELECT v, v AS lbl FROM verts),
+    m1 AS (
+      SELECT v, lbl FROM (
+        SELECT bi.v, l.lbl,
+               row_number() OVER (PARTITION BY bi.v
+                 ORDER BY count(*) DESC, l.lbl ASC) AS rn
+        FROM bi JOIN l0 l ON l.v = bi.u
+        GROUP BY bi.v, l.lbl
+      ) WHERE rn = 1
+    ),
+    l1 AS (SELECT v, lbl FROM m1),
+    m2 AS (
+      SELECT v, lbl FROM (
+        SELECT bi.v, l.lbl,
+               row_number() OVER (PARTITION BY bi.v
+                 ORDER BY count(*) DESC, l.lbl ASC) AS rn
+        FROM bi JOIN l1 l ON l.v = bi.u
+        GROUP BY bi.v, l.lbl
+      ) WHERE rn = 1
+    )
+    SELECT m2.v AS doc_id, m2.lbl AS community,
+           CAST(count(*) OVER (PARTITION BY m2.lbl) AS BIGINT) AS community_size
+    FROM m2
+    """,
+    doc="Label-propagation communities (2 synchronous rounds) over the "
+    "SimHash near-dup graph: every vertex adopts the most frequent label "
+    "among its neighbors (ties to the smallest label) — the cheap "
+    "community detector that groups near-dup families tighter than "
+    "connected components when bridges exist.  Per round: one edge-keyed "
+    "join + a (vertex, label) count + struct-argmax; everything linear in "
+    "|edges|.  Complements dedup_clusters (exact transitive closure) and "
+    "doc_pagerank (centrality) as the third graph algorithm on the same "
+    "edge relation.",
+)
+def doc_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = (
+        dedup.simhash_pairs(table(spark, "documents", sf_dir), max_hamming=6)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=True)  # feeds both rounds (dedup_graph_stats idiom)
+    )
+    bi = e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    labels = bi.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    for _ in range(2):
+        neigh = bi.join(
+            labels.select(F.col("v").alias("u"), "lbl"), "u"
+        ).groupBy("v", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            neigh.groupBy("v")
+            .agg(F.min(F.struct((-F.col("c")).alias("neg"), F.col("lbl").alias("lbl"))).alias("m"))
+            .select("v", F.col("m.lbl").alias("lbl"))
+        )
+    w = Window.partitionBy("lbl")
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("lbl").alias("community"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("community_size"),
+    )

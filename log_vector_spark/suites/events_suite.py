@@ -947,3 +947,54 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cusum_scaled") > 0).alias("above_mean_regime"),
         )
     )
+
+
+@register(
+    "events_ewma",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, event_id, ts, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    l AS (
+      SELECT a.event_type, a.event_id, a.ts,
+             CAST(sum(b.cents * (1 << CAST(7 - (a.rn - b.rn) AS INTEGER))) AS BIGINT) AS num,
+             CAST(sum(1 << CAST(7 - (a.rn - b.rn) AS INTEGER)) AS BIGINT) AS den
+      FROM o a JOIN o b
+        ON b.event_type = a.event_type AND b.rn BETWEEN a.rn - 7 AND a.rn
+      GROUP BY a.event_type, a.event_id, a.ts
+    )
+    SELECT event_type, event_id, round(CAST(num AS DOUBLE) / (100.0 * den), 6) AS ewma
+    FROM l
+    """,
+    doc="Trailing exponential moving average (alpha=0.5, 8-term window): "
+    "weights 2^-(k+1) are EXACT binary fractions, so the whole smoother "
+    "is integer arithmetic (cents x powers of two) with one final "
+    "division — bit-identical under any partitioning.  Implemented as a "
+    "trailing ROWS frame per type (the oracle replays it as a banded "
+    "rank self-join); at 100 TB this is one window over the (type, time) "
+    "sort the sessionize family already pays for.  The alerting smoother "
+    "that flags metric drift without storing state.",
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, "events", sf_dir)
+    o = e.select(
+        "event_type", "event_id", "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # trailing 8-term weighted sum via explicit lag columns: weight of lag k
+    # is 2^(7-k) in integer space (highest weight = most recent)
+    num = F.col("cents") * (1 << 7)
+    den = F.lit(1 << 7).cast("bigint")
+    for k in range(1, 8):
+        lagged = F.lag("cents", k).over(w)
+        num = num + F.coalesce(lagged * (1 << (7 - k)), F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(1 << (7 - k))).otherwise(F.lit(0))
+    return o.select(
+        "event_type", "event_id",
+        F.round(num.cast("double") / (100.0 * den.cast("bigint")), 6).alias("ewma"),
+    )
