@@ -117,6 +117,9 @@ HEADLINE = [
     "events_kmv_distinct",        # deterministic KMV cardinality sketch + audit
     "events_cusum_changepoint",   # integer-exact CUSUM regime detection
     "orders_market_basket",       # within-order co-occurrence + lift
+    "doc_communities_lpa",        # 2-round label propagation over near-dup graph
+    "events_ewma",                # trailing EWMA, exact binary-weight integers
+    "store_snapshot_diff",        # CDC-style snapshot diff counts
 ]
 
 
@@ -221,6 +224,10 @@ BASELINE_SEC = {
     "events_kmv_distinct": 0.64,
     "events_cusum_changepoint": 0.75,
     "orders_market_basket": 2.09,
+    # ~2.8x-drifted window (text_quality ref 0.70) — upper bounds
+    "doc_communities_lpa": 3.40,
+    "events_ewma": 0.91,
+    "store_snapshot_diff": 0.44,
 }
 
 

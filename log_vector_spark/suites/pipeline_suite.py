@@ -1006,3 +1006,59 @@ def audio_trim_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.operators.multimodal import audio_trim_silence_wav
 
     return audio_trim_silence_wav(table(spark, "documents", sf_dir))
+
+
+@register(
+    "store_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    new AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 10 = 0 THEN md5(upper(text)) ELSE md5(text) END AS h
+      FROM documents WHERE doc_id % 17 <> 0
+    ),
+    j AS (
+      SELECT coalesce(old.source, new.source) AS source,
+             CASE WHEN new.doc_id IS NULL THEN 'removed'
+                  WHEN old.doc_id IS NULL THEN 'added'
+                  WHEN old.h <> new.h THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM old FULL OUTER JOIN new USING (doc_id)
+    )
+    SELECT source, change, CAST(count(*) AS BIGINT) AS n
+    FROM j GROUP BY source, change
+    """,
+    doc="Snapshot diff (the CDC/data-versioning primitive): old vs new "
+    "store compared by content hash over a full outer join on the id — "
+    "added/removed/changed/unchanged counts per source.  The 'new' "
+    "snapshot is derived deterministically in the query (1-in-10 docs "
+    "re-texted, 1-in-17 deleted) so both engines replay the same delta; "
+    "with real table versions the derivation is just two reads.  One "
+    "id-keyed shuffle join + scan-stage md5 — linear; the audit a "
+    "pipeline runs before promoting a rebuilt index.",
+)
+def store_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    old = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    new = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 10 == 0, F.md5(F.upper("text")))
+        .otherwise(F.md5("text"))
+        .alias("h"),
+    )
+    o = old.select(
+        F.col("doc_id").alias("o_id"), F.col("source").alias("o_src"), F.col("h").alias("o_h")
+    )
+    n = new.select(
+        F.col("doc_id").alias("n_id"), F.col("source").alias("n_src"), F.col("h").alias("n_h")
+    )
+    j = o.join(n, o.o_id == n.n_id, "full_outer").select(
+        F.coalesce("o_src", "n_src").alias("source"),
+        F.when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_id").isNull(), "added")
+        .when(F.col("o_h") != F.col("n_h"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return j.groupBy("source", "change").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
