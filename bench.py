@@ -120,6 +120,7 @@ HEADLINE = [
     "doc_communities_lpa",        # 2-round label propagation over near-dup graph
     "events_ewma",                # trailing EWMA, exact binary-weight integers
     "store_snapshot_diff",        # CDC-style snapshot diff counts
+    "maxsim_topk",                # ColBERT-style late-interaction retrieval
 ]
 
 
@@ -228,6 +229,7 @@ BASELINE_SEC = {
     "doc_communities_lpa": 3.40,
     "events_ewma": 0.91,
     "store_snapshot_diff": 0.44,
+    "maxsim_topk": 1.80,
 }
 
 

@@ -1062,3 +1062,58 @@ def store_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change"),
     )
     return j.groupBy("source", "change").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@register(
+    "maxsim_topk",
+    oracle=_INDEX_PIPELINE_ORACLE.format(
+        q=f"{vector_sql_literal(fixed_query_vector(64))}::DOUBLE[]"
+    ).rsplit("SELECT chunk_id,", 1)[0]
+    + f"""
+    , scored AS (
+      SELECT CAST(string_split(chunk_id, ':')[2] AS BIGINT) AS doc_id,
+             round(list_dot_product(v, {vector_sql_literal(fixed_query_vector(64))}::DOUBLE[])
+                   / (sqrt(list_dot_product(v, v))
+                      * sqrt(list_dot_product({vector_sql_literal(fixed_query_vector(64))}::DOUBLE[],
+                                              {vector_sql_literal(fixed_query_vector(64))}::DOUBLE[]))), 6)
+               AS score
+      FROM vecs
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, max(score) AS maxsim
+    FROM scored GROUP BY doc_id
+    ORDER BY maxsim DESC, doc_id ASC LIMIT 10
+    """,
+    doc="Late-interaction retrieval (ColBERT-style MaxSim, single-vector "
+    "query): documents are represented by PER-CHUNK embeddings; a "
+    "document's score is the MAX chunk similarity, so long documents "
+    "aren't penalized for off-topic sections the way single-vector "
+    "pooling penalizes them.  Chunking and embedding reuse the oracle-"
+    "replayable kernels (greedy chunker + md5-LCG embedder); the per-doc "
+    "max is a hash aggregate (one row per doc crosses the shuffle) and "
+    "the cut is a distributed top-k.  At scale the chunk embeddings are "
+    "the stored form (the reference's own layout) — MaxSim is then one "
+    "scan + agg over the chunk store, no new index needed.",
+)
+def maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.functions.vector import cosine_similarity, literal_vector
+
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.translate(F.col("text"), " ", "\n").alias("text")
+    )
+    chunks = chunk_ops.chunk_documents(docs, chunk_size=400)
+    embedder = DeterministicEmbedder(dim=64)
+    embedded = chunks.withColumn("embedding", embedder.embed_col(F.col("document")))
+    # chunk_id = source:doc_id:chunk_index (collision-safe reference scheme);
+    # recover doc_id the same way the oracle does
+    scored = embedded.select(
+        F.split(F.col("chunk_id"), ":").getItem(1).cast("bigint").alias("doc_id"),
+        F.round(
+            cosine_similarity(F.col("embedding"), literal_vector(fixed_query_vector(64))), 6
+        ).alias("score"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"), F.max("score").alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc("doc_id"))
+        .limit(10)
+    )
