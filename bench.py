@@ -121,6 +121,8 @@ HEADLINE = [
     "events_ewma",                # trailing EWMA, exact binary-weight integers
     "store_snapshot_diff",        # CDC-style snapshot diff counts
     "maxsim_topk",                # ColBERT-style late-interaction retrieval
+    "embedding_top_component",    # distributed power iteration (matvec aggs)
+    "events_forecast_backtest",   # seasonal-naive forecast MAE backtest
 ]
 
 
@@ -230,6 +232,9 @@ BASELINE_SEC = {
     "events_ewma": 0.91,
     "store_snapshot_diff": 0.44,
     "maxsim_topk": 1.80,
+    # ~2x-drifted window (text_quality ref 0.50) — upper bounds
+    "embedding_top_component": 2.27,
+    "events_forecast_backtest": 0.58,
 }
 
 

@@ -998,3 +998,62 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "event_id",
         F.round(num.cast("double") / (100.0 * den.cast("bigint")), 6).alias("ewma"),
     )
+
+
+@register(
+    "events_forecast_backtest",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    last_day AS (SELECT max(date_trunc('day', ts)) AS d FROM events),
+    actual AS (
+      SELECT h.event_type, h.hour, h.n FROM h CROSS JOIN last_day
+      WHERE date_trunc('day', h.hour) = last_day.d
+    ),
+    pred AS (
+      SELECT a.event_type, a.hour, a.n,
+             coalesce(p.n, 0) AS n_pred
+      FROM actual a
+      LEFT JOIN h p ON p.event_type = a.event_type
+                   AND p.hour = a.hour - INTERVAL 24 HOUR
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(abs(n - n_pred)) AS BIGINT) AS total_abs_err,
+           round(CAST(sum(abs(n - n_pred)) AS DOUBLE) / count(*), 6) AS mae
+    FROM pred GROUP BY event_type
+    """,
+    doc="Forecast backtest AS A QUERY: seasonal-naive prediction (same "
+    "hour, previous day) evaluated against the last day of data — hourly "
+    "MAE per event type in exact integer arithmetic until the final "
+    "division.  The eval loop every capacity-planning/alerting forecast "
+    "goes through, expressed as one rollup + a 24h-shifted self-join "
+    "keyed by (type, hour); no state, no driver loop.  Extending to "
+    "richer models only changes the `pred` branch.",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "events", sf_dir)
+    h = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    last_day = e.agg(F.max(F.date_trunc("day", "ts")).alias("d"))
+    actual = h.crossJoin(F.broadcast(last_day)).filter(
+        F.date_trunc("day", F.col("hour")) == F.col("d")
+    ).select("event_type", "hour", "n")
+    p = h.select(
+        F.col("event_type").alias("p_type"),
+        (F.col("hour") + F.expr("INTERVAL 24 HOURS")).alias("p_hour"),
+        F.col("n").alias("n_prev"),
+    )
+    pred = actual.join(
+        p, (F.col("event_type") == F.col("p_type")) & (F.col("hour") == F.col("p_hour")), "left"
+    ).select("event_type", "n", F.coalesce("n_prev", F.lit(0)).alias("n_pred"))
+    return pred.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum(F.abs(F.col("n") - F.col("n_pred"))).cast("bigint").alias("total_abs_err"),
+        F.round(
+            F.sum(F.abs(F.col("n") - F.col("n_pred"))).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mae"),
+    )

@@ -694,3 +694,91 @@ def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+def _power_iter_oracle(iters: int = 3) -> str:
+    """Unrolled power iteration in DuckDB mirroring embedding_top_component:
+    same v0 (1/8 per dim), same double products cast DECIMAL(28,20) for
+    order-independent sums, same rounded-6dp normalized state per round."""
+    ctes = [
+        "x AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "v0 AS (SELECT list_transform(range(1, 65), i -> 0.125) AS v)",
+    ]
+    for t in range(1, iters + 1):
+        p, c = f"v{t-1}", f"v{t}"
+        ctes.append(
+            f"s{t} AS (SELECT x.vec_id, x.e, list_dot_product(x.e, {p}.v) AS s"
+            f" FROM x CROSS JOIN {p})"
+        )
+        ctes.append(
+            f"y{t} AS (SELECT t.i AS dim,"
+            f" CAST(sum(CAST(e[t.i] * s AS DECIMAL(28,20))) AS DOUBLE) AS y"
+            f" FROM s{t}, (SELECT unnest(range(1, 65)) AS i) t GROUP BY t.i)"
+        )
+        ctes.append(
+            f"n{t} AS (SELECT sqrt(list_dot_product(list(y ORDER BY dim),"
+            f" list(y ORDER BY dim))) AS nrm, list(y ORDER BY dim) AS yl FROM y{t})"
+        )
+        ctes.append(
+            f"{c} AS (SELECT list_transform(yl, y -> round(y / nrm, 6)) AS v,"
+            f" nrm FROM n{t})"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f""" SELECT CAST(t.i AS INTEGER) AS dim, v[t.i] AS component,
+               round(nrm, 6) AS growth
+        FROM v{iters}, (SELECT unnest(range(1, 65)) AS i) t"""
+    )
+
+
+@register(
+    "embedding_top_component",
+    oracle=_power_iter_oracle(3),
+    doc="Dominant direction of the embedding cloud via 3 rounds of "
+    "distributed power iteration — linear algebra as aggregation: each "
+    "round is one scan computing x·v per row (codegen'd fold against the "
+    "broadcast 64-float state) and one (dim)-keyed sum producing 64 rows. "
+    "Products are cast DECIMAL(28,20) before summing so the matvec is "
+    "order-independent; the state is re-normalized and rounded to 6dp "
+    "each round, so both engines walk the identical trajectory (the "
+    "kmeans determinism contract).  `growth` (the pre-normalization "
+    "norm) estimates the top singular value.  The building block behind "
+    "PCA whitening, spectral embedding-drift monitors, and power-law "
+    "diagnostics — at 100 TB each round shuffles 64 rows.",
+)
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Row
+
+    from log_vector_spark.functions.vector import dot_product
+
+    emb = table(spark, "embeddings", sf_dir)
+    x = emb.select("vec_id", F.transform("embedding", lambda c: c.cast("double")).alias("e"))
+    spark_v = spark.createDataFrame([Row(v=[0.125] * 64)])
+    for _ in range(3):
+        s = x.crossJoin(F.broadcast(spark_v)).select(
+            "e", dot_product(F.col("e"), F.col("v")).alias("s")
+        )
+        dims = s.select(F.posexplode("e").alias("dim0", "xd"), "s").select(
+            (F.col("dim0") + 1).alias("dim"),
+            (F.col("xd") * F.col("s")).cast("decimal(28,20)").alias("p"),
+        )
+        y = dims.groupBy("dim").agg(F.sum("p").cast("double").alias("y"))
+        yl = y.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "y"))), lambda r: r.getField("y")
+            ).alias("yl")
+        )
+        n = yl.select(
+            "yl", F.sqrt(dot_product(F.col("yl"), F.col("yl"))).alias("nrm")
+        )
+        spark_v = n.select(
+            F.transform(F.col("yl"), lambda v: F.round(v / F.col("nrm"), 6)).alias("v"),
+            "nrm",
+        )
+    dim_idx = spark.range(1, 65).select(F.col("id").cast("int").alias("dim"))
+    return dim_idx.crossJoin(F.broadcast(spark_v)).select(
+        "dim",
+        F.element_at(F.col("v"), F.col("dim")).alias("component"),
+        F.round(F.col("nrm"), 6).alias("growth"),
+    )
