@@ -123,6 +123,7 @@ HEADLINE = [
     "maxsim_topk",                # ColBERT-style late-interaction retrieval
     "embedding_top_component",    # distributed power iteration (matvec aggs)
     "events_forecast_backtest",   # seasonal-naive forecast MAE backtest
+    "knn_lsh_multiprobe",         # partition-prunable IN-list LSH probes
 ]
 
 
@@ -235,6 +236,7 @@ BASELINE_SEC = {
     # ~2x-drifted window (text_quality ref 0.50) — upper bounds
     "embedding_top_component": 2.27,
     "events_forecast_backtest": 0.58,
+    "knn_lsh_multiprobe": 1.60,
 }
 
 

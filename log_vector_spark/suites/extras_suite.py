@@ -414,3 +414,50 @@ def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, p in enumerate(PLANES)
         ],
     )
+
+
+def _lsh_probe_set(qs: int, bits: int = 8, radius: int = 2) -> list[int]:
+    """All signatures within hamming `radius` of qs — literal-derivable in
+    Python (BASELINE.md lesson 6: never compute constants in the plan)."""
+    import itertools
+
+    probes = [qs]
+    for r in range(1, radius + 1):
+        for flip in itertools.combinations(range(bits), r):
+            v = qs
+            for b in flip:
+                v ^= 1 << b
+            probes.append(v)
+    return sorted(probes)
+
+
+@register(
+    "knn_lsh_multiprobe",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_lsh_bits_sql('embedding')} AS sig FROM embeddings
+    )
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], {_Q}::DOUBLE[]), 6) AS score
+    FROM sig
+    WHERE sig IN (SELECT unnest({{probes}}))
+    ORDER BY score DESC, vec_id ASC LIMIT 5
+    """.format(probes="[" + ", ".join(str(p) for p in _lsh_probe_set(_lsh_bits_py(QVEC))) + "]"),
+    doc="Multi-probe LSH k-NN — same hamming<=2 semantics as knn_lsh, but "
+    "the candidate predicate is an explicit 37-value signature IN-list "
+    "(the query bucket plus every 1- and 2-bit flip, enumerated in Python "
+    "because the set is literal-derivable).  knn_lsh's bit_count(xor) "
+    "form must SCAN every signature; the IN-list form is an exact-match "
+    "predicate a signature-partitioned store turns into partition "
+    "pruning — at 100 TB that is 37 bucket reads instead of a corpus "
+    "scan.  Results are row-identical to knn_lsh by construction.",
+)
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    probes = _lsh_probe_set(_lsh_bits_py(QVEC))
+    sig = emb.withColumn("sig", _lsh_bits_col(F.col("embedding")))
+    cands = sig.filter(F.col("sig").isin(probes))
+    scored = cands.withColumn(
+        "score", F.round(cosine_similarity(F.col("embedding"), literal_vector(QVEC)), 6)
+    )
+    return scored.select("vec_id", "score").orderBy(F.desc("score"), F.asc("vec_id")).limit(5)

@@ -60,3 +60,14 @@ def test_ivf_recall_monotone_and_useful(spark, emb):
         assert r[2] <= r[4] <= r[8], f"recall not monotone in nprobe: {r}"
         recalls_8.append(r[8])
     assert sum(recalls_8) / len(recalls_8) >= 0.6, recalls_8
+
+
+def test_multiprobe_identical_to_bitcount_form(spark):
+    """The IN-list multi-probe predicate and the bit_count(xor) scan are the
+    same semantics — results must be row-identical."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.01"
+    a = [(r["vec_id"], r["score"]) for r in m.queries()["knn_lsh"](spark, sf).collect()]
+    b = [(r["vec_id"], r["score"]) for r in m.queries()["knn_lsh_multiprobe"](spark, sf).collect()]
+    assert a == b
