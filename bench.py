@@ -124,6 +124,8 @@ HEADLINE = [
     "embedding_top_component",    # distributed power iteration (matvec aggs)
     "events_forecast_backtest",   # seasonal-naive forecast MAE backtest
     "knn_lsh_multiprobe",         # partition-prunable IN-list LSH probes
+    "ivf_build_metrics",          # index-health: list sizes + imbalance factor
+    "dedup_containment",          # asymmetric subset-dup detection
 ]
 
 
@@ -237,6 +239,8 @@ BASELINE_SEC = {
     "embedding_top_component": 2.27,
     "events_forecast_backtest": 0.58,
     "knn_lsh_multiprobe": 1.60,
+    "ivf_build_metrics": 1.36,
+    "dedup_containment": 2.08,
 }
 
 

@@ -921,3 +921,63 @@ def doc_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("community"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("community_size"),
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, source, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, source,
+                  unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
+    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+      FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c * 1.0 / least(ca.n_sh, cb.n_sh), 6) AS containment,
+           round(c * 1.0 / (ca.n_sh + cb.n_sh - c), 6) AS jaccard
+    FROM common
+    JOIN cnt ca ON ca.doc_id = id_a
+    JOIN cnt cb ON cb.doc_id = id_b
+    WHERE round(c * 1.0 / least(ca.n_sh, cb.n_sh), 6) >= 0.8
+      AND round(c * 1.0 / (ca.n_sh + cb.n_sh - c), 6) < 0.4
+    """,
+    doc="Asymmetric containment dedup: pairs where the SMALLER document's "
+    "shingle set is >=80% contained in the other, yet Jaccard stays below "
+    "the 0.4 near-dup threshold — the quote/subset/boilerplate-inclusion "
+    "duplicates symmetric Jaccard structurally cannot flag (a short doc "
+    "inside a long one has tiny union-normalized similarity).  Same "
+    "source-blocked shingle equi-join as dedup_ngram_jaccard; only the "
+    "normalization differs (min set size vs union).  The second pass a "
+    "production dedup runs after Jaccard to catch nested duplication.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.functions.text import shingles_from_words, tokens
+
+    docs = table(spark, "documents", sf_dir)
+    words = docs.select("doc_id", F.col("source").alias("blk"), tokens(F.col("text")).alias("words"))
+    sh = words.select(
+        "doc_id", "blk",
+        F.explode(F.array_distinct(shingles_from_words(F.col("words"), 3))).alias("shingle"),
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    a = sh.select("blk", "shingle", F.col("doc_id").alias("id_a"))
+    b = sh.select("blk", "shingle", F.col("doc_id").alias("id_b"))
+    common = (
+        a.join(b, ["blk", "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    j = (
+        common.join(cnt.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(cnt.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("c") / F.least("n_a", "n_b"), 6).alias("containment"),
+            F.round(F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 6).alias("jaccard"),
+        )
+    )
+    return j.filter((F.col("containment") >= 0.8) & (F.col("jaccard") < 0.4))

@@ -782,3 +782,51 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("v"), F.col("dim")).alias("component"),
         F.round(F.col("nrm"), 6).alias("growth"),
     )
+
+
+@register(
+    "ivf_build_metrics",
+    oracle=f"""
+    WITH {_CENTROIDS_CTE},
+    sizes AS (
+      SELECT c.list_id, CAST(count(a.vec_id) AS BIGINT) AS n
+      FROM centroids c LEFT JOIN assigned a ON a.list_id = c.list_id
+      GROUP BY c.list_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lists,
+           CAST(sum(n) AS BIGINT) AS n_vectors,
+           CAST(max(n) AS BIGINT) AS max_list,
+           CAST(min(n) AS BIGINT) AS min_list,
+           CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+           round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6) AS imbalance
+    FROM sizes
+    """,
+    doc="IVF index-health report: per-list population from the same "
+    "assignment relation queries use — list count, max/min/empty lists, "
+    "and the imbalance factor (max list / mean list), THE number that "
+    "predicts tail latency for probe queries (a probe hitting the max "
+    "list does imbalance-times the mean work).  One left join + tiny "
+    "aggregate; at scale this reads the stored assignment, costing one "
+    "|vectors|-row scan.  Pairs with ivf_recall_curve: recall says the "
+    "index is accurate, this says it is balanced.",
+)
+def ivf_build_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    cents = search.make_centroids(emb)
+    assigned = search.ivf_assign(emb, cents).select("vec_id", "list_id")
+    sizes = (
+        cents.select("list_id")
+        .join(assigned, "list_id", "left")
+        .groupBy("list_id")
+        .agg(F.count("vec_id").cast("bigint").alias("n"))
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.max("n").cast("bigint").alias("max_list"),
+        F.min("n").cast("bigint").alias("min_list"),
+        F.sum((F.col("n") == 0).cast("int")).cast("bigint").alias("n_empty"),
+        F.round(
+            F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n"), 6
+        ).alias("imbalance"),
+    )

@@ -173,3 +173,45 @@ def test_bm25_b_zero_removes_length_normalization(spark):
     )
     out = {r["doc_id"]: r["score"] for r in rerank.bm25_scored(docs, ("cat",), b=0.0).collect()}
     assert out[0] == out[1] > 0
+
+
+def test_containment_flags_nested_duplicate_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment ~1 while
+    Jaccard is small — exactly the pair the containment pass must flag and
+    the Jaccard pass must not."""
+    short = "a b c d e f"
+    long = short + " " + " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short, "s"), (2, long, "s")], ["doc_id", "text", "source"]
+    )
+    import log_vector_spark.suites.dedup_suite  # noqa: F401  (registers)
+    from log_vector_spark.functions.text import shingles_from_words, tokens
+    from pyspark.sql import functions as F
+
+    words = docs.select("doc_id", F.col("source").alias("blk"), tokens(F.col("text")).alias("words"))
+    sh = words.select(
+        "doc_id", "blk",
+        F.explode(F.array_distinct(shingles_from_words(F.col("words"), 3))).alias("shingle"),
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select("blk", "shingle", F.col("doc_id").alias("id_a"))
+    b = sh.select("blk", "shingle", F.col("doc_id").alias("id_b"))
+    common = (
+        a.join(b, ["blk", "shingle"]).filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("c"))
+    )
+    row = (
+        common.join(cnt.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(cnt.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            F.round(F.col("c") / F.least("n_a", "n_b"), 6).alias("containment"),
+            F.round(F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 6).alias("jaccard"),
+        )
+        .collect()[0]
+    )
+    # short doc has 4 shingles; the long doc contains all of them (plus a
+    # bridging region) -> containment 1.0; union is ~65 shingles -> tiny
+    # jaccard.  The containment gate (>=0.8, jaccard<0.4) fires; a pure
+    # jaccard>=0.4 gate would not.
+    assert row["containment"] == 1.0
+    assert row["jaccard"] < 0.1
