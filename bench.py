@@ -126,6 +126,7 @@ HEADLINE = [
     "knn_lsh_multiprobe",         # partition-prunable IN-list LSH probes
     "ivf_build_metrics",          # index-health: list sizes + imbalance factor
     "dedup_containment",          # asymmetric subset-dup detection
+    "source_quality_report",      # per-source curation dashboard panel
 ]
 
 
@@ -241,6 +242,7 @@ BASELINE_SEC = {
     "knn_lsh_multiprobe": 1.60,
     "ivf_build_metrics": 1.36,
     "dedup_containment": 2.08,
+    "source_quality_report": 1.05,
 }
 
 

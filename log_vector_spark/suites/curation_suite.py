@@ -233,3 +233,92 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.source_novelty(table(spark, "documents", sf_dir), n=3)
+
+
+@register(
+    "source_quality_report",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, text, {_WORDS} AS words FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             CAST(len(words) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+             (len(words) >= 50 AND len(words) <= 100000) AS ok_word_count,
+             (len(list_distinct(list_filter(words, t -> t IN {_STOP}))) >= 2)
+               AS ok_stopwords
+      FROM d
+    ),
+    dup AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn > 1
+    )
+    SELECT m.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_distinct) AS DOUBLE) / sum(n_tokens), 6)
+             AS distinct_token_ratio,
+           round(CAST(sum(CASE WHEN ok_word_count AND ok_stopwords
+                               THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS gate_pass_rate,
+           round(CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS exact_dup_rate
+    FROM m LEFT JOIN dup ON dup.doc_id = m.doc_id
+    GROUP BY m.source
+    """,
+    doc="The per-source curation dashboard in ONE plan: token volume, "
+    "lexical diversity (distinct/total token ratio), quality-gate pass "
+    "rate, and exact-duplicate rate — the panel that decides which "
+    "sources get re-crawled, down-weighted, or dropped before mixture "
+    "planning.  Composes the already-tested signals (tokens, Gopher "
+    "gates, md5 dedup survivors) as one scan + one dup window + one "
+    "per-source aggregate.",
+)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    from log_vector_spark.functions.text import tokens
+
+    docs = table(spark, "documents", sf_dir)
+    w = tokens(F.col("text"))
+    m = docs.select(
+        "doc_id",
+        "source",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct"),
+        ((F.size(w) >= 50) & (F.size(w) <= 100000)).alias("ok_word_count"),
+        (
+            F.size(
+                F.array_distinct(F.filter(w, lambda t: t.isin(*curation.STOPWORDS_EN)))
+            )
+            >= 2
+        ).alias("ok_stopwords"),
+    )
+    dup = (
+        docs.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.partitionBy(F.md5("text")).orderBy("doc_id"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") > 1)
+        .select(F.col("doc_id").alias("dup_id"))
+    )
+    j = m.join(dup, m.doc_id == dup.dup_id, "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("n_distinct").cast("double") / F.sum("n_tokens"), 6).alias(
+            "distinct_token_ratio"
+        ),
+        F.round(
+            F.sum((F.col("ok_word_count") & F.col("ok_stopwords")).cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("gate_pass_rate"),
+        F.round(
+            F.sum(F.col("dup_id").isNotNull().cast("int")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+    )
