@@ -159,7 +159,7 @@ def blocked_pairs(
 def similarity_join(
     vectors: DataFrame,
     threshold: float = 0.8,
-    block_col: str = "label",
+    block_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -167,9 +167,21 @@ def similarity_join(
 
     The block key turns the O(n²) cartesian into an equi-join (the same
     blocking idea LSH uses, with an exact in-bucket verify), and the salted
-    pair generator keeps the quadratic scoring work parallel.  For
-    unblocked corpora use `dedup.minhash_pairs` (LSH banding) instead.
+    pair generator keeps the quadratic scoring work parallel.
+
+    DEFAULT BLOCKING IS IVF (block_col=None): blocks are the nearest-centroid
+    lists from `ivf_assign` with the sqrt-stride centroid rule, so within-
+    block pair volume stays ~N^1.5 at any corpus size.  Passing an explicit
+    block_col (e.g. "label") is a SMALL-CORPUS OPT-IN: with fixed block
+    cardinality, within-block pairs grow quadratically with the data
+    (measured 6.5x runtime for 10x data in SCALE_r03.json) — do not use it
+    at cluster scale unless the block key's cardinality grows with N.
     """
+    if block_col is None:
+        assigned = ivf_assign(
+            vectors, make_centroids(vectors, vec_id=id_col, vec_col=vec_col), id_col, vec_col
+        ).select(id_col, vec_col, "list_id")
+        vectors, block_col = assigned, "list_id"
     pairs = blocked_pairs(vectors, block_col, id_col, vec_col)
     scored = pairs.withColumn(
         "score", F.round(dot_product(F.col("vec_a"), F.col("vec_b")), SCORE_DP)

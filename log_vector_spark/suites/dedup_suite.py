@@ -165,7 +165,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_embedding",
+    "dedup_embedding_label",
     oracle="""
     WITH u AS (
       SELECT label, vec_id,
@@ -181,14 +181,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND round(list_dot_product(d.unit, e.unit), 6) >= 0.35
     )
     """,
-    doc="Semantic dedup survivors: no lower-id neighbor at cosine >= 0.35 in the label block.",
+    doc="Semantic dedup survivors blocked on an explicit label column — "
+    "SMALL-CORPUS OPT-IN (fixed block cardinality is quadratic in N; "
+    "measured 5.8x for 10x data, SCALE_r03.json).  The default "
+    "dedup_embedding operator is IVF-blocked; this form remains for "
+    "corpora whose block key cardinality genuinely scales with N.",
 )
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_near_dup_survivors(table(spark, "embeddings", sf_dir), threshold=0.35)
+def dedup_embedding_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_survivors(
+        table(spark, "embeddings", sf_dir), threshold=0.35, block_col="label"
+    )
 
 
 @register(
-    "dedup_embedding_ivf",
+    "dedup_embedding",
     oracle="""
     WITH centroids AS (
       -- sqrt(N) stride (same rule as search.sqrt_stride): N^1.5 total cost
@@ -219,15 +225,15 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND round(list_dot_product(d.unit, e.unit), 6) >= 0.35
     )
     """,
-    doc="Semantic dedup survivors with IVF-list blocking (label-free): the "
-    "block key is the nearest-centroid assignment, so candidates are "
-    "data-derived — the deployable 100 TB form of dedup_embedding.",
+    doc="Semantic dedup survivors — DEFAULT operator, IVF-list blocking "
+    "(label-free): the block key is the nearest-centroid assignment, so "
+    "candidates are data-derived and within-block pair volume stays "
+    "~N^1.5 — the deployable 100 TB form.  (r4: IVF became the "
+    "operator default; the label-blocked form is the explicit opt-in "
+    "dedup_embedding_label.)",
 )
-def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from log_vector_spark.operators.search import make_centroids
-
-    emb = table(spark, "embeddings", sf_dir)
-    return dedup.embedding_near_dup_ivf_survivors(emb, make_centroids(emb), threshold=0.35)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_survivors(table(spark, "embeddings", sf_dir), threshold=0.35)
 
 
 @register(
@@ -431,13 +437,21 @@ _PR_SCALE = 1_000_000_000_000  # fixed-point micro-micro units
 
 
 def _pr_iter_sql(k: int) -> str:
+    # Every aggregate and every division result is explicitly CAST to BIGINT:
+    # DuckDB's sum(BIGINT) returns HUGEINT (INT128), whose pandas conversion is
+    # version-dependent (int object vs float64) and breaks value-hash compares
+    # even when the numbers are identical.  Keeping the whole pipeline BIGINT
+    # makes the oracle DuckDB-version-proof (r3 driver gate red cell).
     prev = "r0" if k == 1 else f"i{k - 1}"
     return f"""
-    c{k} AS (SELECT ed.v, sum({prev}.r // ed.deg) AS contrib
+    c{k} AS (SELECT ed.v,
+                    CAST(sum(CAST({prev}.r // ed.deg AS BIGINT)) AS BIGINT) AS contrib
              FROM ed JOIN {prev} ON ed.u = {prev}.v GROUP BY 1),
     i{k} AS (SELECT d.doc_id AS v,
-                    (SELECT (15 * {_PR_SCALE}) // (100 * count(*)) FROM documents)
-                    + (85 * COALESCE(c{k}.contrib, 0)) // 100 AS r
+                    CAST((SELECT CAST((15 * {_PR_SCALE}) // (100 * count(*)) AS BIGINT)
+                          FROM documents)
+                    + CAST((85 * COALESCE(c{k}.contrib, CAST(0 AS BIGINT))) // 100
+                           AS BIGINT) AS BIGINT) AS r
              FROM documents d LEFT JOIN c{k} ON d.doc_id = c{k}.v)"""
 
 
@@ -450,12 +464,12 @@ def _pr_iter_sql(k: int) -> str:
     deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
     ed AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg ON e.u = deg.u),
     r0 AS (SELECT doc_id AS v,
-                  (SELECT {_PR_SCALE} // count(*) FROM documents) AS r
+                  (SELECT CAST({_PR_SCALE} // count(*) AS BIGINT) FROM documents) AS r
            FROM documents),
     {_pr_iter_sql(1)},
     {_pr_iter_sql(2)},
     {_pr_iter_sql(3)}
-    SELECT v AS doc_id, r AS rank_fp FROM i3
+    SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM i3
     """,
     doc="PageRank (damping 0.85, 3 unrolled iterations) over the symmetric "
     "MinHash-LSH near-dup graph, in FIXED-POINT integer arithmetic: float "

@@ -76,7 +76,7 @@ _UNIT = (
 
 
 @register(
-    "similarity_join",
+    "similarity_join_label",
     oracle=f"""
     WITH u AS (SELECT label, vec_id, {_UNIT} AS unit FROM embeddings)
     SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
@@ -85,11 +85,15 @@ _UNIT = (
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.25
     """,
-    doc="Blocked all-pairs similarity join (cosine >= 0.25 within label blocks); "
-    "normalize-once-then-dot, salted for parallelism.",
+    doc="All-pairs similarity join blocked on an explicit label column — "
+    "SMALL-CORPUS OPT-IN (fixed block cardinality is quadratic in N; "
+    "measured 6.5x for 10x data, SCALE_r03.json).  The default "
+    "similarity_join operator is IVF-blocked.",
 )
-def similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return search.similarity_join(table(spark, "embeddings", sf_dir), threshold=0.25)
+def similarity_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search.similarity_join(
+        table(spark, "embeddings", sf_dir), threshold=0.25, block_col="label"
+    )
 
 
 @register(
@@ -168,7 +172,7 @@ def knn_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "similarity_join_ivf",
+    "similarity_join",
     oracle=f"""
     WITH centroids AS (
       SELECT vec_id AS list_id, embedding AS centroid
@@ -197,19 +201,17 @@ def knn_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM u a JOIN u b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
     WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.25
     """,
-    doc="Similarity join with IVF-list blocking — the label-free scale twin "
-    "of similarity_join.  The label-blocked form's candidate volume grows "
-    "quadratically when label cardinality is fixed (measured 6.5x for 10x "
-    "data, SCALE_r03.json); IVF lists derive from the data with the "
-    "sqrt-stride rule, so within-list pair volume stays ~N^1.5 at any "
-    "scale.  Same salted pair generator, same exact in-block verify.",
+    doc="Similarity join — DEFAULT operator, IVF-list blocking (label-free): "
+    "the label-blocked form's candidate volume grows quadratically when "
+    "label cardinality is fixed (measured 6.5x for 10x data, "
+    "SCALE_r03.json); IVF lists derive from the data with the sqrt-stride "
+    "rule, so within-list pair volume stays ~N^1.5 at any scale.  Same "
+    "salted pair generator, same exact in-block verify.  (r4: IVF became "
+    "the operator default; label blocking is the explicit opt-in "
+    "similarity_join_label.)",
 )
-def similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, "embeddings", sf_dir)
-    assigned = search.ivf_assign(emb, search.make_centroids(emb)).select(
-        "vec_id", "embedding", "list_id"
-    )
-    return search.similarity_join(assigned, threshold=0.25, block_col="list_id")
+def similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search.similarity_join(table(spark, "embeddings", sf_dir), threshold=0.25)
 
 
 @register(

@@ -67,6 +67,27 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     if problems:
         return problems
     s, o = canonicalize(spark_df), canonicalize(oracle_df)
+    # dtype-kind parity: a column that is int64 on one side and float64/object
+    # on the other can compare cell-equal numerically (1 == 1.0) yet stringify
+    # differently ("1" vs "1.0"), which breaks the driver's value-hash.  This
+    # is how doc_pagerank went red in r3 (DuckDB HUGEINT -> version-dependent
+    # pandas dtype).  Treat kind divergence between numeric kinds as an error.
+    def _int_like(series) -> bool:
+        k = series.dtype.kind
+        if k in ("i", "u"):
+            return True
+        if k == "O":  # e.g. DuckDB HUGEINT -> object-of-python-int: stringifies as int
+            vals = [v for v in series if v is not None]
+            return bool(vals) and all(isinstance(v, int) for v in vals)
+        return False
+
+    for col in s.columns:
+        si, oi = _int_like(s[col]), _int_like(o[col])
+        if si != oi and "f" in (s[col].dtype.kind, o[col].dtype.kind):
+            problems.append(
+                f"dtype-kind hash hazard col={col}: spark kind={s[col].dtype.kind} "
+                f"oracle kind={o[col].dtype.kind} (int-vs-float stringification)"
+            )
     n_bad = 0
     first = None
     for col in s.columns:

@@ -45,10 +45,11 @@ DEFAULT_QUERIES = [
     "events_hourly",        # time-bucket agg: ~linear
     "dedup_ngram_jaccard",  # shingle equi-join: ~linear in pairs
     "dedup_minhash_pairs",  # LSH banding: ~linear
-    "similarity_join",      # label-blocked pairs: fixed #labels -> QUADRATIC per block
-    "dedup_embedding",      # label-blocked near-dup: same quadratic risk
-    "dedup_embedding_ivf",  # IVF blocks scale with data: should stay ~linear
-    "dedup_clusters",       # iterative CC over LSH pairs
+    "similarity_join",        # IVF-blocked default (r4): should stay ~N^1.5
+    "similarity_join_label",  # label-blocked opt-in: fixed #labels -> QUADRATIC per block
+    "dedup_embedding",        # IVF-blocked default (r4): should stay ~N^1.5
+    "dedup_embedding_label",  # label-blocked opt-in: same quadratic risk
+    "dedup_clusters",         # iterative CC over LSH pairs
 ]
 
 
