@@ -297,13 +297,16 @@ def source_quota_sample(
 ) -> DataFrame:
     """Deterministic per-domain quota sampling: at most ``quota`` documents
     per source, chosen by content-hash rank (md5 of the id) so the sample
-    is reproducible and append-stable — the document-domain twin of
+    is reproducible — the document-domain twin of
     vector_search.cluster_balanced_sample.
 
-    Scale: one window per domain key; domains with few docs cost nothing,
-    and the hash order means no re-shuffle is needed when the corpus grows
-    (previously sampled docs keep their rank prefix unless new docs hash
-    earlier)."""
+    NOT append-stable: a rank cut over hash order shifts when new documents
+    hash earlier than already-sampled ones, evicting them.  If append
+    stability matters, use a threshold-on-hash scheme (keep docs whose hash
+    < quota/|domain| quantile frozen at sample time) and accept quota drift
+    instead of sample churn.
+
+    Scale: one window per domain key; domains with few docs cost nothing."""
     w = Window.partitionBy(domain_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )

@@ -69,7 +69,13 @@ def bm25_scored(
     positive).  tf/df/doclen all derive from the same whitespace
     tokenization as functions/text.tokens, so lexical retrieval agrees with
     the corpus-stats operators on what a token is.
+
+    Raises ValueError on an empty term set: there is no BM25 score without
+    terms, and silently scoring everything 0.0 would corrupt downstream
+    fusion ranks.
     """
+    if not terms:
+        raise ValueError("bm25_scored needs at least one term")
     # Materialize the words array ONCE (BASELINE.md lesson 2: expressions
     # passed into HOF lambdas re-evaluate per element).
     d = docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w"))
@@ -156,9 +162,13 @@ def mmr_select(
     candidates: DataFrame,
     k: int = 4,
     lam: float = MMR_LAMBDA,
-    mu: float = MMR_MU,
+    mu: float | None = None,
 ) -> DataFrame:
     """MMR selection of k items per query from bounded candidate sets.
+
+    ``mu`` defaults to 1 - lam (the MMR convention), so overriding only
+    ``lam`` keeps the tradeoff a true convex combination; pass ``mu``
+    explicitly to deviate.
 
     ``candidates`` columns: query_id, vec_id, rel (rounded relevance),
     embedding (array<float>).  Step 1 picks argmax(lam*rel); step t picks
@@ -171,6 +181,10 @@ def mmr_select(
     candidates (bounded by the stage-1 k), never the corpus — the 100 TB
     cost lives entirely in the stage-1 retrieval that feeds this.
     """
+    if mu is None:
+        # keep the exact 0.3 literal at the default so oracle SQL replays
+        # bit-identically (1.0 - 0.7 is 0.30000000000000004 in float64)
+        mu = MMR_MU if lam == MMR_LAMBDA else 1.0 - lam
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)

@@ -432,6 +432,14 @@ def run_stream_quality_gate(
     everything downstream (dedup state, embed compute, index writes).
     Quarantined rows keep their rule flags so operators can audit WHY each
     document was held out.  Returns (n_admitted, n_quarantined).
+
+    Exactly-once, not at-least-once: the stream checkpoints under
+    ``out_path/_checkpoint`` (a re-invocation with the same out_path resumes
+    from the committed offset instead of re-ingesting the source), and each
+    epoch writes to its own ``epoch=<id>`` partition directory with
+    mode("overwrite") — a retried epoch REPLACES its own prior partial
+    output rather than appending a duplicate, so a crash between the
+    admitted and quarantine writes cannot double-count either sink.
     """
     import os
 
@@ -446,18 +454,30 @@ def run_stream_quality_gate(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         flagged = gopher_rules(batch_df)
-        flagged.filter(F.col("gopher_pass")).write.mode("append").parquet(
-            os.path.join(out_path, "admitted")
-        )
-        flagged.filter(~F.col("gopher_pass")).write.mode("append").parquet(
-            os.path.join(out_path, "quarantine")
-        )
+        for sub, cond in (
+            ("admitted", F.col("gopher_pass")),
+            ("quarantine", ~F.col("gopher_pass")),
+        ):
+            flagged.filter(cond).write.mode("overwrite").parquet(
+                os.path.join(out_path, sub, f"epoch={epoch_id}")
+            )
 
-    q = src.writeStream.foreachBatch(sink).start()
+    q = (
+        src.writeStream.option(
+            "checkpointLocation", os.path.join(out_path, "_checkpoint")
+        )
+        .foreachBatch(sink)
+        .start()
+    )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    n_ok = spark.read.parquet(os.path.join(out_path, "admitted")).count()
-    n_bad = spark.read.parquet(os.path.join(out_path, "quarantine")).count()
-    return n_ok, n_bad
+
+    def _count(sub: str) -> int:
+        p = os.path.join(out_path, sub)
+        if not os.path.isdir(p):  # zero epochs ever committed
+            return 0
+        return spark.read.parquet(p).count()
+
+    return _count("admitted"), _count("quarantine")

@@ -343,10 +343,46 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Canonical left-to-right BPE merge application, shared by bpe_merges /
+# bpe_fertility and mirrored in the DuckDB oracles below.  A greedy fold over
+# the symbol array: scan left to right; whenever the last emitted symbol is
+# the pair's first element and the incoming symbol its second, replace the
+# last emitted symbol with the merged token — exactly how a BPE tokenizer
+# applies a learned merge.  (The previous two-pass string-replace form
+# diverged on repeated-symbol runs >= 6: ' a a a a a a ' with pair 'a a'
+# became 'aa a aa a' instead of the canonical 'aa aa aa'.)  The merged token
+# pm = a||b is strictly longer than the pair's first element, so a freshly
+# merged token can never be re-consumed within the same pass.  pa/pb/pm are
+# precomputed columns (BASELINE.md lesson 2: expressions inside HOF lambdas
+# re-evaluate per element).
+_MERGE_APPLY = (
+    "concat(' ', array_join(aggregate("
+    "split(trim(seq), ' '), cast(array() as array<string>), "
+    "(acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = pa AND x = pb "
+    "THEN concat(slice(acc, 1, size(acc) - 1), array(pm)) "
+    "ELSE concat(acc, array(x)) END), ' '), ' ')"
+)
+
+
+def _merge_apply_sql(pair: str) -> str:
+    """DuckDB replay of _MERGE_APPLY: list_reduce over singleton lists (its
+    accumulator type must match the element type, so symbols are lifted to
+    one-element lists; the seed is the first symbol's list — identical to
+    the fold starting with acc = [s1])."""
+    return (
+        f"' ' || array_to_string(list_reduce("
+        f"list_transform(string_split(trim(seq), ' '), x -> [x]), "
+        f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = string_split({pair}, ' ')[1] "
+        f"AND x[1] = string_split({pair}, ' ')[2] "
+        f"THEN list_concat(acc[1:len(acc)-1], [replace({pair}, ' ', '')]) "
+        f"ELSE list_concat(acc, x) END), ' ') || ' '"
+    )
+
+
 def _bpe_oracle(rounds: int = 3) -> str:
     """Unrolled BPE merge-learning in DuckDB, mirroring bpe_merges round by
     round: same char splitting, same weighted pair counts, same
-    (freq desc, pair asc) argmax, same two-pass replace merge."""
+    (freq desc, pair asc) argmax, same canonical left-to-right merge fold."""
     ctes = [
         f"toks AS ({_TOKS_SQL})",
         "vocab AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok)",
@@ -366,9 +402,7 @@ def _bpe_oracle(rounds: int = 3) -> str:
         ctes.append(f"b{r} AS (SELECT pair, f FROM p{r} ORDER BY f DESC, pair ASC LIMIT 1)")
         if r < rounds:
             ctes.append(
-                f"s{r} AS (SELECT word, freq,"
-                f" replace(replace(seq, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),"
-                f"         ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq"
+                f"s{r} AS (SELECT word, freq, {_merge_apply_sql('b.pair')} AS seq"
                 f" FROM {prev} CROSS JOIN b{r} b)"
             )
     final = " UNION ALL ".join(
@@ -384,8 +418,8 @@ def _bpe_oracle(rounds: int = 3) -> str:
     "rounds over the corpus vocabulary.  Per round: adjacent-symbol pairs "
     "weighted by word frequency -> one hash aggregate -> 1-row argmax "
     "(freq desc, pair asc) -> the merge applied to every word's symbol "
-    "sequence via fixed-two-pass string replace (identical left-to-right "
-    "non-overlapping semantics in both engines, probed).  The vocabulary "
+    "sequence via a canonical left-to-right greedy fold (aggregate HOF; "
+    "replayed in DuckDB with list_reduce).  The vocabulary "
     "relation is |distinct words| — at 100 TB pair counting shuffles the "
     "VOCAB, never the corpus (the corpus is touched once for frequencies), "
     "and each round's argmax broadcasts 1 row.  Returns the learned merge "
@@ -428,11 +462,12 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = counted.orderBy(F.desc("f"), F.asc("pair")).limit(1)
         bests.append(best.select(F.lit(r).alias("round"), "pair", F.col("f").alias("freq")))
         if r < rounds:
-            merged = F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" "))
-            pattern = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
-            new_seq = F.replace(F.replace(F.col("seq"), pattern, merged), pattern, merged)
-            seqs = seqs.crossJoin(F.broadcast(best.select("pair"))).select(
-                "freq", new_seq.alias("seq")
+            seqs = (
+                seqs.crossJoin(F.broadcast(best.select("pair")))
+                .withColumn("pa", F.expr("element_at(split(pair, ' '), 1)"))
+                .withColumn("pb", F.expr("element_at(split(pair, ' '), 2)"))
+                .withColumn("pm", F.expr("replace(pair, ' ', '')"))
+                .select("freq", F.expr(_MERGE_APPLY).alias("seq"))
             )
     out = bests[0]
     for b in bests[1:]:
@@ -444,9 +479,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_fertility",
     oracle=f"""
     {_bpe_oracle(3).rsplit('SELECT 1 AS round', 1)[0]},
-    sfinal AS (SELECT word, freq,
-      replace(replace(s2.seq, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
-              ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq
+    sfinal AS (SELECT word, freq, {_merge_apply_sql('b.pair')} AS seq
       FROM s2 CROSS JOIN b3 b),
     pieces AS (SELECT word, freq, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_pieces
                FROM sfinal),
@@ -506,11 +539,12 @@ def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("f"), F.asc("pair"))
             .limit(1)
         )
-        merged = F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" "))
-        pattern = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
-        new_seq = F.replace(F.replace(F.col("seq"), pattern, merged), pattern, merged)
-        seqs = seqs.crossJoin(F.broadcast(best.select("pair"))).select(
-            "word", "freq", new_seq.alias("seq")
+        seqs = (
+            seqs.crossJoin(F.broadcast(best.select("pair")))
+            .withColumn("pa", F.expr("element_at(split(pair, ' '), 1)"))
+            .withColumn("pb", F.expr("element_at(split(pair, ' '), 2)"))
+            .withColumn("pm", F.expr("replace(pair, ' ', '')"))
+            .select("word", "freq", F.expr(_MERGE_APPLY).alias("seq"))
         )
     pieces = seqs.select(
         "word", F.size(F.split(F.trim(F.col("seq")), " ")).cast("bigint").alias("n_pieces")

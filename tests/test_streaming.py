@@ -264,3 +264,8 @@ def test_stream_quality_gate_splits_and_matches_batch(spark, tmp_path):
     # quarantined rows keep their per-rule flags for auditability
     q = spark.read.parquet(str(tmp_path / "gate" / "quarantine"))
     assert {"ok_word_count", "ok_mean_len", "ok_symbols", "ok_stopwords"} <= set(q.columns)
+    # exactly-once: re-invoking with the same out_path resumes from the
+    # checkpoint (source already consumed) and must NOT double-count —
+    # the r3 at-least-once append sink failed exactly this
+    n_ok2, n_bad2 = run_stream_quality_gate(spark, sf, str(tmp_path / "gate"))
+    assert (n_ok2, n_bad2) == (n_ok, n_bad)
