@@ -319,21 +319,24 @@ def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
 
 def frame_sample(media: DataFrame, stride: int = 64, max_frames: int = 8) -> DataFrame:
     """Deterministic stride 'frame' sampler over the byte stream (video
-    stand-in): one row per sampled frame with its byte offset + crc."""
+    stand-in): one row per sampled frame with its byte offset + an md5
+    checksum of the frame bytes.  md5 rather than crc32 (r4): both are
+    deterministic, but md5 exists in every SQL engine, so the frame table
+    is replayable by a declarative oracle instead of rows-only."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
             T.StructField("frame_index", T.IntegerType()),
             T.StructField("byte_offset", T.LongType()),
-            T.StructField("frame_crc", T.LongType()),
+            T.StructField("frame_md5", T.StringType()),
         ]
     )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib
+        import hashlib
 
         for pdf in batches:
-            rows = {"media_id": [], "frame_index": [], "byte_offset": [], "frame_crc": []}
+            rows = {"media_id": [], "frame_index": [], "byte_offset": [], "frame_md5": []}
             for mid, raw in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(raw)
                 for i in range(min(max_frames, max(1, len(b) // stride))):
@@ -341,7 +344,7 @@ def frame_sample(media: DataFrame, stride: int = 64, max_frames: int = 8) -> Dat
                     rows["media_id"].append(mid)
                     rows["frame_index"].append(i)
                     rows["byte_offset"].append(off)
-                    rows["frame_crc"].append(zlib.crc32(b[off : off + stride]))
+                    rows["frame_md5"].append(hashlib.md5(b[off : off + stride]).hexdigest())
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(sample, out_schema)

@@ -224,19 +224,65 @@ def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_approx_stats",
-    oracle=None,  # approximate results are engine-specific by nature
-    doc="Approximate distinct + quantile sketch surface (approx_count_distinct, "
-    "percentile_approx) — the constant-memory path for 100 TB cardinality "
-    "estimation; rows-only by design.",
+    # The sketches themselves are engine-specific (Spark HLL++ / KLL vs
+    # anything DuckDB runs), so raw estimates can never hash-match.  Instead
+    # (r4) the query emits the EXACT counterparts (oracle-paired bit-exact)
+    # plus per-sketch audit booleans computed inside Spark — approx distinct
+    # within 5% relative error, approx median within +-1% rank error — and
+    # the oracle asserts those booleans are TRUE.  A sketch regression flips
+    # a boolean and the gate goes red, which is strictly stronger than the
+    # old rows-only check.
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS approx_users_ok,
+           TRUE AS approx_p50_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="Approximate distinct + quantile sketch surface (approx_count_distinct "
+    "HLL++, percentile_approx KLL-style) — the constant-memory path for "
+    "100 TB cardinality estimation.  Exact counterparts are oracle-paired; "
+    "each sketch is audited by a tolerance boolean the oracle pins TRUE "
+    "(5% relative error on distincts, 1% rank error on the median).",
 )
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, "events", sf_dir)
+    ev = table(spark, "events", sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.approx_count_distinct("user_id").alias("_approx_users"),
+        F.percentile_approx("value", 0.5).alias("_approx_p50"),
+    )
+    # rank audit for the approx median: fraction of values strictly below it
+    # must sit at/below 0.5 + eps and fraction at-or-below at/above 0.5 - eps
+    # (the defining property of a median, loosened by the sketch's rank
+    # error).  One broadcast join of the 10-row agg back onto events — the
+    # audit costs a second linear scan, never a sort.
+    ranked = (
+        ev.join(F.broadcast(agg), "event_type")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            F.percentile_approx("value", 0.5).alias("approx_p50"),
+            F.first("n_events").alias("n_events"),
+            F.first("n_users").alias("n_users"),
+            F.first("_approx_users").alias("_approx_users"),
+            F.sum((F.col("value") < F.col("_approx_p50")).cast("long")).alias("_lt"),
+            F.sum((F.col("value") <= F.col("_approx_p50")).cast("long")).alias("_le"),
         )
+    )
+    eps = 0.01
+    return ranked.select(
+        "event_type",
+        "n_events",
+        "n_users",
+        (
+            F.abs(F.col("_approx_users") - F.col("n_users"))
+            <= F.lit(0.05) * F.col("n_users")
+        ).alias("approx_users_ok"),
+        (
+            (F.col("_lt") <= (0.5 + eps) * F.col("n_events"))
+            & (F.col("_le") >= (0.5 - eps) * F.col("n_events"))
+        ).alias("approx_p50_ok"),
     )
 
 

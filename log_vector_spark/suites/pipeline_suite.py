@@ -241,9 +241,22 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frames",
-    oracle=None,  # mapInPandas frame sampler
+    # ASCII corpus: content = utf8(text), so byte frames are character
+    # frames and DuckDB can md5 the same 64-byte windows (r4: was crc32,
+    # rows-only — md5 made it oracle-replayable)
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(i AS INTEGER) AS frame_index,
+           CAST(i * 64 AS BIGINT) AS byte_offset,
+           md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, CAST(least(8, greatest(1, length(text) // 64))
+                                      AS BIGINT))) AS i
+          FROM documents)
+    """,
     doc="Deterministic stride frame sampling over binary payloads (video "
-    "stand-in) via mapInPandas.",
+    "stand-in) via mapInPandas; per-frame md5 checksums oracle-paired over "
+    "the ASCII corpus.",
 )
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.operators.multimodal import attach_binary, frame_sample
