@@ -96,8 +96,14 @@ def sniff_and_decode(contents: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
 
 @F.pandas_udf(T.StringType())
 def extract_pdf_text(contents: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """S4: per-page pypdf extraction, pages joined by blank lines.
-    Import-gated; per-file failures -> NULL (reference index.py:281-295)."""
+    """S4: per-page PDF text extraction, pages joined by blank lines, blank
+    pages skipped; per-file failures -> NULL (reference index.py:281-295).
+
+    pypdf when importable (full fidelity with the reference); otherwise the
+    stdlib-only parser in sources/pdf.py (real extraction for well-formed
+    plain/FlateDecode PDFs — same join/skip/NULL semantics)."""
+    from log_vector_spark.sources.pdf import extract_text_minimal
+
     try:
         import io
 
@@ -107,8 +113,11 @@ def extract_pdf_text(contents: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for batch in contents:
         out = []
         for raw in batch:
-            if raw is None or pypdf is None:
+            if raw is None:
                 out.append(None)
+                continue
+            if pypdf is None:
+                out.append(extract_text_minimal(bytes(raw)))
                 continue
             try:
                 reader = pypdf.PdfReader(io.BytesIO(bytes(raw)))
