@@ -128,6 +128,8 @@ HEADLINE = [
     "ivf_build_metrics",          # index-health: list sizes + imbalance factor
     "dedup_containment",          # asymmetric subset-dup detection
     "source_quality_report",      # per-source curation dashboard panel
+    # round-4 additions
+    "knn_graph",                  # graph-ANN beam search over the k-NN graph
 ]
 
 

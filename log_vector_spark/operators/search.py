@@ -373,3 +373,120 @@ def knn_ivf_batch(
         .filter(F.col("rank") <= k)
         .select(query_id, vec_id, "score", "rank")
     )
+
+
+def knn_graph_edges(
+    vectors: DataFrame,
+    centroids: DataFrame | None = None,
+    deg: int = 8,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed k-NN graph build: (src, dst, escore), each node keeping
+    its `deg` best out-neighbors.
+
+    The navigable-graph answer to the reference's HNSW index
+    (reference/index.py:434, {"hnsw:space": "cosine"}), built the way a
+    cluster can: candidate edges come from the IVF-blocked pair join
+    (~N^1.5 candidates, never all-pairs), symmetrized, then pruned to the
+    top-`deg` per source by one row_number window over the candidate edge
+    list.  At 100 TB the edge list is a write-time artifact (one build
+    shuffle, reused by every query), exactly like an HNSW index file —
+    Spark's version of "build once, route forever".
+
+    Determinism contract: scores rounded at SCORE_DP, ties broken by dst
+    id, so the same corpus always yields the same graph on any partitioning.
+    """
+    if centroids is None:
+        centroids = make_centroids(vectors, vec_id=vec_id, vec_col=vec_col)
+    assigned = ivf_assign(vectors, centroids, vec_id, vec_col).select(
+        vec_id, vec_col, "list_id"
+    )
+    pairs = blocked_pairs(assigned, "list_id", vec_id, vec_col)
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(dot_product(F.col("vec_a"), F.col("vec_b")), SCORE_DP).alias("escore"),
+    )
+    sym = scored.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "escore"
+    ).unionAll(
+        scored.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "escore")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("escore"), F.asc("dst"))
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= deg)
+        .select("src", "dst", "escore")
+    )
+
+
+def knn_graph_beam(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    beam: int = 8,
+    rounds: int = 3,
+    deg: int = 8,
+    centroids: DataFrame | None = None,
+    edges: DataFrame | None = None,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy beam search over the k-NN graph: the query path of a
+    graph-ANN (HNSW-class) index, expressed as `rounds` unrollable
+    join+top-beam steps — no driver loop over results, no UDFs.
+
+    Seeds are the stride-sampled centroid NODES (make_centroids keeps the
+    source vec_id as list_id, so every centroid is a real graph vertex)
+    scored against the query — the flat-graph stand-in for HNSW's upper
+    layers, whose job is also just "start the search near the query".
+    Each round expands the current beam along its out-edges, scores the
+    frontier against the query, and keeps the best `beam` ids seen so far
+    (distinct-then-top, ties to the lower id).  Per-query cost is
+    O(rounds * beam * deg) score evaluations — independent of corpus size,
+    which is the entire point of a navigable graph.
+
+    The returned plan is deterministic and replayable as an unrolled SQL
+    CTE (see the knn_graph query's oracle), because every cut uses the
+    (score desc, id asc) total order on rounded scores.
+    """
+    if centroids is None:
+        centroids = make_centroids(vectors, vec_id=vec_id, vec_col=vec_col)
+    if edges is None:
+        edges = knn_graph_edges(vectors, centroids, deg, vec_id, vec_col)
+    q = literal_vector(query_vec)
+    scored_nodes = vectors.select(
+        F.col(vec_id).alias("nid"),
+        F.round(cosine_similarity(F.col(vec_col), q), SCORE_DP).alias("score"),
+    )
+    beam_df = (
+        centroids.select(F.col("list_id").alias("nid"))
+        .join(scored_nodes, "nid")
+        .orderBy(F.desc("score"), F.asc("nid"))
+        .limit(beam)
+    )
+    # each round re-reads the beam twice (expand + union); localCheckpoint
+    # keeps the lineage flat so round r doesn't replay rounds 1..r-1
+    # (the dedup_clusters iterative-plan idiom)
+    beam_df = beam_df.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        frontier = (
+            beam_df.select(F.col("nid").alias("src"))
+            .join(edges, "src")
+            .select(F.col("dst").alias("nid"))
+            .distinct()
+            .join(scored_nodes, "nid")
+        )
+        beam_df = (
+            beam_df.unionAll(frontier)
+            .distinct()  # (nid, score) pairs: score is functional on nid
+            .orderBy(F.desc("score"), F.asc("nid"))
+            .limit(beam)
+            .localCheckpoint(eager=False)
+        )
+    return (
+        beam_df.orderBy(F.desc("score"), F.asc("nid"))
+        .limit(k)
+        .select(F.col("nid").alias(vec_id), "score")
+    )

@@ -71,3 +71,68 @@ def test_multiprobe_identical_to_bitcount_form(spark):
     a = [(r["vec_id"], r["score"]) for r in m.queries()["knn_lsh"](spark, sf).collect()]
     b = [(r["vec_id"], r["score"]) for r in m.queries()["knn_lsh_multiprobe"](spark, sf).collect()]
     assert a == b
+
+
+@pytest.mark.spark
+def test_graph_beam_quality_improves_with_rounds(spark, emb):
+    """Graph-ANN structural guardrails (knn_graph_beam):
+
+    * the beam's total score is non-decreasing in rounds — each round keeps
+      the top-beam of (old beam ∪ frontier), so quality can only improve;
+    * mean recall@10 at the operating point (beam=16, 3 rounds) clears a
+      floor far above random.  Measured 0.53 on sf0.01's UNCLUSTERED random
+      embeddings (the hardest case for a navigable graph: weak neighbor
+      transitivity); the assert uses 0.30 so a regression to near-random
+      (~0.02) fails loudly without pinning a tuned number.
+    """
+    from log_vector_spark.functions.vector import fixed_query_vector
+    from log_vector_spark.operators.search import (
+        knn_graph_beam,
+        knn_graph_edges,
+        knn_topk,
+        make_centroids,
+    )
+
+    cents = make_centroids(emb)
+    edges = knn_graph_edges(emb, cents).cache()
+    edges.count()
+    try:
+        recalls = []
+        for seed in SEEDS:
+            q = fixed_query_vector(dim=64, seed=seed)
+            exact = _ids(knn_topk(emb, q, k=K))
+            prev_total = None
+            for rounds in (1, 2, 3):
+                beam = knn_graph_beam(
+                    emb, q, k=16, beam=16, rounds=rounds, centroids=cents, edges=edges
+                ).collect()
+                total = sum(r.score for r in beam)
+                if prev_total is not None:
+                    assert total >= prev_total - 1e-9, (
+                        f"beam quality fell with more rounds (seed {seed})"
+                    )
+                prev_total = total
+                if rounds == 3:
+                    recalls.append(len(exact & {r.vec_id for r in beam[:K]}) / K)
+        mean = sum(recalls) / len(recalls)
+        assert mean >= 0.30, f"graph-ANN mean recall@10 collapsed: {recalls}"
+    finally:
+        edges.unpersist()
+
+
+@pytest.mark.spark
+def test_graph_edges_degree_bounded_and_deterministic(spark, emb):
+    """Every node has at most `deg` out-edges, edges are distinct, and two
+    independent builds produce the identical edge set (the determinism
+    contract that makes the graph a reusable write-time artifact)."""
+    from pyspark.sql import functions as F
+
+    from log_vector_spark.operators.search import knn_graph_edges, make_centroids
+
+    cents = make_centroids(emb)
+    e1 = knn_graph_edges(emb, cents, deg=8)
+    degs = e1.groupBy("src").count()
+    assert degs.filter(F.col("count") > 8).count() == 0
+    assert e1.count() == e1.distinct().count()
+    e2 = knn_graph_edges(emb, cents, deg=8)
+    assert e1.exceptAll(e2).count() == 0 and e2.exceptAll(e1).count() == 0
