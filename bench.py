@@ -130,6 +130,7 @@ HEADLINE = [
     "source_quality_report",      # per-source curation dashboard panel
     # round-4 additions
     "knn_graph",                  # graph-ANN beam search over the k-NN graph
+    "knn_pq",                     # product-quantization ADC retrieval
 ]
 
 

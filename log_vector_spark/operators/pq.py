@@ -1,0 +1,151 @@
+"""Product quantization (PQ) for approximate nearest-neighbor search.
+
+The third ANN index family next to IVF (search.ivf_assign) and the k-NN
+graph (search.knn_graph_edges): split each d-dim vector into `m` subvectors,
+quantize every subvector to one of `k` codes per subspace, and answer
+queries by Asymmetric Distance Computation (ADC) — precompute the query's
+dot product with every code center (an m x k lookup table) and score a
+vector as the SUM of m table lookups.
+
+Why this matters at 100 TB: the encoded corpus is m bytes per vector
+(m=8, k=16 -> 8 codes of 4 bits) instead of d*4 floats — a 32x memory
+reduction that is the difference between an in-memory index and none —
+and query-time scoring does ZERO float multiplies per vector: the only
+data-scaled work is a broadcast-join on (subspace, code) against a
+128-row lookup table plus one sum aggregation.  Encoding is write-time
+work (like ivf_assign and the graph edge list), amortized over every
+query.
+
+Determinism contract (oracle-replayable):
+* codebook = the `k` lowest-id stride-sampled vectors' subvectors, so the
+  same corpus always yields the same codebook (a real deployment would run
+  k-means per subspace; the stride pick keeps the identical plan shape —
+  same tradeoff as search.make_centroids);
+* code assignment = argmin squared-L2 rounded at SCORE_DP, ties to the
+  lower code id (the ivf_assign min(struct) idiom: hash-agg, shuffle is
+  one row per (vector, subspace), never the k-scored candidates);
+* ADC partial scores rounded at SCORE_DP and summed as DECIMAL(18,6) —
+  float sums are partitioning-order-dependent, decimal sums are
+  associative, so the identical score lands bit-exact at any parallelism
+  (the doc_pagerank fixed-point rule applied to doubles).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from log_vector_spark.functions.vector import dot_product, literal_vector
+from log_vector_spark.operators.search import SCORE_DP, sqrt_stride
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # codes per subspace (4-bit codes)
+
+
+def _sq_l2(a, b):
+    # squared L2 via zip_with + aggregate fold (same HOF discipline as
+    # functions.vector: JVM-side, codegen'd, no UDF)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebook(
+    vectors: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(subspace, code_id, center): k deterministic code centers per
+    subspace, taken from the k lowest-id stride-sampled vectors."""
+    every = sqrt_stride(vectors.count())
+    sub = dim // m
+    seeds = (
+        vectors.filter(F.col(vec_id) % every == 0)
+        .orderBy(F.asc(vec_id))
+        .limit(k)
+        .select(
+            F.col(vec_id),
+            F.row_number().over(Window.orderBy(F.asc(vec_id))).cast("int").alias("code_id"),
+            F.col(vec_col),
+        )
+    )
+    subspaces = F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("subspace")
+    return seeds.select("code_id", F.col(vec_col), subspaces).select(
+        F.col("subspace").cast("int").alias("subspace"),
+        "code_id",
+        F.slice(F.col(vec_col), F.col("subspace") * sub + 1, sub).alias("center"),
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    m: int = PQ_M,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, subspace, code_id): write-time encoding.  One broadcast of
+    the m*k codebook; the shuffle carries one row per (vector, subspace)
+    thanks to the min(struct) hash-agg argmin (never the k candidates)."""
+    sub = dim // m
+    parts = vectors.select(
+        F.col(vec_id),
+        F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("subspace"),
+        F.col(vec_col),
+    ).select(
+        vec_id,
+        "subspace",
+        F.slice(F.col(vec_col), F.col("subspace") * sub + 1, sub).alias("subvec"),
+    )
+    scored = parts.join(F.broadcast(codebook), "subspace").withColumn(
+        "dist", F.round(_sq_l2(F.col("subvec"), F.col("center")), SCORE_DP)
+    )
+    best = scored.groupBy(vec_id, "subspace").agg(
+        F.min(F.struct(F.col("dist"), F.col("code_id"))).alias("_b")
+    )
+    return best.select(vec_id, "subspace", F.col("_b.code_id").alias("code_id"))
+
+
+def knn_pq(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ADC top-k: (vec_id, score) by approximate dot product.
+
+    The query's dot with every code center is an m x n_codes lookup table
+    (128 rows) built once and broadcast; scoring the whole corpus is a
+    broadcast join + decimal sum aggregation — zero per-vector float
+    multiplies, the PQ promise."""
+    sub = dim // m
+    codebook = pq_codebook(vectors, m, n_codes, vec_id, vec_col, dim)
+    codes = pq_encode(vectors, codebook, m, vec_id, vec_col, dim)
+    q = literal_vector([float(x) for x in query_vec])
+    lut = codebook.select(
+        "subspace",
+        "code_id",
+        F.round(
+            dot_product(F.col("center"), F.slice(q, F.col("subspace") * sub + 1, sub)),
+            SCORE_DP,
+        )
+        .cast("decimal(18,6)")
+        .alias("partial"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code_id"])
+        .groupBy(vec_id)
+        .agg(F.sum("partial").cast("double").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(vec_id)).limit(k)

@@ -120,11 +120,15 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket,
            (1::BIGINT << bucket) AS bucket_lo,
            n_docs, bucket_tokens,
-           sum(n_docs) OVER (ORDER BY bucket
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs,
-           round(sum(n_docs) OVER (ORDER BY bucket
+           -- CAST the window sums: DuckDB sum(BIGINT) yields HUGEINT, whose
+           -- pandas dtype is version-dependent (the doc_pagerank hash hazard)
+           CAST(sum(n_docs) OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_docs,
+           round(CAST(sum(n_docs) OVER (ORDER BY bucket
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 / sum(n_docs) OVER (), 6) AS cum_doc_share
+                      AS BIGINT)
+                 / CAST(sum(n_docs) OVER () AS BIGINT), 6) AS cum_doc_share
     FROM per
     """,
     doc="Log2-bucketed doc-length histogram with cumulative share; bucket via "

@@ -911,3 +911,69 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounds=_GRAPH_ROUNDS,
         deg=_GRAPH_DEG,
     )
+
+
+# squared-L2 between two DuckDB lists with Spark's exact fold order:
+# zip -> (x-y)^2 -> left fold (list_reduce seeds with the first element,
+# which is bit-identical to Spark's 0.0-seeded aggregate fold)
+_SQL2 = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "s -> (s[1] - s[2]) * (s[1] - s[2])), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "knn_pq",
+    oracle=f"""
+    WITH st AS (
+      SELECT greatest(16, CAST(floor(sqrt(count(*)) / 4 + 0.5) AS BIGINT)) AS s
+      FROM embeddings
+    ), seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS code_id,
+             embedding::DOUBLE[] AS embedding
+      FROM embeddings, st WHERE vec_id % st.s = 0 ORDER BY vec_id LIMIT 16
+    ), sub AS (
+      SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS subspace
+    ), cb AS (
+      SELECT sub.subspace, s.code_id,
+             s.embedding[sub.subspace * 8 + 1 : sub.subspace * 8 + 8] AS center
+      FROM seeds s CROSS JOIN sub
+    ), parts AS (
+      SELECT e.vec_id, sub.subspace,
+             (e.embedding::DOUBLE[])[sub.subspace * 8 + 1 : sub.subspace * 8 + 8] AS subvec
+      FROM embeddings e CROSS JOIN sub
+    ), enc AS (
+      SELECT vec_id, subspace, code_id FROM (
+        SELECT p.vec_id, p.subspace, c.code_id,
+               row_number() OVER (
+                 PARTITION BY p.vec_id, p.subspace
+                 ORDER BY round({_SQL2.format(a='p.subvec', b='c.center')}, 6) ASC,
+                          c.code_id ASC
+               ) AS rn
+        FROM parts p JOIN cb c ON p.subspace = c.subspace
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT subspace, code_id,
+             CAST(round(list_dot_product(center,
+               (({_Q})::DOUBLE[])[subspace * 8 + 1 : subspace * 8 + 8]), 6)
+               AS DECIMAL(18,6)) AS partial
+      FROM cb
+    )
+    SELECT vec_id, CAST(sum(partial) AS DOUBLE) AS score
+    FROM enc JOIN lut USING (subspace, code_id)
+    GROUP BY vec_id
+    ORDER BY score DESC, vec_id ASC LIMIT 5
+    """,
+    doc="Product-quantization ANN (ADC): 8 subspaces x 16 deterministic code "
+    "centers; vectors encoded write-time to 8 codes (32x memory reduction "
+    "vs float32 — the difference between an in-memory index and none at "
+    "100 TB); the query's dot with every center is a 128-row broadcast "
+    "lookup table, so scoring the corpus is a broadcast join + decimal sum "
+    "— ZERO per-vector float multiplies at query time.  Decimal partials "
+    "make the score sum associative (bit-exact at any parallelism).  "
+    "operators/pq.py.",
+)
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.pq import knn_pq as _knn_pq
+
+    return _knn_pq(table(spark, "embeddings", sf_dir), QVEC, k=5)
