@@ -131,6 +131,7 @@ HEADLINE = [
     # round-4 additions
     "knn_graph",                  # graph-ANN beam search over the k-NN graph
     "knn_pq",                     # product-quantization ADC retrieval
+    "repetition_stats",           # Gopher repetition filters (dup-ngram coverage)
 ]
 
 

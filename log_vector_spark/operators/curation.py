@@ -368,3 +368,98 @@ def source_novelty(
             F.coalesce("n_first_grams", F.lit(0)).cast("double") / F.col("n_grams"), 6
         ).alias("novelty_ratio"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 appendix A1, public
+    paper): the within-document repetition signals that catch boilerplate,
+    keyword stuffing, and template spam — the failure mode the word-count /
+    symbol-ratio rules in gopher_rules cannot see.
+
+      dup_word_frac    : 1 - distinct_words / words
+      top_word_share   : occurrences of the most frequent word / words
+      top_bigram_share : occurrences of the most frequent word-bigram,
+                         times 2, / words (token share of the top 2-gram)
+      dup_trigram_frac : fraction of token POSITIONS covered by some
+                         trigram that occurs >= 2 times in the document —
+                         exact coverage (overlaps counted once), not an
+                         occurrence ratio
+      rep_pass         : all four under their thresholds
+
+    Plan shape: one posexplode (corpus-token-linear) feeding three hash
+    aggregates keyed by (doc, gram) with map-side combine, plus one
+    sequence-expand for coverage — two linear shuffles, no windows over
+    data-scaled relations, no UDFs.  At 100 TB this composes with the
+    other scan-stage gates before anything expensive runs.
+    """
+    w = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), w.alias("w")).select(
+        id_col, "w", F.size("w").cast("bigint").alias("n_words")
+    )
+
+    wp = base.select(id_col, "n_words", F.posexplode("w").alias("pos", "tok"))
+    tok_stats = (
+        wp.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first("n_words").alias("n_words"))
+        .groupBy(id_col)
+        .agg(
+            F.max("cnt").alias("top_word_cnt"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.first("n_words").alias("n_words"),
+        )
+    )
+
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(w) - 1, 0)),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    bg_stats = (
+        base.select(id_col, F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("top_bigram_cnt"))
+    )
+
+    trigrams = F.expr(
+        "transform(sequence(1, greatest(size(w) - 2, 0)),"
+        " i -> struct(i - 1 AS pos, concat(element_at(w, i), ' ',"
+        " element_at(w, i + 1), ' ', element_at(w, i + 2)) AS g))"
+    )
+    tg = base.select(id_col, F.explode(trigrams).alias("t")).select(
+        id_col, F.col("t.pos").alias("pos"), F.col("t.g").alias("g")
+    )
+    tg_counts = tg.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("cnt"))
+    covered = (
+        tg.join(tg_counts, [id_col, "g"])
+        .filter(F.col("cnt") >= 2)
+        .select(id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + 2)).alias("ci"))
+        .groupBy(id_col)
+        .agg(F.countDistinct("ci").alias("covered"))
+    )
+
+    j = (
+        tok_stats.join(bg_stats, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6).alias("dup_word_frac"),
+            F.round(F.col("top_word_cnt") / F.col("n_words"), 6).alias("top_word_share"),
+            F.round(
+                F.coalesce(F.col("top_bigram_cnt"), F.lit(0)) * 2 / F.col("n_words"), 6
+            ).alias("top_bigram_share"),
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0)) / F.col("n_words"), 6
+            ).alias("dup_trigram_frac"),
+        )
+    )
+    rep_pass = (
+        (F.col("dup_word_frac") <= 0.95)
+        & (F.col("top_word_share") <= 0.2)
+        & (F.col("top_bigram_share") <= 0.2)
+        & (F.col("dup_trigram_frac") <= 0.5)
+    )
+    return j.withColumn("rep_pass", rep_pass)

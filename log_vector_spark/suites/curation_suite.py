@@ -326,3 +326,63 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("dup_id").isNotNull().cast("int")).cast("double") / F.count(F.lit(1)), 6
         ).alias("exact_dup_rate"),
     )
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+    WITH b2 AS (SELECT doc_id, {_WORDS} AS w,
+                       CAST(len({_WORDS}) AS BIGINT) AS n_words
+                FROM documents),
+    wp AS (SELECT doc_id, n_words, unnest(w) AS tok FROM b2),
+    per_tok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(max(n_words) AS BIGINT) AS n_words
+                FROM wp GROUP BY doc_id, tok),
+    ts AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_word_cnt,
+                  CAST(count(*) AS BIGINT) AS n_distinct,
+                  CAST(max(n_words) AS BIGINT) AS n_words
+           FROM per_tok GROUP BY doc_id),
+    bg AS (SELECT doc_id, unnest(list_transform(range(1, CAST(len(w) AS BIGINT)),
+                    i -> w[i] || ' ' || w[i + 1])) AS g
+           FROM b2),
+    bgs AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_cnt FROM
+              (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY doc_id, g)
+            GROUP BY doc_id),
+    tg AS (SELECT doc_id, t['pos'] AS pos, t['g'] AS g FROM
+             (SELECT doc_id,
+                     unnest(list_transform(range(1, CAST(len(w) AS BIGINT) - 1),
+                       i -> {{'pos': i - 1,
+                             'g': w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]}})) AS t
+              FROM b2)),
+    tgc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+            FROM tg GROUP BY doc_id, g),
+    cov AS (SELECT doc_id, CAST(count(DISTINCT ci) AS BIGINT) AS covered FROM
+              (SELECT tg.doc_id, unnest(range(tg.pos, tg.pos + 3)) AS ci
+               FROM tg JOIN tgc ON tg.doc_id = tgc.doc_id AND tg.g = tgc.g
+               WHERE tgc.cnt >= 2)
+            GROUP BY doc_id),
+    j AS (
+      SELECT ts.doc_id, ts.n_words,
+             round(1.0 - ts.n_distinct / ts.n_words, 6) AS dup_word_frac,
+             round(ts.top_word_cnt / ts.n_words, 6) AS top_word_share,
+             round(COALESCE(bgs.top_bigram_cnt, 0) * 2 / ts.n_words, 6)
+               AS top_bigram_share,
+             round(COALESCE(cov.covered, 0) / ts.n_words, 6) AS dup_trigram_frac
+      FROM ts LEFT JOIN bgs ON ts.doc_id = bgs.doc_id
+              LEFT JOIN cov ON ts.doc_id = cov.doc_id
+    )
+    SELECT *,
+           (dup_word_frac <= 0.95 AND top_word_share <= 0.2
+            AND top_bigram_share <= 0.2 AND dup_trigram_frac <= 0.5) AS rep_pass
+    FROM j
+    """,
+    doc="Gopher repetition filters (Rae et al. 2021 A1): duplicate-word "
+    "fraction, top word / top 2-gram token share, and EXACT duplicate-"
+    "trigram position coverage (overlaps counted once) — the within-doc "
+    "repetition signals that catch boilerplate and keyword stuffing, "
+    "completing the gopher_rules gate family.  One posexplode feeding "
+    "hash aggs with map-side combine; corpus-token-linear, no windows.  "
+    "operators/curation.py:repetition_stats.",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.repetition_stats(table(spark, "documents", sf_dir))

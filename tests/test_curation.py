@@ -98,3 +98,38 @@ def test_domain_mixture_caps_rate_and_conserves(spark):
     # Over-represented domain is sampled down toward the uniform share.
     assert out["big"]["sample_rate"] == pytest.approx(100 / (2 * 90), abs=1e-6)
     assert out["big"]["planned_tokens"] <= out["big"]["domain_tokens"]
+
+
+@pytest.mark.spark
+def test_repetition_stats_closed_form(spark):
+    """Hand-computable repetition fixtures:
+    * 'a a a a' — one distinct word of 4: dup_word_frac 0.75, top share 1.0,
+      bigram 'a a' x3 -> share 1.5 (capped by nothing; ratio of tokens in
+      top-bigram occurrences can exceed 1 on degenerate runs), trigram
+      'a a a' x2 covers all 4 positions -> 1.0; fails the gate.
+    * 'w0 w1 ... w7' — all distinct: zero repetition everywhere; passes.
+    * 'x y z x y z q' — trigram 'x y z' twice covers positions 0-2,3-5:
+      6/7 coverage; top word/bigram share 2/7, 4/7.
+    """
+    from log_vector_spark.operators.curation import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),
+            (2, " ".join(f"w{i}" for i in range(8))),
+            (3, "x y z x y z q"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert (r1.dup_word_frac, r1.top_word_share) == (0.75, 1.0)
+    assert r1.top_bigram_share == round(3 * 2 / 4, 6)
+    assert r1.dup_trigram_frac == 1.0 and not r1.rep_pass
+    r2 = rows[2]
+    assert (r2.dup_word_frac, r2.top_word_share) == (0.0, 0.125)
+    assert r2.top_bigram_share == 0.25 and r2.dup_trigram_frac == 0.0
+    r3 = rows[3]
+    assert r3.top_word_share == round(2 / 7, 6)
+    assert r3.top_bigram_share == round(4 / 7, 6)
+    assert r3.dup_trigram_frac == round(6 / 7, 6)
