@@ -81,13 +81,123 @@ def encode_bmp(px: "np.ndarray") -> bytes:
     return file_header + info_header + data
 
 
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(px: "np.ndarray") -> bytes:
+    """REAL PNG encoder (stdlib zlib): 8-bit RGB, non-interlaced, filter 0
+    per scanline, correct chunk CRCs.  The compressed-codec counterpart of
+    encode_bmp — PNG's container is chunks + zlib, both stdlib."""
+    import struct
+    import zlib
+
+    h, w, _ = px.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].astype(np.uint8).tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> bytes:
+    """Reverse the per-scanline PNG filters (spec 9, all five types)."""
+    stride = w * bpp
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(h):
+        f = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 255
+        elif f == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 255
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b_ = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pp = a + b_ - c
+                pa, pb, pc = abs(pp - a), abs(pp - b_), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                row[i] = (row[i] + pred) & 255
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def decode_png(b: bytes) -> "np.ndarray":
+    """REAL PNG decoder (stdlib zlib + struct): 8-bit RGB or RGBA (alpha
+    dropped), non-interlaced, all five scanline filters.  Raises
+    NotImplementedError for interlaced/paletted/16-bit files (those fall
+    back to the PIL gate in decode_image)."""
+    import struct
+    import zlib
+
+    if b[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    h = depth = ctype = interlace = 0
+    idat = b""
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant not supported by the stdlib decoder "
+            f"(depth={depth}, color={ctype}, interlace={interlace})"
+        )
+    bpp = 3 if ctype == 2 else 4
+    px = np.frombuffer(_png_unfilter(zlib.decompress(idat), h, w, bpp), np.uint8)
+    px = px.reshape(h, w, bpp)
+    return np.ascontiguousarray(px[:, :, :3])
+
+
 def decode_image(content: bytes) -> "np.ndarray":
-    """REAL decode for 24-bit uncompressed BMP (pure numpy: header parse,
-    bottom-up un-flip, BGR->RGB, row-padding strip).  Compressed formats
-    are import-gated on PIL."""
+    """REAL decode for 24-bit uncompressed BMP (pure numpy) and for 8-bit
+    RGB/RGBA non-interlaced PNG (stdlib zlib inflate + all five scanline
+    filters, r4).  Remaining compressed formats (JPEG, exotic PNG
+    variants) are import-gated on PIL."""
     import struct
 
     b = bytes(content)
+    if b[:8] == PNG_SIG:
+        try:
+            return decode_png(b)
+        except NotImplementedError:
+            pass  # exotic PNG variant -> PIL gate below
     if b[:2] == b"BM" and len(b) >= 54:
         offset = struct.unpack("<I", b[10:14])[0]
         _, w, h, _, bpp, comp = struct.unpack("<IiiHHI", b[14:34])
@@ -102,8 +212,9 @@ def decode_image(content: bytes) -> "np.ndarray":
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "image codec for non-BMP content not available in this container "
-            "(install PIL for PNG/JPEG)"
+            "image codec for this content not available in this container "
+            "(BMP and simple PNG decode natively; install PIL for JPEG / "
+            "exotic PNG variants)"
         ) from e
     raise NotImplementedError("wire PIL decode here")  # pragma: no cover
 
@@ -375,12 +486,35 @@ def image_thumbs_bmp(
         ]
     )
 
+    return _image_thumbs(docs, encode_bmp, out_h, out_w, id_col, out_schema)
+
+
+def image_thumbs_png(
+    docs: DataFrame, out_h: int = 8, out_w: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Same thumbnail pipeline through the REAL PNG codec (zlib-compressed
+    container, scanline filters): doc ids -> PNG bytes -> decode -> resize.
+    Identical outputs to image_thumbs_bmp because the codecs are lossless —
+    which is exactly what lets one closed-form oracle pin BOTH codec paths."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("thumb_h", T.IntegerType()),
+            T.StructField("thumb_w", T.IntegerType()),
+            T.StructField("checksum", T.LongType()),
+            T.StructField("mean_value", T.DoubleType()),
+        ]
+    )
+    return _image_thumbs(docs, encode_png, out_h, out_w, id_col, out_schema)
+
+
+def _image_thumbs(docs, encoder, out_h, out_w, id_col, out_schema) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in ("media_id", "thumb_h", "thumb_w", "checksum", "mean_value")}
             for mid in pdf[id_col]:
                 thumb = resize_image(
-                    decode_image(encode_bmp(synth_image_pixels(int(mid)))), out_h, out_w
+                    decode_image(encoder(synth_image_pixels(int(mid)))), out_h, out_w
                 )
                 rows["media_id"].append(int(mid))
                 rows["thumb_h"].append(out_h)

@@ -868,6 +868,36 @@ def image_thumbs_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_thumbs_png",
+    oracle="""
+    WITH di AS (SELECT unnest(range(8)) AS i),
+    dj AS (SELECT unnest(range(8)) AS j),
+    dc AS (SELECT unnest(range(3)) AS c),
+    sampled AS (
+      SELECT doc_id,
+             ((doc_id * 31 + ((i * 16) // 8) * 15 + ((j * 15) // 8)) * 97 + c * 7) % 256
+               AS val
+      FROM documents CROSS JOIN di CROSS JOIN dj CROSS JOIN dc
+    )
+    SELECT doc_id AS media_id, 8 AS thumb_h, 8 AS thumb_w,
+           CAST(sum(val) AS BIGINT) AS checksum,
+           round(avg(CAST(val AS DOUBLE)), 6) AS mean_value
+    FROM sampled GROUP BY doc_id
+    """,
+    doc="Thumbnail pipeline through the REAL stdlib PNG codec (r4: zlib "
+    "inflate + scanline unfiltering, closing the compressed-codec gap): "
+    "same closed-form oracle as image_thumbs_bmp because both codecs are "
+    "lossless — a decoder bug in either container format breaks its hash "
+    "while the other stays green, isolating the fault to the codec.  "
+    "operators/multimodal.py:decode_png.",
+)
+def image_thumbs_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.multimodal import image_thumbs_png as itp
+
+    return itp(table(spark, "documents", sf_dir))
+
+
+@register(
     "store_integrity_audit",
     oracle="""
     WITH j AS (

@@ -133,3 +133,120 @@ def test_audio_trim_preserves_interior_zeros():
     assert (mn, mx) == (2, 4)
     kept = decoded[mn : mx + 1]
     assert list(kept) == [5, 0, -7]  # interior zero kept, tail zero trimmed
+
+
+def test_png_roundtrip_identity():
+    """decode(encode(px)) == px bit-for-bit (lossless container contract)."""
+    import numpy as np
+
+    from log_vector_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+        synth_image_pixels,
+    )
+
+    for seed in (0, 7, 123):
+        px = synth_image_pixels(seed)
+        raw = encode_png(px)
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+        assert np.array_equal(decode_png(raw), px)
+        # decode_image dispatches PNG by signature
+        assert np.array_equal(decode_image(raw), px)
+
+
+def test_png_all_scanline_filters_decode():
+    """The decoder must reverse every PNG filter type (0-4).  Build an image
+    whose IDAT uses one explicit filter per row, forward-filtering with the
+    spec's definitions, and check exact pixel recovery."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from log_vector_spark.operators.multimodal import decode_png, synth_image_pixels
+
+    px = synth_image_pixels(42)[:5]  # 5 rows, one per filter type
+    h, w, _ = px.shape
+    bpp, stride = 3, w * 3
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        row = px[y].tobytes()
+        out = bytearray(row)
+        if f == 1:
+            for i in range(stride - 1, bpp - 1, -1):
+                out[i] = (row[i] - row[i - bpp]) & 255
+        elif f == 2:
+            for i in range(stride):
+                out[i] = (row[i] - prev[i]) & 255
+        elif f == 3:
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                out[i] = (row[i] - ((a + prev[i]) >> 1)) & 255
+        elif f == 4:
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                out[i] = (row[i] - paeth(a, prev[i], c)) & 255
+        raw += bytes([f]) + bytes(out)
+        prev = row
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), px)
+
+
+def test_png_rgba_drops_alpha_and_exotic_variants_gate():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from log_vector_spark.operators.multimodal import decode_png, synth_image_pixels
+
+    px = synth_image_pixels(3)
+    h, w, _ = px.shape
+    rgba = np.dstack([px, np.full((h, w), 200, np.uint8)])
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), px)  # alpha dropped
+
+    # 16-bit depth -> NotImplementedError (falls to the PIL gate upstream)
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (h * (1 + w * 6))))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_png(png16)

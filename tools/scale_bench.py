@@ -50,6 +50,12 @@ DEFAULT_QUERIES = [
     "dedup_embedding",        # IVF-blocked default (r4): should stay ~N^1.5
     "dedup_embedding_label",  # label-blocked opt-in: same quadratic risk
     "dedup_clusters",         # iterative CC over LSH pairs
+    # r4 wave (VERDICT item 7: push the decade experiment onto the weakest
+    # new rows + the new index families)
+    "dedup_graph_stats",      # wedge triangle count: candidate-pair-quadratic risk
+    "doc_communities_lpa",    # 2-round LPA over the near-dup graph
+    "knn_graph",              # graph-ANN: build is ~N^1.5, query O(beam*deg)
+    "knn_pq",                 # PQ: encode linear, ADC scoring linear
 ]
 
 
