@@ -132,6 +132,8 @@ HEADLINE = [
     "knn_graph",                  # graph-ANN beam search over the k-NN graph
     "knn_pq",                     # product-quantization ADC retrieval
     "repetition_stats",           # Gopher repetition filters (dup-ngram coverage)
+    "dedup_embedding_lsh",        # corpus-linear LSH-banded semantic dedup
+    "image_thumbs_png",           # REAL PNG decode (zlib+unfilter) + NN resize
 ]
 
 

@@ -714,3 +714,105 @@ def edit_distance_pairs_banded(
         )
         .filter(F.col("dist") >= 0)
     )
+
+
+# --- hyperplane-LSH banded semantic dedup (r4) ------------------------------
+
+LSH_BANDS = 3
+LSH_MAX_BITS = 16  # per band; 3 bands x 16 bits = 48 planes max
+
+
+def lsh_band_bits(n: int) -> int:
+    """Adaptive per-band signature width: floor(log2(n/8)) clamped to
+    [6, 16].  Bucket count 2^bits grows LINEARLY with the corpus, so the
+    expected band-bucket occupancy stays ~8 and within-bucket pair volume
+    stays ~8N per band at any scale — the property fixed-width bands (and
+    fixed-cardinality label blocks) lack.  The price is recall at loose
+    thresholds: per-band collision probability is p_bit^bits with
+    p_bit = 1 - theta/pi, so banding is the right blocker at TIGHT
+    thresholds (cosine >= ~0.9, p_bit >= ~0.86) where real semantic dedup
+    operates, while IVF-list blocking (embedding_near_dup_ivf_survivors)
+    remains the complete-within-probe-radius choice for loose thresholds.
+    """
+    import math
+
+    return max(6, min(LSH_MAX_BITS, int(math.floor(math.log2(max(n, 16) / 8.0)))))
+
+
+def hyperplane_signature(vec_col, n_planes: int):
+    """48-bit (max) random-hyperplane signature as ONE bigint column: bit i
+    = sign(dot(vec, plane_i)), planes = the deterministic fixed_query_vector
+    family (seeds 100+i, shared with the knn_lsh suite)."""
+    from log_vector_spark.functions.vector import dot_product, fixed_query_vector, literal_vector
+
+    total = F.lit(0).cast("bigint")
+    for i in range(n_planes):
+        plane = literal_vector(fixed_query_vector(dim=64, seed=100 + i))
+        total = total + F.when(
+            dot_product(vec_col, plane) >= 0, F.lit(2**i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return total
+
+
+def embedding_near_dup_lsh_survivors(
+    vectors: DataFrame,
+    threshold: float = 0.5,
+    bands: int = LSH_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup with hyperplane-LSH BAND blocking — the linear-decade
+    100 TB path for tight thresholds.
+
+    Pipeline: 48 hyperplane sign bits per vector (one linear scan) ->
+    per-band bucket key = a `lsh_band_bits(N)`-bit slice of the signature
+    -> within-bucket candidate pairs (bucket occupancy ~8 regardless of N,
+    so candidates ~8N per band) -> exact cosine verify >= threshold ->
+    anti-join keeps survivors.  Candidate volume is corpus-LINEAR by
+    construction, unlike IVF-list blocking (~N^1.5, measured 4.3x/decade)
+    or label blocking (quadratic, 5.8x/decade) — banding is what MinHash
+    already does for text dedup (dedup.minhash_band_pairs), applied to the
+    embedding space.
+
+    Recall contract: probabilistic, p ~ 1-(1-p_bit^bits)^bands with
+    p_bit = 1 - theta/pi; near-1 for near-identical vectors (the dedup
+    case), intentionally low for weakly-similar ones.  The oracle replays
+    the identical construction, so engine parity is exact even when the
+    bands miss a weak pair.
+    """
+    from log_vector_spark.functions.vector import dot_product, l2_normalize
+
+    n = vectors.count()
+    bits = lsh_band_bits(n)
+    mask = (1 << bits) - 1
+    # normalize ONCE per vector (blocked_pairs discipline) so each candidate
+    # verify is a single dot fold
+    sig = vectors.select(
+        F.col(id_col),
+        l2_normalize(F.col(vec_col)).alias("_unit"),
+        hyperplane_signature(F.col(vec_col), bands * LSH_MAX_BITS).alias("sig"),
+    )
+    banded = sig.select(
+        id_col,
+        "_unit",
+        F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
+        F.col("sig"),
+    ).select(
+        id_col,
+        "_unit",
+        "band",
+        F.expr(f"shiftrightunsigned(sig, band * {LSH_MAX_BITS}) & {mask}").alias("key"),
+    )
+    a = banded.select("band", "key", F.col(id_col).alias("id_a"), F.col("_unit").alias("ua"))
+    b = banded.select("band", "key", F.col(id_col).alias("id_b"), F.col("_unit").alias("ub"))
+    # a pair colliding in several bands is verified up to `bands` times — a
+    # cheap codegen'd dot each — and collapsed by the final distinct on ids,
+    # so no array-valued shuffle key ever exists in the plan
+    dup_ids = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(dot_product(F.col("ua"), F.col("ub")), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return vectors.join(dup_ids, id_col, "left_anti").select(id_col)

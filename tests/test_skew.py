@@ -181,3 +181,44 @@ def test_ivf_near_dup_skewed_centroid_matches_bruteforce(spark):
         .collect()
     }
     assert len(salts) > 1, "dominant IVF list collapsed onto one salt key"
+
+
+def test_lsh_banded_dedup_catches_planted_near_identicals(spark):
+    """dedup_embedding_lsh's recall contract: near-IDENTICAL pairs (the real
+    semantic-dedup regime, cosine ~0.999) collide in at least one band with
+    probability ~1, so planted duplicates must be dropped; the unrelated
+    random vectors must all survive.  Also pins determinism (two runs give
+    the same survivor set)."""
+    import numpy as np
+
+    from log_vector_spark.operators.dedup import embedding_near_dup_lsh_survivors
+
+    rng = np.random.RandomState(5)
+    dim, n_base, n_pairs = 64, 200, 20
+    rows = []
+    for i in range(n_base):
+        rows.append((i, [float(x) for x in rng.randn(dim)]))
+    # planted dups: id 1000+j duplicates id j with tiny perturbation
+    for j in range(n_pairs):
+        base = np.array(rows[j][1])
+        rows.append((1000 + j, [float(x) for x in base + rng.randn(dim) * 0.01]))
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    survivors = {
+        r.vec_id
+        for r in embedding_near_dup_lsh_survivors(vectors, threshold=0.95).collect()
+    }
+    dropped_planted = sum(1 for j in range(n_pairs) if 1000 + j not in survivors)
+    assert dropped_planted >= int(0.8 * n_pairs), (
+        f"only {dropped_planted}/{n_pairs} planted near-identicals caught"
+    )
+    # every planted pair's SENIOR member (lower id) survives
+    assert all(j in survivors for j in range(n_pairs))
+    # random non-dup vectors survive (cosine of random 64-d pairs ~ N(0, 1/8):
+    # essentially never >= 0.95)
+    assert all(i in survivors for i in range(n_pairs, n_base))
+    survivors2 = {
+        r.vec_id
+        for r in embedding_near_dup_lsh_survivors(vectors, threshold=0.95).collect()
+    }
+    assert survivors == survivors2

@@ -56,6 +56,7 @@ DEFAULT_QUERIES = [
     "doc_communities_lpa",    # 2-round LPA over the near-dup graph
     "knn_graph",              # graph-ANN: build is ~N^1.5, query O(beam*deg)
     "knn_pq",                 # PQ: encode linear, ADC scoring linear
+    "dedup_embedding_lsh",    # adaptive-width LSH bands: should be ~linear
 ]
 
 
@@ -130,6 +131,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument(
+        "--shared-session",
+        action="store_true",
+        help="run every query in one Spark session (FASTER but WRONG for "
+        "long sweeps: ~40+ heavy plan compiles exhaust the JIT code cache "
+        "and inflate later queries 3-7x — the r4 sweep measured "
+        "similarity_join at 10.2s shared vs 2.55s isolated, SCALE_r04.json).  "
+        "Default is one fresh session per query.",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -140,10 +150,13 @@ def main() -> None:
         build(spark)
 
     qs = entrymod.queries()
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # runtime warmup
 
     results = {}
     for name in args.queries.split(","):
+        if not args.shared_session:
+            spark.stop()
+            spark = get_spark("scale-bench")
+        spark.range(1_000_000).selectExpr("sum(id)").collect()  # runtime warmup
         fn = qs[name]
         per_sf = {}
         for label, d in (("sf0.1", SRC), ("sf1", OUT)):
