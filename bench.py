@@ -134,6 +134,7 @@ HEADLINE = [
     "repetition_stats",           # Gopher repetition filters (dup-ngram coverage)
     "dedup_embedding_lsh",        # corpus-linear LSH-banded semantic dedup
     "image_thumbs_png",           # REAL PNG decode (zlib+unfilter) + NN resize
+    "similarity_join_lsh",        # corpus-linear LSH-banded similarity join
 ]
 
 

@@ -780,6 +780,24 @@ def embedding_near_dup_lsh_survivors(
     the identical construction, so engine parity is exact even when the
     bands miss a weak pair.
     """
+    verified = lsh_band_verified_pairs(vectors, threshold, bands, id_col, vec_col)
+    dup_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return vectors.join(dup_ids, id_col, "left_anti").select(id_col)
+
+
+def lsh_band_verified_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    bands: int = LSH_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, score) for every band-colliding pair with exact cosine
+    >= threshold — the shared candidate core of the LSH-banded dedup and
+    similarity-join forms.  Corpus-linear candidate volume by the adaptive
+    band-width rule (lsh_band_bits); one distinct on scored id pairs
+    collapses multi-band collisions (scores are functional on the pair, so
+    no array-valued shuffle key exists in the plan)."""
     from log_vector_spark.functions.vector import dot_product, l2_normalize
 
     n = vectors.count()
@@ -805,14 +823,11 @@ def embedding_near_dup_lsh_survivors(
     )
     a = banded.select("band", "key", F.col(id_col).alias("id_a"), F.col("_unit").alias("ua"))
     b = banded.select("band", "key", F.col(id_col).alias("id_b"), F.col("_unit").alias("ub"))
-    # a pair colliding in several bands is verified up to `bands` times — a
-    # cheap codegen'd dot each — and collapsed by the final distinct on ids,
-    # so no array-valued shuffle key ever exists in the plan
-    dup_ids = (
+    return (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(dot_product(F.col("ua"), F.col("ub")), 6) >= threshold)
-        .select(F.col("id_b").alias(id_col))
+        .withColumn("score", F.round(dot_product(F.col("ua"), F.col("ub")), 6))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
         .distinct()
     )
-    return vectors.join(dup_ids, id_col, "left_anti").select(id_col)

@@ -977,3 +977,43 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.operators.pq import knn_pq as _knn_pq
 
     return _knn_pq(table(spark, "embeddings", sf_dir), QVEC, k=5)
+
+
+from log_vector_spark.suites.dedup_suite import _hyper_sig_sql as _hsig
+
+
+@register(
+    "similarity_join_lsh",
+    oracle=f"""
+    WITH bq AS (
+      SELECT CAST(greatest(6, least(16,
+               CAST(floor(log2(greatest(count(*), 16) / 8.0)) AS INTEGER)))
+             AS INTEGER) AS bits
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, {_UNIT} AS unit, {_hsig('embedding')} AS sig FROM embeddings
+    ), bd AS (
+      SELECT s.vec_id, s.unit, t.band,
+             (s.sig >> (t.band * 16)) & ((1::BIGINT << bq.bits) - 1) AS key
+      FROM s CROSS JOIN bq
+           CROSS JOIN (SELECT CAST(unnest(range(0, 3)) AS INTEGER) AS band) t
+    )
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.unit, b.unit), 6) AS score
+    FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key
+                        AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.45
+    """,
+    doc="Similarity join with hyperplane-LSH BAND blocking — the "
+    "corpus-LINEAR twin of the IVF-blocked default (measured 0.9x vs "
+    "4.3x per decade, SCALE_r04.json): per-band bucket keys of adaptive "
+    "width floor(log2(N/8)) keep bucket occupancy ~8 at any N, so "
+    "candidates ~8N per band.  Probabilistic recall, high near cosine~1 "
+    "— use for tight thresholds; the oracle replays the identical "
+    "48-plane construction.  "
+    "operators/dedup.py:lsh_band_verified_pairs.",
+)
+def similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.dedup import lsh_band_verified_pairs
+
+    return lsh_band_verified_pairs(table(spark, "embeddings", sf_dir), threshold=0.45)
