@@ -118,7 +118,11 @@ def run_events_session_stream(
 
 def run_stream_index(spark: SparkSession, sf_dir: str, out_path: str, chunk_size: int = 400) -> int:
     """Streaming ETL: documents stream -> chunk (pandas_udf) -> embed
-    (pandas_udf) -> parquet sink via foreachBatch.  Returns rows written."""
+    (pandas_udf) -> parquet sink via foreachBatch.  Returns rows written.
+    Exactly-once: checkpointed source offsets + per-epoch dynamic partition
+    overwrite (a replayed epoch replaces its own output)."""
+    import os
+
     from log_vector_spark.operators.chunk import chunk_documents
     from log_vector_spark.operators.embed import DeterministicEmbedder
 
@@ -133,9 +137,24 @@ def run_stream_index(spark: SparkSession, sf_dir: str, out_path: str, chunk_size
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         chunks = chunk_documents(batch_df, chunk_size=chunk_size)
         embedded = chunks.withColumn("embedding", embedder.embed_col(F.col("document")))
-        embedded.write.mode("append").parquet(out_path)
+        # exactly-once: epoch-partitioned dynamic overwrite — a retried epoch
+        # REPLACES its own partition instead of appending a duplicate (the
+        # run_stream_quality_gate fix applied to the index sink)
+        (
+            embedded.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_path)
+        )
 
-    q = src.writeStream.foreachBatch(sink).start()
+    q = (
+        src.writeStream.option(
+            "checkpointLocation", os.path.join(out_path + "_checkpoint", "")
+        )
+        .foreachBatch(sink)
+        .start()
+    )
     try:
         q.processAllAvailable()
     finally:
@@ -358,14 +377,28 @@ def run_stream_ivf_ingest(
         if state["centroids"] is None:
             state["centroids"] = make_centroids(batch_df).localCheckpoint(eager=True)
         assigned = ivf_assign(batch_df, state["centroids"])
+        # exactly-once: (list_id, epoch) dynamic-overwrite partitions — the
+        # hive layout keeps list_id as the FIRST partition level (query-time
+        # pruning unchanged) while a replayed epoch replaces exactly its own
+        # leaf partitions instead of appending duplicates
         (
             assigned.select("vec_id", "embedding", "label", "list_id")
-            .write.mode("append")
-            .partitionBy("list_id")
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("list_id", "epoch")
             .parquet(out_path)
         )
 
-    q = src.writeStream.foreachBatch(sink).start()
+    import os as _os
+
+    q = (
+        src.writeStream.option(
+            "checkpointLocation", _os.path.join(out_path + "_checkpoint", "")
+        )
+        .foreachBatch(sink)
+        .start()
+    )
     try:
         q.processAllAvailable()
     finally:

@@ -24,6 +24,10 @@ def test_stream_index_pipeline(spark, tmp_path):
     assert n > 0
     df = spark.read.parquet(out)
     assert {"chunk_id", "document", "embedding"} <= set(df.columns)
+    # exactly-once: re-invoking with the same out_path resumes from the
+    # checkpoint (source consumed) and must not duplicate rows
+    n2 = run_stream_index(spark, "/root/testdata/sf0.001", out, chunk_size=400)
+    assert n2 == n
 
 
 @pytest.mark.spark
