@@ -149,3 +149,53 @@ def knn_pq(
         .agg(F.sum("partial").cast("double").alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc(vec_id)).limit(k)
+
+
+def knn_pq_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+    dim: int = 64,
+) -> DataFrame:
+    """ADC top-k per query for a query SET: (query_id, vec_id, score, rank).
+
+    The lookup table is |queries| x m x n_codes rows (tiny) built by one
+    broadcast crossJoin of the query set against the codebook; corpus-side
+    work is the same single broadcast join + decimal sum as knn_pq — per
+    additional query the marginal cost is one more LUT row group, never
+    another corpus pass."""
+    from pyspark.sql import Window
+
+    sub = dim // m
+    codebook = pq_codebook(vectors, m, n_codes, vec_id, vec_col, dim)
+    codes = pq_encode(vectors, codebook, m, vec_id, vec_col, dim)
+    lut = queries.crossJoin(F.broadcast(codebook)).select(
+        query_id,
+        "subspace",
+        "code_id",
+        F.round(
+            dot_product(
+                F.col("center"), F.slice(F.col(query_col), F.col("subspace") * sub + 1, sub)
+            ),
+            SCORE_DP,
+        )
+        .cast("decimal(18,6)")
+        .alias("partial"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code_id"])
+        .groupBy(query_id, vec_id)
+        .agg(F.sum("partial").cast("double").alias("score"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(vec_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, vec_id, "score", "rank")
+    )

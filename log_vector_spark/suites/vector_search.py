@@ -922,10 +922,10 @@ _SQL2 = (
 )
 
 
-@register(
-    "knn_pq",
-    oracle=f"""
-    WITH st AS (
+# PQ core CTEs (codebook seeds, per-subspace centers, encoded corpus) shared
+# by the knn_pq query and the pq_recall_at10 eval — identical construction to
+# operators/pq.py (sqrt-stride seeds, squared-L2 argmin, ties to lower code).
+_PQ_CTES = f"""st AS (
       SELECT greatest(16, CAST(floor(sqrt(count(*)) / 4 + 0.5) AS BIGINT)) AS s
       FROM embeddings
     ), seeds AS (
@@ -952,7 +952,13 @@ _SQL2 = (
                ) AS rn
         FROM parts p JOIN cb c ON p.subspace = c.subspace
       ) WHERE rn = 1
-    ), lut AS (
+    )"""
+
+
+@register(
+    "knn_pq",
+    oracle=f"""
+    WITH {_PQ_CTES}, lut AS (
       SELECT subspace, code_id,
              CAST(round(list_dot_product(center,
                (({_Q})::DOUBLE[])[subspace * 8 + 1 : subspace * 8 + 8]), 6)
@@ -1017,3 +1023,90 @@ def similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.operators.dedup import lsh_band_verified_pairs
 
     return lsh_band_verified_pairs(table(spark, "embeddings", sf_dir), threshold=0.45)
+
+
+@register(
+    "pq_recall_at10",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rn <= 10
+    ),
+    lut AS (
+      SELECT q.query_id, c.subspace, c.code_id,
+             CAST(round(list_dot_product(c.center,
+               q.qv[c.subspace * 8 + 1 : c.subspace * 8 + 8]), 6)
+               AS DECIMAL(18,6)) AS partial
+      FROM cb c CROSS JOIN q
+    ),
+    scores AS (
+      SELECT l.query_id, e.vec_id, CAST(sum(l.partial) AS DOUBLE) AS score
+      FROM enc e JOIN lut l ON e.subspace = l.subspace AND e.code_id = l.code_id
+      GROUP BY 1, 2
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id ASC) AS rn
+        FROM scores
+      ) WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT exact.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM exact JOIN approx USING (query_id, vec_id) GROUP BY exact.query_id
+    )
+    SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+    """,
+    doc="Retrieval-quality evaluation for the PQ index: recall@10 of ADC "
+    "scoring (vs the exact dot top-10, note: exact uses raw dot to match "
+    "what ADC approximates) per query for a 5-query batch — completes the "
+    "eval family (IVF recall@10 + curve, LSH guardrails in pytest, "
+    "MinHash estimator audit) for the fourth index type.  Mirrors the PQ "
+    "distortion a deployment must measure before swapping a 32x-smaller "
+    "index into production.  operators/pq.py:knn_pq_batch.",
+)
+def pq_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.pq import knn_pq_batch
+
+    emb = table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # exact side ranked by raw DOT (what ADC approximates), ties by id
+    from pyspark.sql import Window
+
+    from log_vector_spark.functions.vector import dot_product
+
+    scored = emb.crossJoin(F.broadcast(queries_df)).select(
+        "query_id",
+        "vec_id",
+        F.round(dot_product(F.col("embedding"), F.col("query_vec")), 6).alias("s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    approx = knn_pq_batch(emb, queries_df, k=10).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = queries_df.select("query_id")
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / 10.0, 6).alias("recall"),
+    )
