@@ -57,3 +57,46 @@ def test_set_model_approval_roundtrip(tmp_path, monkeypatch):
     assert f"# {key}_MODEL={model}" in text
     assert get_trust_setting(model) is False
     monkeypatch.delenv(key, raising=False)
+
+
+def test_trust_cli_surface(tmp_path, capsys):
+    """C5 CLI parity (reference trust_manager.py:257-284): --list / --check
+    / --approve / --revoke against an isolated env file; --check exit code
+    3 means 'consent required but absent' (scriptable default-deny)."""
+    import io
+
+    from tools.trust_cli import main
+
+    env = str(tmp_path / ".env")
+    unknown = "some-org/unknown-model"
+
+    out = io.StringIO()
+    assert main(["--list", "--env-file", env], out=out) == 0
+    assert "no persisted trust consents" in out.getvalue()
+
+    out = io.StringIO()
+    assert main(["--check", unknown, "--env-file", env], out=out) == 3
+    assert "needs trust: True" in out.getvalue()
+    assert "loadable:    False" in out.getvalue()
+
+    out = io.StringIO()
+    assert main(["--approve", unknown, "--env-file", env], out=out) == 0
+    out = io.StringIO()
+    assert main(["--check", unknown, "--env-file", env], out=out) == 0
+    assert "loadable:    True" in out.getvalue()
+    out = io.StringIO()
+    assert main(["--list", "--env-file", env], out=out) == 0
+    assert "TRUST_REMOTE_CODE_" in out.getvalue()
+
+    out = io.StringIO()
+    assert main(["--revoke", unknown, "--env-file", env], out=out) == 0
+    out = io.StringIO()
+    assert main(["--check", unknown, "--env-file", env], out=out) == 3
+
+    # safe-pattern models (reference trust_manager.py:101-105: the
+    # sentence-transformers/-prefixed families) load with no consent at all
+    out = io.StringIO()
+    assert main(
+        ["--check", "sentence-transformers/all-MiniLM-L6-v2", "--env-file", env], out=out
+    ) == 0
+    assert "needs trust: False" in out.getvalue()
