@@ -135,6 +135,7 @@ HEADLINE = [
     "dedup_embedding_lsh",        # corpus-linear LSH-banded semantic dedup
     "image_thumbs_png",           # REAL PNG decode (zlib+unfilter) + NN resize
     "similarity_join_lsh",        # corpus-linear LSH-banded similarity join
+    "pq_recall_at10",             # PQ distortion eval (exact-vs-ADC recall)
 ]
 
 
@@ -250,6 +251,15 @@ BASELINE_SEC = {
     "maxsim_topk": 1.80,
     # ~2x-drifted window (text_quality ref 0.50) — upper bounds
     "embedding_top_component": 2.27,
+    # r4 additions, measured in the r4 bench window (~1.6x drifted:
+    # text_quality ran 0.40 vs its 0.25 clean row) — upper bounds
+    "knn_graph": 4.39,
+    "knn_pq": 1.12,
+    "repetition_stats": 1.89,
+    "dedup_embedding_lsh": 5.25,
+    "image_thumbs_png": 1.06,
+    "similarity_join_lsh": 5.03,
+    "pq_recall_at10": 2.10,  # isolated 3-rep min in the r4 close window
     "events_forecast_backtest": 0.58,
     "knn_lsh_multiprobe": 1.60,
     "ivf_build_metrics": 1.36,
