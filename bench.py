@@ -136,6 +136,8 @@ HEADLINE = [
     "image_thumbs_png",           # REAL PNG decode (zlib+unfilter) + NN resize
     "similarity_join_lsh",        # corpus-linear LSH-banded similarity join
     "pq_recall_at10",             # PQ distortion eval (exact-vs-ADC recall)
+    "knn_ivfpq",                  # IVF-PQ: probed lists + residual ADC codes
+    "pq_compression_report",      # index-memory audit (raw vs PQ bytes)
 ]
 
 

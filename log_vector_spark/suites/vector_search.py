@@ -1110,3 +1110,146 @@ def pq_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
         F.round(F.coalesce("n_hits", F.lit(0)) / 10.0, 6).alias("recall"),
     )
+
+
+@register(
+    "pq_compression_report",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(max(len(embedding)) AS BIGINT) AS dim
+               FROM embeddings)
+    SELECT n AS n_vectors,
+           CAST(dim AS INTEGER) AS dim,
+           CAST(n * dim * 4 AS BIGINT) AS raw_bytes,
+           CAST(n * 8 / 2 + 16 * dim * 8 AS BIGINT) AS pq_bytes,
+           round(CAST(n * dim * 4 AS DOUBLE)
+                 / (n * 8 / 2 + 16 * dim * 8), 2) AS compression_x
+    FROM n
+    """,
+    doc="Index-memory audit for the PQ layout: raw float32 corpus bytes vs "
+    "the encoded form (8 four-bit codes per vector = 4 bytes, plus the "
+    "8x16 float64 codebook) — the one-row report that justifies swapping "
+    "the 32x-smaller index in, next to pq_recall_at10 which prices the "
+    "recall it costs.  Counts come from one aggregate over the corpus; "
+    "the arithmetic is the storage contract of operators/pq.py.",
+)
+def pq_compression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    n = emb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.max(F.size("embedding")).cast("bigint").alias("_dim"),
+    )
+    return n.select(
+        "n_vectors",
+        F.col("_dim").cast("int").alias("dim"),
+        (F.col("n_vectors") * F.col("_dim") * 4).cast("bigint").alias("raw_bytes"),
+        (F.col("n_vectors") * 8 / 2 + 16 * F.col("_dim") * 8)
+        .cast("bigint")
+        .alias("pq_bytes"),
+        F.round(
+            (F.col("n_vectors") * F.col("_dim") * 4).cast("double")
+            / (F.col("n_vectors") * 8 / 2 + 16 * F.col("_dim") * 8),
+            2,
+        ).alias("compression_x"),
+    )
+
+
+# squared-L2 on residual lists for the IVF-PQ encode argmin (same fold-order
+# contract as _SQL2)
+_IVFPQ_CTES = f"""centroids AS (
+      SELECT vec_id AS list_id, embedding AS centroid
+      FROM embeddings,
+           (SELECT greatest(16, CAST(floor(sqrt(count(*)) / 4 + 0.5) AS BIGINT)) AS s
+            FROM embeddings) st
+      WHERE vec_id % st.s = 0
+    ), assigned AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_cos('e.embedding', 'c.centroid')}, 6) DESC, c.list_id ASC
+               ) AS crank
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE crank = 1
+    ), res AS (
+      SELECT e.vec_id, a.list_id,
+             list_transform(list_zip(e.embedding::DOUBLE[], c.centroid::DOUBLE[]),
+                            s -> s[1] - s[2]) AS residual
+      FROM embeddings e
+      JOIN assigned a ON e.vec_id = a.vec_id
+      JOIN centroids c ON a.list_id = c.list_id
+    ), st2 AS (
+      SELECT greatest(16, CAST(floor(sqrt(count(*)) / 4 + 0.5) AS BIGINT)) AS s
+      FROM embeddings
+    ), seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS code_id, residual
+      FROM res, st2 WHERE vec_id % st2.s = 0 ORDER BY vec_id LIMIT 16
+    ), sub AS (
+      SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS subspace
+    ), cb AS (
+      SELECT sub.subspace, s.code_id,
+             s.residual[sub.subspace * 8 + 1 : sub.subspace * 8 + 8] AS center
+      FROM seeds s CROSS JOIN sub
+    ), parts AS (
+      SELECT r.vec_id, r.list_id, sub.subspace,
+             r.residual[sub.subspace * 8 + 1 : sub.subspace * 8 + 8] AS subvec
+      FROM res r CROSS JOIN sub
+    ), enc AS (
+      SELECT vec_id, list_id, subspace, code_id FROM (
+        SELECT p.vec_id, p.list_id, p.subspace, c.code_id,
+               row_number() OVER (
+                 PARTITION BY p.vec_id, p.subspace
+                 ORDER BY round({_SQL2.format(a='p.subvec', b='c.center')}, 6) ASC,
+                          c.code_id ASC
+               ) AS rn
+        FROM parts p JOIN cb c ON p.subspace = c.subspace
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "knn_ivfpq",
+    oracle=f"""
+    WITH {_IVFPQ_CTES},
+    probed AS (
+      SELECT list_id, centroid FROM (
+        SELECT list_id, centroid,
+               round({_cos('centroid', _Q)}, 6) AS qscore
+        FROM centroids
+      ) ORDER BY qscore DESC, list_id ASC LIMIT 4
+    ),
+    qlists AS (
+      SELECT list_id,
+             CAST(round(list_dot_product(({_Q})::DOUBLE[], centroid::DOUBLE[]), 6)
+                  AS DECIMAL(18,6)) AS qc
+      FROM probed
+    ),
+    lut AS (
+      SELECT q.list_id, c.subspace, c.code_id, q.qc,
+             CAST(round(list_dot_product(c.center,
+               (({_Q})::DOUBLE[])[c.subspace * 8 + 1 : c.subspace * 8 + 8]), 6)
+               AS DECIMAL(18,6)) AS partial
+      FROM cb c CROSS JOIN qlists q
+    )
+    SELECT vec_id, CAST(any_value(l.qc) + sum(l.partial) AS DOUBLE) AS score
+    FROM enc e
+    JOIN lut l ON e.list_id = l.list_id AND e.subspace = l.subspace
+              AND e.code_id = l.code_id
+    GROUP BY vec_id
+    ORDER BY score DESC, vec_id ASC LIMIT 5
+    """,
+    doc="IVF-PQ approximate k-NN — the production 100 TB ANN layout (FAISS's "
+    "deployed structure): coarse IVF lists + PQ-encoded RESIDUALS from each "
+    "list centroid; query time probes 4 lists and scores candidates as "
+    "q.c_list + per-list ADC lookups (a 512-row broadcast table), so the "
+    "data-scaled work is one partition-prunable join against 4-byte codes "
+    "— no per-vector float math, 32x less index memory, and residual "
+    "encoding makes the 16-code-per-subspace budget quantize far finer "
+    "than raw-vector PQ.  Fully deterministic and replayed end-to-end in "
+    "DuckDB.  operators/pq.py:knn_ivfpq.",
+)
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.pq import knn_ivfpq as _knn_ivfpq
+
+    emb = table(spark, "embeddings", sf_dir)
+    return _knn_ivfpq(emb, search.make_centroids(emb), QVEC, k=5, nprobe=4)

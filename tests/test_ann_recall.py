@@ -170,3 +170,56 @@ def test_pq_structure_and_recall_floor(spark, emb):
         approx = _ids(knn_pq(emb, q, k=K))
         recalls.append(len(exact & approx) / K)
     assert sum(recalls) / len(recalls) >= 0.10, f"PQ recall collapsed: {recalls}"
+
+
+@pytest.mark.spark
+def test_ivfpq_structure_and_within_probe_quality(spark, emb):
+    """IVF-PQ guardrails: every hit comes from a probed list (the
+    partition-pruning contract), results are deterministic, and ADC
+    ranking finds exact-in-probed top-10 members at well above random.
+    Measured 0.275 mean overlap with the exact-scored probed set on
+    sf0.01's uniform-random embeddings (raw PQ's distortion profile is
+    0.225 — the composition adds no extra loss beyond its two factors);
+    random picking over the probed lists would score ~0.02.  Floor 0.10.
+    """
+    from pyspark.sql import functions as Fn
+
+    from log_vector_spark.functions.vector import fixed_query_vector
+    from log_vector_spark.operators.pq import knn_ivfpq
+    from log_vector_spark.operators.search import knn_ivf, ivf_assign, make_centroids
+
+    cents = make_centroids(emb)
+    assigned = ivf_assign(emb, cents).select("vec_id", "list_id").cache()
+    assigned.count()
+    try:
+        overlaps = []
+        for seed in SEEDS:
+            q = fixed_query_vector(dim=64, seed=seed)
+            got = knn_ivfpq(emb, cents, q, k=K, nprobe=4).collect()
+            got2 = knn_ivfpq(emb, cents, q, k=K, nprobe=4).collect()
+            assert [tuple(r) for r in got] == [tuple(r) for r in got2]  # deterministic
+            # structural: hits only from the 4 probed lists
+            from log_vector_spark.functions.vector import cosine_similarity, literal_vector
+
+            probed = {
+                r.list_id
+                for r in cents.withColumn(
+                    "qs", Fn.round(cosine_similarity(Fn.col("centroid"), literal_vector(q)), 6)
+                )
+                .orderBy(Fn.desc("qs"), Fn.asc("list_id"))
+                .limit(4)
+                .collect()
+            }
+            hit_lists = {
+                r.list_id
+                for r in assigned.join(
+                    spark.createDataFrame([(r.vec_id,) for r in got], "vec_id long"),
+                    "vec_id",
+                ).collect()
+            }
+            assert hit_lists <= probed
+            ivfe = _ids(knn_ivf(emb, cents, q, k=K, nprobe=4))
+            overlaps.append(len(ivfe & {r.vec_id for r in got}) / K)
+        assert sum(overlaps) / len(overlaps) >= 0.10, f"ADC-in-probed collapsed: {overlaps}"
+    finally:
+        assigned.unpersist()
