@@ -262,6 +262,8 @@ BASELINE_SEC = {
     "image_thumbs_png": 1.06,
     "similarity_join_lsh": 5.03,
     "pq_recall_at10": 2.10,  # isolated 3-rep min in the r4 close window
+    "knn_ivfpq": 4.27,       # isolated 3-rep min in the r4 close window
+    "pq_compression_report": 0.25,
     "events_forecast_backtest": 0.58,
     "knn_lsh_multiprobe": 1.60,
     "ivf_build_metrics": 1.36,
