@@ -255,14 +255,14 @@ BASELINE_SEC = {
     "embedding_top_component": 2.27,
     # r4 additions, measured in the r4 bench window (~1.6x drifted:
     # text_quality ran 0.40 vs its 0.25 clean row) — upper bounds
-    "knn_graph": 4.39,
+    "knn_graph": 3.38,     # re-measured after the r4 edge-checkpoint fix
     "knn_pq": 1.12,
     "repetition_stats": 1.89,
-    "dedup_embedding_lsh": 5.25,
+    "dedup_embedding_lsh": 4.65,  # after the banded-frame checkpoint
     "image_thumbs_png": 1.06,
-    "similarity_join_lsh": 5.03,
+    "similarity_join_lsh": 4.46,  # after the banded-frame checkpoint
     "pq_recall_at10": 2.10,  # isolated 3-rep min in the r4 close window
-    "knn_ivfpq": 4.27,       # isolated 3-rep min in the r4 close window
+    "knn_ivfpq": 1.88,       # re-measured after the r4 residual-checkpoint fix
     "pq_compression_report": 0.25,
     "events_forecast_backtest": 0.58,
     "knn_lsh_multiprobe": 1.60,

@@ -262,7 +262,11 @@ def knn_ivfpq(
 
     sub = dim // m
     q = literal_vector([float(x) for x in query_vec])
-    res = residual_frame(vectors, centroids, vec_id, vec_col)
+    # the residual frame embeds the IVF argmin (a crossJoin-scored broadcast
+    # stage) and is consumed by the codebook count+seeds, the encoder, and
+    # the list join: checkpoint so the assignment runs ONCE, not 4x.  At
+    # scale residuals/codes are write-time artifacts read from storage.
+    res = residual_frame(vectors, centroids, vec_id, vec_col).localCheckpoint(eager=True)
     codebook = pq_codebook(res, m, n_codes, vec_id, "residual", dim)
     codes = pq_encode(res, codebook, m, vec_id, "residual", dim).join(
         res.select(vec_id, "list_id"), vec_id

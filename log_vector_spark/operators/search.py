@@ -454,12 +454,20 @@ def knn_graph_beam(
     if centroids is None:
         centroids = make_centroids(vectors, vec_id=vec_id, vec_col=vec_col)
     if edges is None:
-        edges = knn_graph_edges(vectors, centroids, deg, vec_id, vec_col)
+        # every beam round joins the edge list: checkpoint so the IVF-blocked
+        # graph BUILD runs once, not once per round (measured 4.9 -> 2.2s
+        # steady-state at sf0.1).  At scale the edge list is a write-time
+        # artifact read from storage, which is exactly what this simulates.
+        edges = knn_graph_edges(vectors, centroids, deg, vec_id, vec_col).localCheckpoint(
+            eager=True
+        )
     q = literal_vector(query_vec)
+    # seeds + every round's frontier join this scored relation: materialize
+    # the one-dot-per-node scan once
     scored_nodes = vectors.select(
         F.col(vec_id).alias("nid"),
         F.round(cosine_similarity(F.col(vec_col), q), SCORE_DP).alias("score"),
-    )
+    ).localCheckpoint(eager=True)
     beam_df = (
         centroids.select(F.col("list_id").alias("nid"))
         .join(scored_nodes, "nid")
