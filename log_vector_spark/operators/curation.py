@@ -388,32 +388,41 @@ def repetition_stats(
                          occurrence ratio
       rep_pass         : all four under their thresholds
 
+    Documents with zero tokens still get a row: n_words = 0, NULL for the
+    four ratio columns (0/0 is undefined, not 0), rep_pass = false — so a
+    gate that inner-joins on rep_pass cannot silently drop them.
+
     Plan shape: one posexplode (corpus-token-linear) feeding three hash
     aggregates keyed by (doc, gram) with map-side combine, plus one
     sequence-expand for coverage — two linear shuffles, no windows over
     data-scaled relations, no UDFs.  At 100 TB this composes with the
     other scan-stage gates before anything expensive runs.
+
+    NB: ``sequence(1, hi)`` DESCENDS when hi < 1 in Spark, so the n-gram
+    expansions are gated on ``size(w) >= n`` — without the guard a 1-word
+    doc makes ``element_at(w, 2)`` throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
     """
     w = tokens(F.col(text_col))
     base = docs.select(F.col(id_col), w.alias("w")).select(
         id_col, "w", F.size("w").cast("bigint").alias("n_words")
     )
 
-    wp = base.select(id_col, "n_words", F.posexplode("w").alias("pos", "tok"))
+    wp = base.select(id_col, F.posexplode("w").alias("pos", "tok"))
     tok_stats = (
         wp.groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.first("n_words").alias("n_words"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy(id_col)
         .agg(
             F.max("cnt").alias("top_word_cnt"),
             F.count(F.lit(1)).alias("n_distinct"),
-            F.first("n_words").alias("n_words"),
         )
     )
 
     bigrams = F.expr(
-        "transform(sequence(1, greatest(size(w) - 1, 0)),"
+        "CASE WHEN size(w) >= 2 THEN"
+        " transform(sequence(1, size(w) - 1),"
         " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        " ELSE CAST(array() AS array<string>) END"
     )
     bg_stats = (
         base.select(id_col, F.explode(bigrams).alias("bg"))
@@ -424,9 +433,11 @@ def repetition_stats(
     )
 
     trigrams = F.expr(
-        "transform(sequence(1, greatest(size(w) - 2, 0)),"
+        "CASE WHEN size(w) >= 3 THEN"
+        " transform(sequence(1, size(w) - 2),"
         " i -> struct(i - 1 AS pos, concat(element_at(w, i), ' ',"
         " element_at(w, i + 1), ' ', element_at(w, i + 2)) AS g))"
+        " ELSE CAST(array() AS array<struct<pos:int,g:string>>) END"
     )
     tg = base.select(id_col, F.explode(trigrams).alias("t")).select(
         id_col, F.col("t.pos").alias("pos"), F.col("t.g").alias("g")
@@ -440,23 +451,34 @@ def repetition_stats(
         .agg(F.countDistinct("ci").alias("covered"))
     )
 
+    nonzero = F.col("n_words") > 0
     j = (
-        tok_stats.join(bg_stats, id_col, "left")
+        base.select(id_col, "n_words")
+        .join(tok_stats, id_col, "left")
+        .join(bg_stats, id_col, "left")
         .join(covered, id_col, "left")
         .select(
             id_col,
             "n_words",
-            F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6).alias("dup_word_frac"),
-            F.round(F.col("top_word_cnt") / F.col("n_words"), 6).alias("top_word_share"),
-            F.round(
-                F.coalesce(F.col("top_bigram_cnt"), F.lit(0)) * 2 / F.col("n_words"), 6
+            F.when(
+                nonzero, F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6)
+            ).alias("dup_word_frac"),
+            F.when(
+                nonzero, F.round(F.col("top_word_cnt") / F.col("n_words"), 6)
+            ).alias("top_word_share"),
+            F.when(
+                nonzero,
+                F.round(
+                    F.coalesce(F.col("top_bigram_cnt"), F.lit(0)) * 2 / F.col("n_words"), 6
+                ),
             ).alias("top_bigram_share"),
-            F.round(
-                F.coalesce(F.col("covered"), F.lit(0)) / F.col("n_words"), 6
+            F.when(
+                nonzero,
+                F.round(F.coalesce(F.col("covered"), F.lit(0)) / F.col("n_words"), 6),
             ).alias("dup_trigram_frac"),
         )
     )
-    rep_pass = (
+    rep_pass = F.when(F.col("n_words") == 0, F.lit(False)).otherwise(
         (F.col("dup_word_frac") <= 0.95)
         & (F.col("top_word_share") <= 0.2)
         & (F.col("top_bigram_share") <= 0.2)

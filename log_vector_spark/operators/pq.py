@@ -244,8 +244,10 @@ def knn_ivfpq(
 
         score(v) ~ q·c_list  +  sum_j LUT[list, j, code_j(v)]
 
-    where the lookup table holds dot((q - c_list) slice_j, center_{j,code})
-    for every (probed list, subspace, code) — nprobe x m x n_codes rows
+    where the lookup table holds dot(q slice_j, center_{j,code}) — the
+    inner-product ADC decomposition (q·c + q·residual; the Euclidean
+    (q - c) expansion would be wrong for the dot/cosine metric) — for
+    every (probed list, subspace, code) — nprobe x m x n_codes rows
     (512 here), broadcast.  Data-scaled work at query time: one join of the
     probed lists' code rows against that table plus a decimal sum — no
     per-vector float math, and the codes table is partition-pruned by

@@ -50,18 +50,27 @@ class EmbeddingServer:
     # -- model cache (reference embedding_server.py:103-120) ---------------
     def _get_model(self, model: str, trust_remote_code: bool):
         key = f"{model}:trust={trust_remote_code}"  # reference cache key scheme
+        # Construct OUTSIDE the cache lock: a real SentenceTransformer load
+        # can take minutes, and holding the lock would serialize every
+        # concurrent /embed (even cached-model hits) behind the cold load.
+        # Worst case two threads race the same cold key and one construction
+        # is discarded — cheap vs. blocking the whole server.
         with self._cache_lock:
             if key in self._cache:
                 self.cache_hits += 1
                 return self._cache[key]
-            self.cache_misses += 1
-            if model == "deterministic":
-                emb = self._mk_deterministic()
-            else:
-                # import-gated real model, same chain as E1
-                from log_vector_spark.operators.embed import SentenceTransformerEmbedder
+        if model == "deterministic":
+            emb = self._mk_deterministic()
+        else:
+            # import-gated real model, same chain as E1
+            from log_vector_spark.operators.embed import SentenceTransformerEmbedder
 
-                emb = SentenceTransformerEmbedder(model_name=model)
+            emb = SentenceTransformerEmbedder(model_name=model)
+        with self._cache_lock:
+            if key in self._cache:  # lost the construction race: keep first
+                self.cache_hits += 1
+                return self._cache[key]
+            self.cache_misses += 1
             self._cache[key] = emb
             return emb
 

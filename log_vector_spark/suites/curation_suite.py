@@ -334,13 +334,11 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b2 AS (SELECT doc_id, {_WORDS} AS w,
                        CAST(len({_WORDS}) AS BIGINT) AS n_words
                 FROM documents),
-    wp AS (SELECT doc_id, n_words, unnest(w) AS tok FROM b2),
-    per_tok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt,
-                       CAST(max(n_words) AS BIGINT) AS n_words
+    wp AS (SELECT doc_id, unnest(w) AS tok FROM b2),
+    per_tok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
                 FROM wp GROUP BY doc_id, tok),
     ts AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_word_cnt,
-                  CAST(count(*) AS BIGINT) AS n_distinct,
-                  CAST(max(n_words) AS BIGINT) AS n_words
+                  CAST(count(*) AS BIGINT) AS n_distinct
            FROM per_tok GROUP BY doc_id),
     bg AS (SELECT doc_id, unnest(list_transform(range(1, CAST(len(w) AS BIGINT)),
                     i -> w[i] || ' ' || w[i + 1])) AS g
@@ -362,18 +360,28 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE tgc.cnt >= 2)
             GROUP BY doc_id),
     j AS (
-      SELECT ts.doc_id, ts.n_words,
-             round(1.0 - ts.n_distinct / ts.n_words, 6) AS dup_word_frac,
-             round(ts.top_word_cnt / ts.n_words, 6) AS top_word_share,
-             round(COALESCE(bgs.top_bigram_cnt, 0) * 2 / ts.n_words, 6)
+      SELECT b2.doc_id, b2.n_words,
+             CASE WHEN b2.n_words > 0
+                  THEN round(1.0 - ts.n_distinct / b2.n_words, 6) END
+               AS dup_word_frac,
+             CASE WHEN b2.n_words > 0
+                  THEN round(ts.top_word_cnt / b2.n_words, 6) END
+               AS top_word_share,
+             CASE WHEN b2.n_words > 0
+                  THEN round(COALESCE(bgs.top_bigram_cnt, 0) * 2 / b2.n_words, 6) END
                AS top_bigram_share,
-             round(COALESCE(cov.covered, 0) / ts.n_words, 6) AS dup_trigram_frac
-      FROM ts LEFT JOIN bgs ON ts.doc_id = bgs.doc_id
-              LEFT JOIN cov ON ts.doc_id = cov.doc_id
+             CASE WHEN b2.n_words > 0
+                  THEN round(COALESCE(cov.covered, 0) / b2.n_words, 6) END
+               AS dup_trigram_frac
+      FROM b2 LEFT JOIN ts ON b2.doc_id = ts.doc_id
+              LEFT JOIN bgs ON b2.doc_id = bgs.doc_id
+              LEFT JOIN cov ON b2.doc_id = cov.doc_id
     )
     SELECT *,
-           (dup_word_frac <= 0.95 AND top_word_share <= 0.2
-            AND top_bigram_share <= 0.2 AND dup_trigram_frac <= 0.5) AS rep_pass
+           CASE WHEN n_words = 0 THEN false
+                ELSE (dup_word_frac <= 0.95 AND top_word_share <= 0.2
+                      AND top_bigram_share <= 0.2 AND dup_trigram_frac <= 0.5)
+           END AS rep_pass
     FROM j
     """,
     doc="Gopher repetition filters (Rae et al. 2021 A1): duplicate-word "

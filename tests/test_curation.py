@@ -118,10 +118,29 @@ def test_repetition_stats_closed_form(spark):
             (1, "a a a a"),
             (2, " ".join(f"w{i}" for i in range(8))),
             (3, "x y z x y z q"),
+            # Degenerate short docs: sequence(1, hi) DESCENDS for hi < 1 in
+            # Spark, so unguarded n-gram transforms threw
+            # INVALID_ARRAY_INDEX_IN_ELEMENT_AT on any doc under 3 words.
+            (4, ""),
+            (5, "   "),
+            (6, "solo"),
+            (7, "two words"),
         ],
         "doc_id long, text string",
     )
     rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 7}
+    for empty_id in (4, 5):
+        r = rows[empty_id]
+        assert r.n_words == 0 and r.rep_pass is False
+        assert r.dup_word_frac is None and r.dup_trigram_frac is None
+    r6 = rows[6]
+    assert (r6.n_words, r6.dup_word_frac, r6.top_word_share) == (1, 0.0, 1.0)
+    assert r6.top_bigram_share == 0.0 and r6.dup_trigram_frac == 0.0
+    assert r6.rep_pass is False  # top_word_share 1.0 > 0.2
+    r7 = rows[7]
+    assert (r7.n_words, r7.top_word_share, r7.top_bigram_share) == (2, 0.5, 1.0)
+    assert r7.dup_trigram_frac == 0.0 and r7.rep_pass is False
     r1 = rows[1]
     assert (r1.dup_word_frac, r1.top_word_share) == (0.75, 1.0)
     assert r1.top_bigram_share == round(3 * 2 / 4, 6)
