@@ -138,6 +138,15 @@ HEADLINE = [
     "pq_recall_at10",             # PQ distortion eval (exact-vs-ADC recall)
     "knn_ivfpq",                  # IVF-PQ: probed lists + residual ADC codes
     "pq_compression_report",      # index-memory audit (raw vs PQ bytes)
+    # round-5 additions: build vs amortized-query split for the index
+    # families (VERDICT r4 item 3).  The *_stored rows are the per-query
+    # cost once the write-time artifact exists (first rep builds the store,
+    # min() over reps records the amortized path); knn_graph_build prices
+    # the write-time edge-list construction explicitly.
+    "knn_ivf_stored",             # pruned-partition IVF query (no build)
+    "knn_ivfpq_stored",           # pruned-partition ADC query (no build)
+    "knn_graph_stored",           # beam rounds only (no pair-join build)
+    "knn_graph_build",            # write-time edge-list build cost
 ]
 
 

@@ -421,6 +421,31 @@ def knn_graph_edges(
     )
 
 
+def score_node_ids(
+    vectors: DataFrame,
+    ids: DataFrame,
+    q: Column,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Score ONLY the nodes in `ids` (column `nid`) against the query.
+
+    The bounded id set broadcasts and the cosine is computed ABOVE the
+    join — one dot product per MATCHED row, never per corpus row.  This is
+    the lazy-scoring primitive of the graph-ANN query path: per beam round
+    it evaluates <= beam*deg dots regardless of corpus size.  At 100 TB
+    with an id-sorted/bucketed store the broadcast id set additionally
+    prunes the scan via min/max + bloom stats; locally it is a broadcast
+    hash join probe (pin: tests/test_plans.py asserts the score projection
+    sits above the BroadcastHashJoin).
+    """
+    slim = vectors.select(F.col(vec_id).alias("nid"), F.col(vec_col).alias("__v"))
+    return slim.join(F.broadcast(ids.select("nid")), "nid").select(
+        "nid",
+        F.round(cosine_similarity(F.col("__v"), q), SCORE_DP).alias("score"),
+    )
+
+
 def knn_graph_beam(
     vectors: DataFrame,
     query_vec: Sequence[float],
@@ -439,13 +464,19 @@ def knn_graph_beam(
 
     Seeds are the stride-sampled centroid NODES (make_centroids keeps the
     source vec_id as list_id, so every centroid is a real graph vertex)
-    scored against the query — the flat-graph stand-in for HNSW's upper
-    layers, whose job is also just "start the search near the query".
-    Each round expands the current beam along its out-edges, scores the
-    frontier against the query, and keeps the best `beam` ids seen so far
-    (distinct-then-top, ties to the lower id).  Per-query cost is
-    O(rounds * beam * deg) score evaluations — independent of corpus size,
-    which is the entire point of a navigable graph.
+    scored against the query directly from the centroid table — the
+    flat-graph stand-in for HNSW's upper layers, whose job is also just
+    "start the search near the query".  Each round expands the current
+    beam along its out-edges, scores ONLY the new frontier ids against
+    the query (a broadcast id join into the vectors table — see
+    score_node_ids), and keeps the best `beam` ids seen so far (ties to
+    the lower id).  Per-query score-evaluation cost is
+    O(seeds + rounds * beam * deg) dots — independent of corpus size,
+    which is the entire point of a navigable graph.  Nothing corpus-wide
+    is ever scored or materialized at query time; the only corpus-scale
+    relations touched are the write-time edge artifact (probed by a
+    broadcast of <= beam src ids) and the vectors table (probed by a
+    broadcast of the frontier ids).
 
     The returned plan is deterministic and replayable as an unrolled SQL
     CTE (see the knn_graph query's oracle), because every cut uses the
@@ -462,15 +493,14 @@ def knn_graph_beam(
             eager=True
         )
     q = literal_vector(query_vec)
-    # seeds + every round's frontier join this scored relation: materialize
-    # the one-dot-per-node scan once
-    scored_nodes = vectors.select(
-        F.col(vec_id).alias("nid"),
-        F.round(cosine_similarity(F.col(vec_col), q), SCORE_DP).alias("score"),
-    ).localCheckpoint(eager=True)
+    # seeds: centroids ARE corpus vectors (list_id = source vec_id), so the
+    # seed scores come straight off the bounded centroid table — no corpus
+    # touch at all
     beam_df = (
-        centroids.select(F.col("list_id").alias("nid"))
-        .join(scored_nodes, "nid")
+        centroids.select(
+            F.col("list_id").alias("nid"),
+            F.round(cosine_similarity(F.col("centroid"), q), SCORE_DP).alias("score"),
+        )
         .orderBy(F.desc("score"), F.asc("nid"))
         .limit(beam)
     )
@@ -479,16 +509,18 @@ def knn_graph_beam(
     # (the dedup_clusters iterative-plan idiom)
     beam_df = beam_df.localCheckpoint(eager=False)
     for _ in range(rounds):
-        frontier = (
-            beam_df.select(F.col("nid").alias("src"))
-            .join(edges, "src")
+        beam_ids = beam_df.select("nid")
+        frontier_ids = (
+            edges.join(F.broadcast(beam_df.select(F.col("nid").alias("src"))), "src")
             .select(F.col("dst").alias("nid"))
             .distinct()
-            .join(scored_nodes, "nid")
+            # already-scored beam members need no new dot; also keeps the
+            # union below duplicate-free without a distinct shuffle
+            .join(F.broadcast(beam_ids), "nid", "left_anti")
         )
+        frontier = score_node_ids(vectors, frontier_ids, q, vec_id, vec_col)
         beam_df = (
             beam_df.unionAll(frontier)
-            .distinct()  # (nid, score) pairs: score is functional on nid
             .orderBy(F.desc("score"), F.asc("nid"))
             .limit(beam)
             .localCheckpoint(eager=False)

@@ -1,0 +1,272 @@
+"""Persisted, partition-pruned batch index stores (the write-time /
+query-time split for the ANN families).
+
+The reference builds its index once at ingest and every query reads the
+persisted artifact (reference index.py:434 persists the HNSW collection;
+ask.py only queries it).  The batch ANN queries previously recomputed
+their artifacts inline per query — correct, but it priced the write-time
+build into every query and hid the partition-pruned read the layouts were
+designed for.  This module persists each family's artifacts once per
+(sf_dir, kind) and serves queries from the store:
+
+* **IVF**: vectors + list assignment PARTITIONED BY list_id, plus the
+  centroid table.  Query-time probe selection collects the nprobe list
+  ids from the bounded centroid table (index metadata — the coarse
+  quantizer FAISS keeps in RAM; O(sqrt N) rows, same driver-literal idiom
+  as the LSH signature) so the list filter is LITERAL and reaches the
+  scan as PartitionFilters: the query reads nprobe/nlists of the files.
+* **IVF-PQ**: the 4-bit residual code table PARTITIONED BY list_id, plus
+  codebook and centroids.  Same literal probe; the pruned code scan joins
+  a broadcast LUT and decimal-sums — zero float math per candidate.
+* **graph**: the top-deg edge list and the node table (write-time
+  artifacts of the navigable graph), read back by the same lazy beam
+  search (search.knn_graph_beam) — per-query cost is the beam rounds
+  only, never the IVF-blocked pair build.
+
+Stores are built at most once per process per (sf_dir, kind) into a fresh
+temp directory (no cross-process staleness: a new process re-derives from
+the parquet inputs; at scale these are real tables maintained by the
+streaming ingest — run_stream_ivf_ingest already lands the identical IVF
+layout).  All stored vector columns round-trip parquet bit-exactly
+(float/double arrays), so stored-query results are byte-identical to the
+inline forms and share their oracles.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_vector_spark.catalog import table
+from log_vector_spark.functions.vector import cosine_similarity, dot_product, literal_vector
+from log_vector_spark.operators import search
+from log_vector_spark.operators.search import SCORE_DP
+
+_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ensure(spark: SparkSession, sf_dir: str, kind: str, builder) -> str:
+    key = (os.path.abspath(sf_dir), kind)
+    path = _CACHE.get(key)
+    if path is not None and os.path.exists(os.path.join(path, "_BUILT")):
+        return path
+    path = tempfile.mkdtemp(prefix=f"lvs_{kind}_store_")
+    builder(spark, sf_dir, path)
+    with open(os.path.join(path, "_BUILT"), "w") as fh:
+        fh.write(kind)
+    _CACHE[key] = path
+    return path
+
+
+# ---------------------------------------------------------------- IVF ----
+
+
+def _build_ivf(spark: SparkSession, sf_dir: str, path: str) -> None:
+    emb = table(spark, "embeddings", sf_dir)
+    cents = search.make_centroids(emb).localCheckpoint(eager=True)
+    assigned = search.ivf_assign(emb, cents)
+    (
+        assigned.select("vec_id", "embedding", "label", "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    return _ensure(spark, sf_dir, "ivf", _build_ivf)
+
+
+def probe_list_ids(
+    spark: SparkSession, store_root: str, query_vec: Sequence[float], nprobe: int
+) -> list[int]:
+    """Driver-side coarse quantization: top-nprobe list ids as LITERALS.
+
+    The centroid table is bounded index metadata (sqrt N rows — what FAISS
+    holds in RAM as the coarse quantizer), so one bounded collect here buys
+    a literal ``list_id IN (...)`` filter that prunes the partitioned store
+    at the scan (PartitionFilters), instead of a join-shaped probe that
+    must touch every file's footer.  Ties break to the lower list_id —
+    identical to the inline knn_ivf probe and its oracle.
+    """
+    cents = spark.read.parquet(os.path.join(store_root, "centroids"))
+    q = literal_vector(query_vec)
+    rows = (
+        cents.select(
+            "list_id",
+            F.round(cosine_similarity(F.col("centroid"), q), SCORE_DP).alias("qscore"),
+        )
+        .orderBy(F.desc("qscore"), F.asc("list_id"))
+        .limit(nprobe)
+        .collect()
+    )
+    return [r.list_id for r in rows]
+
+
+def knn_ivf_stored(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k from the persisted list_id-partitioned store.
+
+    Identical results to search.knn_ivf (same centroids, same assignment,
+    same exact scoring and ties — shares its oracle); the difference is the
+    plan: the scan carries ``PartitionFilters: [list_id IN (...)]`` so only
+    nprobe of the n_lists partitions are read, and no assignment work runs
+    at query time.  tests/test_plans.py pins the pruned scan.
+    """
+    root = ensure_ivf_store(spark, sf_dir)
+    lists = probe_list_ids(spark, root, query_vec, nprobe)
+    q = literal_vector(query_vec)
+    vecs = spark.read.parquet(os.path.join(root, "vectors")).filter(
+        F.col("list_id").isin(lists)
+    )
+    return (
+        vecs.select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), q), SCORE_DP).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------- IVF-PQ ----
+
+
+def _build_ivfpq(spark: SparkSession, sf_dir: str, path: str) -> None:
+    from log_vector_spark.operators import pq
+
+    emb = table(spark, "embeddings", sf_dir)
+    cents = search.make_centroids(emb).localCheckpoint(eager=True)
+    res = pq.residual_frame(emb, cents).localCheckpoint(eager=True)
+    codebook = pq.pq_codebook(res, vec_col="residual")
+    codes = pq.pq_encode(res, codebook, vec_col="residual").join(
+        res.select("vec_id", "list_id"), "vec_id"
+    )
+    (
+        codes.write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(path, "codes"))
+    )
+    codebook.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
+    return _ensure(spark, sf_dir, "ivfpq", _build_ivfpq)
+
+
+def knn_ivfpq_stored(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int = 4,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ ADC top-k from the persisted code store.
+
+    Identical scores to pq.knn_ivfpq (shares its oracle): the probed lists
+    are chosen by the same (qscore desc, list_id asc) rule, the LUT is the
+    same inner-product decomposition q·c_list + sum_j dot(q_j, center),
+    and partial sums use the same DECIMAL(18,6) fixed point.  Query-time
+    data-scaled work = one scan of the PRUNED (PartitionFilters on the
+    literal probed list_ids) 4-bit code partitions joined to a broadcast
+    512-row LUT — no residual computation, no encode, no float math per
+    candidate.
+    """
+    root = ensure_ivfpq_store(spark, sf_dir)
+    lists = probe_list_ids(spark, root, query_vec, nprobe)
+    sub = dim // m
+    q = literal_vector([float(x) for x in query_vec])
+    cents = spark.read.parquet(os.path.join(root, "centroids")).filter(
+        F.col("list_id").isin(lists)
+    )
+    qlists = cents.select(
+        "list_id",
+        F.round(dot_product(q, F.col("centroid")), SCORE_DP)
+        .cast("decimal(18,6)")
+        .alias("qc"),
+    )
+    codebook = spark.read.parquet(os.path.join(root, "codebook"))
+    lut = qlists.crossJoin(F.broadcast(codebook)).select(
+        "list_id",
+        "subspace",
+        "code_id",
+        "qc",
+        F.round(
+            dot_product(F.col("center"), F.slice(q, F.col("subspace") * sub + 1, sub)),
+            SCORE_DP,
+        )
+        .cast("decimal(18,6)")
+        .alias("partial"),
+    )
+    codes = spark.read.parquet(os.path.join(root, "codes")).filter(
+        F.col("list_id").isin(lists)
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["list_id", "subspace", "code_id"])
+        .groupBy("vec_id")
+        .agg((F.first("qc") + F.sum("partial")).cast("double").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+
+
+# --------------------------------------------------------------- graph ----
+
+GRAPH_DEG = 8
+
+
+def _build_graph(spark: SparkSession, sf_dir: str, path: str) -> None:
+    emb = table(spark, "embeddings", sf_dir)
+    cents = search.make_centroids(emb).localCheckpoint(eager=True)
+    edges = search.knn_graph_edges(emb, cents, deg=GRAPH_DEG)
+    edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
+    emb.write.mode("overwrite").parquet(os.path.join(path, "nodes"))
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def ensure_graph_store(spark: SparkSession, sf_dir: str) -> str:
+    return _ensure(spark, sf_dir, "graph", _build_graph)
+
+
+def knn_graph_stored(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: Sequence[float],
+    k: int = 5,
+    beam: int = 8,
+    rounds: int = 3,
+) -> DataFrame:
+    """Graph-ANN beam search over the PERSISTED edge/node artifacts.
+
+    Same beam algorithm, seeds, and tie-breaking as search.knn_graph_beam
+    (shares the knn_graph oracle); the IVF-blocked pair build never runs —
+    the query only pays seeds + rounds of broadcast-probed frontier joins
+    against the stored edge and node tables, which is the amortized cost a
+    resident engine pays per query once the graph artifact exists.
+    """
+    root = ensure_graph_store(spark, sf_dir)
+    edges = spark.read.parquet(os.path.join(root, "edges"))
+    nodes = spark.read.parquet(os.path.join(root, "nodes"))
+    cents = spark.read.parquet(os.path.join(root, "centroids"))
+    return search.knn_graph_beam(
+        nodes,
+        query_vec,
+        k=k,
+        beam=beam,
+        rounds=rounds,
+        deg=GRAPH_DEG,
+        centroids=cents,
+        edges=edges,
+    )

@@ -96,9 +96,10 @@ def similarity_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "knn_ivf",
-    oracle=f"""
+# shared by knn_ivf (inline build) and knn_ivf_stored (persisted store):
+# the store round-trips vectors/assignments bit-exactly, so both paths
+# produce the same rows and replay against the same SQL
+_IVF_ORACLE = f"""
     WITH centroids AS (
       -- sqrt(N) stride (same rule as search.sqrt_stride): N^1.5 total cost
       SELECT vec_id AS list_id, embedding AS centroid
@@ -122,7 +123,12 @@ def similarity_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN assigned a ON e.vec_id = a.vec_id
     JOIN probed p ON a.list_id = p.list_id
     ORDER BY score DESC, e.vec_id ASC LIMIT 5
-    """,
+    """
+
+
+@register(
+    "knn_ivf",
+    oracle=_IVF_ORACLE,
     doc="IVF approximate k-NN: probe 4 nearest centroid lists, exact-score inside.",
 )
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -849,10 +855,9 @@ def _beam_round_sql(r: int, beam: int) -> str:
              ) ORDER BY score DESC, nid ASC LIMIT {beam})"""
 
 
-@register(
-    "knn_graph",
-    oracle=f"""
-    WITH centroids AS (
+# graph CTEs up to the pruned edge list: shared by the beam-search oracle
+# (knn_graph / knn_graph_stored) and the build-stats oracle (knn_graph_build)
+_GRAPH_CTES = f"""centroids AS (
       SELECT vec_id AS list_id, embedding AS centroid
       FROM embeddings,
            (SELECT greatest(16, CAST(floor(sqrt(count(*)) / 4 + 0.5) AS BIGINT)) AS s
@@ -878,12 +883,19 @@ def _beam_round_sql(r: int, beam: int) -> str:
       SELECT id_a AS src, id_b AS dst, escore FROM pe
       UNION ALL SELECT id_b AS src, id_a AS dst, escore FROM pe
     ), topd AS (
-      SELECT src, dst FROM (
-        SELECT src, dst,
+      SELECT src, dst, escore FROM (
+        SELECT src, dst, escore,
                row_number() OVER (PARTITION BY src ORDER BY escore DESC, dst ASC) AS rn
         FROM sym
       ) WHERE rn <= {_GRAPH_DEG}
-    ), ns AS (
+    )"""
+
+
+# shared by knn_graph (inline build) and knn_graph_stored (persisted
+# edge/node artifacts): both run the identical beam, so one oracle replays
+# both
+_GRAPH_ORACLE = f"""
+    WITH {_GRAPH_CTES}, ns AS (
       SELECT vec_id AS nid, round({_cos('embedding', _Q)}, 6) AS score FROM embeddings
     ), b0 AS (
       SELECT ns.nid, ns.score FROM centroids c JOIN ns ON ns.nid = c.list_id
@@ -892,7 +904,12 @@ def _beam_round_sql(r: int, beam: int) -> str:
     {",".join(_beam_round_sql(r, _GRAPH_BEAM) for r in range(1, _GRAPH_ROUNDS + 1))}
     SELECT nid AS vec_id, score FROM b{_GRAPH_ROUNDS}
     ORDER BY score DESC, vec_id ASC LIMIT 5
-    """,
+    """
+
+
+@register(
+    "knn_graph",
+    oracle=_GRAPH_ORACLE,
     doc="Graph-ANN (HNSW-class) retrieval: beam search over a distributed "
     "k-NN graph.  Closes the one index family the repo lacked vs the "
     "reference's HNSW store (reference/index.py:434): build = IVF-blocked "
@@ -1207,9 +1224,9 @@ _IVFPQ_CTES = f"""centroids AS (
     )"""
 
 
-@register(
-    "knn_ivfpq",
-    oracle=f"""
+# shared by knn_ivfpq (inline build) and knn_ivfpq_stored (persisted
+# residual-code store)
+_IVFPQ_ORACLE = f"""
     WITH {_IVFPQ_CTES},
     probed AS (
       SELECT list_id, centroid FROM (
@@ -1237,7 +1254,12 @@ _IVFPQ_CTES = f"""centroids AS (
               AND e.code_id = l.code_id
     GROUP BY vec_id
     ORDER BY score DESC, vec_id ASC LIMIT 5
-    """,
+    """
+
+
+@register(
+    "knn_ivfpq",
+    oracle=_IVFPQ_ORACLE,
     doc="IVF-PQ approximate k-NN — the production 100 TB ANN layout (FAISS's "
     "deployed structure): coarse IVF lists + PQ-encoded RESIDUALS from each "
     "list centroid; query time probes 4 lists and scores candidates as "
@@ -1253,3 +1275,102 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, "embeddings", sf_dir)
     return _knn_ivfpq(emb, search.make_centroids(emb), QVEC, k=5, nprobe=4)
+
+
+# -- persisted-index query forms (VERDICT r4 item 2) -----------------------
+#
+# The inline knn_ivf / knn_ivfpq / knn_graph queries price the write-time
+# index build into every query.  The *_stored forms read the artifacts a
+# deployment would persist at ingest (sources/index_store.py; the streaming
+# side already lands the identical IVF layout in run_stream_ivf_ingest) and
+# pay only the query path: a literal-probed, PartitionFilters-pruned scan
+# for IVF / IVF-PQ, and the lazy beam rounds for the graph.  Results are
+# byte-identical to the inline forms, so each shares its oracle.
+
+
+@register(
+    "knn_ivf_stored",
+    oracle=_IVF_ORACLE,
+    doc="IVF top-k from the persisted list_id-partitioned vector store: "
+    "driver-literal probe of the bounded centroid table -> PartitionFilters "
+    "pruning (reads nprobe of n_lists partitions), exact scoring inside.  "
+    "The amortized query path of knn_ivf once the ingest-time artifact "
+    "exists (reference index.py:434 write-time index semantics).  "
+    "sources/index_store.py:knn_ivf_stored.",
+)
+def knn_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.sources import index_store
+
+    return index_store.knn_ivf_stored(spark, sf_dir, QVEC, k=5, nprobe=4)
+
+
+@register(
+    "knn_ivfpq_stored",
+    oracle=_IVFPQ_ORACLE,
+    doc="IVF-PQ ADC top-k from the persisted 4-bit residual-code store "
+    "partitioned by list_id: literal probe -> pruned code scan -> broadcast "
+    "512-row LUT join -> decimal sum.  The amortized query path of "
+    "knn_ivfpq.  sources/index_store.py:knn_ivfpq_stored.",
+)
+def knn_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.sources import index_store
+
+    return index_store.knn_ivfpq_stored(spark, sf_dir, QVEC, k=5, nprobe=4)
+
+
+@register(
+    "knn_graph_stored",
+    oracle=_GRAPH_ORACLE,
+    doc="Graph-ANN beam search over the persisted edge/node artifacts: the "
+    "amortized query path of knn_graph — seeds + rounds of broadcast-probed "
+    "frontier joins, no pair-join build.  sources/index_store.py:"
+    "knn_graph_stored.",
+)
+def knn_graph_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.sources import index_store
+
+    return index_store.knn_graph_stored(
+        spark, sf_dir, QVEC, k=5, beam=_GRAPH_BEAM, rounds=_GRAPH_ROUNDS
+    )
+
+
+@register(
+    "knn_graph_build",
+    oracle=f"""
+    WITH {_GRAPH_CTES}
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+           round(count(*) / CAST(count(DISTINCT src) AS DOUBLE), 6) AS avg_out_degree,
+           round(CAST(sum(CAST(escore AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS avg_escore,
+           round(max(escore), 6) AS max_escore,
+           round(min(escore), 6) AS min_escore
+    FROM topd
+    """,
+    doc="Write-time cost surface of the graph-ANN family: builds the "
+    "IVF-blocked top-deg edge list and reports its shape (edge/node counts, "
+    "mean out-degree, edge-score spread).  Benchmarked separately from the "
+    "beam query (knn_graph_stored) so the 2x envelope judges the amortized "
+    "query path and the build is priced where a deployment pays it — at "
+    "ingest.  Decimal-exact mean (float sums are order-dependent; the "
+    "decimal fixed-point sum is associative at any parallelism).  "
+    "operators/search.py:knn_graph_edges.",
+)
+def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    cents = search.make_centroids(emb)
+    edges = search.knn_graph_edges(emb, cents, deg=_GRAPH_DEG)
+    return edges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.countDistinct("src").cast("bigint").alias("n_nodes"),
+        F.round(
+            F.count(F.lit(1)) / F.countDistinct("src").cast("double"), 6
+        ).alias("avg_out_degree"),
+        F.round(
+            F.sum(F.col("escore").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_escore"),
+        F.round(F.max("escore"), 6).alias("max_escore"),
+        F.round(F.min("escore"), 6).alias("min_escore"),
+    )

@@ -359,3 +359,91 @@ def test_embedding_outliers_broadcasts_only_label_centroids(spark):
         p = plan_string(m.queries()["embedding_outliers"](spark, SF), "simple")
     # one hinted broadcast: the |labels|-row centroid table
     assert p.count("BroadcastHashJoin") == 1
+
+
+@pytest.mark.spark
+def test_graph_beam_scores_only_broadcast_joined_frontier(spark, monkeypatch):
+    """VERDICT r4 item 1: the graph-ANN query path must never score the
+    whole corpus.  Three pins:
+
+    1. score_node_ids puts the cosine projection ABOVE the broadcast id
+       join — one dot per MATCHED row, never per corpus row.  In the plan
+       tree parents print before children, so every occurrence of the
+       scoring expression must appear before the BroadcastHashJoin.
+    2. Every id set knn_graph_beam hands to score_node_ids is bounded by
+       beam*deg rows (row-counted through a monkeypatch) — the
+       O(rounds*beam*deg) docstring claim, measured.
+    3. The returned DataFrame's own plan reads only the checkpointed beam:
+       no parquet scan, no cosine fold — all corpus contact happened
+       through the broadcast-probed joins inside the rounds.
+    """
+    from pyspark.sql import functions as F
+
+    from log_vector_spark.catalog import table
+    from log_vector_spark.operators import search
+
+    vectors = table(spark, "embeddings", SF)
+    q = search.literal_vector([1.0] + [0.0] * 63)
+    ids = spark.range(3).select(F.col("id").alias("nid"))
+    with no_size_broadcasts(spark):
+        p = plan_string(search.score_node_ids(vectors, ids, q), "simple")
+    score_at = p.find("aggregate(zip_with")  # the HOF cosine fold
+    bhj_at = p.find("BroadcastHashJoin")
+    assert score_at != -1 and bhj_at != -1, p
+    assert p.count("aggregate(zip_with") == p[:bhj_at].count("aggregate(zip_with"), p
+
+    beam_w, deg, rounds = 4, 4, 2
+    centroids = search.make_centroids(vectors, every=37)
+    edges = search.knn_graph_edges(vectors, centroids, deg=deg).localCheckpoint(eager=True)
+    real_score = search.score_node_ids
+    scored_counts = []
+
+    def counting_score(vecs, ids_df, qv, *a, **kw):
+        scored_counts.append(ids_df.count())
+        return real_score(vecs, ids_df, qv, *a, **kw)
+
+    monkeypatch.setattr(search, "score_node_ids", counting_score)
+    df = search.knn_graph_beam(
+        vectors,
+        [1.0] + [0.0] * 63,
+        k=5,
+        beam=beam_w,
+        rounds=rounds,
+        deg=deg,
+        centroids=centroids,
+        edges=edges,
+    )
+    assert len(scored_counts) == rounds
+    assert all(c <= beam_w * deg for c in scored_counts), scored_counts
+    final = plan_string(df, "simple")
+    assert "aggregate(zip_with" not in final and "FileScan" not in final, final
+    assert df.count() == min(5, beam_w)  # and the plan still executes
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("name", ["knn_ivf_stored", "knn_ivfpq_stored"])
+def test_stored_index_queries_prune_partitions(spark, name):
+    """VERDICT r4 item 2: the persisted-index query forms must read nprobe
+    of n_lists partitions — the literal probe has to reach the store scan
+    as PartitionFilters on list_id, not as a post-scan data filter."""
+    import __spark_entry__ as m
+
+    df = m.queries()[name](spark, SF)
+    plan = plan_string(df, "simple")
+    lines = [l for l in plan.splitlines() if "PartitionFilters: [" in l]
+    assert lines, plan
+    assert any(
+        "list_id" in l.split("PartitionFilters", 1)[1].split("]")[0] for l in lines
+    ), plan
+    # and the result still matches the inline form
+    inline = m.queries()[name.replace("_stored", "")](spark, SF)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, inline.collect()))
+
+
+@pytest.mark.spark
+def test_graph_stored_matches_inline(spark):
+    import __spark_entry__ as m
+
+    stored = m.queries()["knn_graph_stored"](spark, SF)
+    inline = m.queries()["knn_graph"](spark, SF)
+    assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, inline.collect()))
