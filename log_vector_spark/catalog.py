@@ -116,3 +116,36 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every table as a temp view for the SQL API."""
     for name in TABLES:
         table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+# -- cached corpus-size statistic (VERDICT r4 item 7) ----------------------
+#
+# The adaptive sizing rules (sqrt_stride centroid count, LSH band width,
+# PQ codebook stride) need N at plan-build time.  At 100 TB that number is
+# table METADATA — catalog statistics / parquet footer row counts — not a
+# job.  Locally the first lookup per distinct plan runs one count job and
+# every later plan reuses it, so repeated index builds over the same input
+# stop paying an extra scan per query.
+
+_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def cached_count(df: DataFrame) -> int:
+    """Row count of `df`, memoized on (semantic plan hash, input files).
+
+    ``semanticHash`` distinguishes filtered/projected variants of the same
+    scan (file lists alone would alias them); the input-file list guards
+    the rare cross-plan hash collision and ties the entry to the concrete
+    data.  Frames with no stable identity (empty file list AND a failed
+    hash) fall back to an uncached count.
+    """
+    try:
+        key = (df._jdf.semanticHash(), tuple(sorted(df.inputFiles())))
+    except Exception:  # noqa: BLE001 - e.g. non-JVM-backed test doubles
+        return df.count()
+    hit = _COUNT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n = df.count()
+    _COUNT_CACHE[key] = n
+    return n

@@ -800,7 +800,9 @@ def lsh_band_verified_pairs(
     no array-valued shuffle key exists in the plan)."""
     from log_vector_spark.functions.vector import dot_product, l2_normalize
 
-    n = vectors.count()
+    from log_vector_spark.catalog import cached_count
+
+    n = cached_count(vectors)
     bits = lsh_band_bits(n)
     mask = (1 << bits) - 1
     # normalize ONCE per vector (blocked_pairs discipline) so each candidate

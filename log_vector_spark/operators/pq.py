@@ -63,7 +63,9 @@ def pq_codebook(
 ) -> DataFrame:
     """(subspace, code_id, center): k deterministic code centers per
     subspace, taken from the k lowest-id stride-sampled vectors."""
-    every = sqrt_stride(vectors.count())
+    from log_vector_spark.catalog import cached_count
+
+    every = sqrt_stride(cached_count(vectors))
     sub = dim // m
     seeds = (
         vectors.filter(F.col(vec_id) % every == 0)

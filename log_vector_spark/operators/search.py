@@ -315,11 +315,52 @@ def make_centroids(
     plan shape.)
     """
     if every is None:
-        every = sqrt_stride(vectors.count())
+        from log_vector_spark.catalog import cached_count
+
+        every = sqrt_stride(cached_count(vectors))
     return vectors.filter(F.col(vec_id) % every == 0).select(
         F.col(vec_id).alias("list_id"),
         F.col(vec_col).alias("centroid"),
     )
+
+
+def make_centroids_kmeans(
+    vectors: DataFrame,
+    every: int | None = None,
+    iters: int = 2,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K-means-refined IVF centroids (opt-in upgrade over the stride pick).
+
+    Seeds are the SAME stride-sampled vectors make_centroids picks (cid =
+    seed vec_id, so ties and list ids stay comparable), then `iters`
+    deterministic Lloyd rounds of cluster.py's assign/update: rounded-6dp
+    L2 argmin with lowest-cid ties, decimal-exact per-dim means — the
+    kmeans_clusters idiom, so the refined centroid table is bit-replayable
+    by an unrolled SQL oracle.  Empty clusters drop (fewer, denser lists).
+
+    This is the offline re-train step a real IVF deployment runs when
+    recall degrades (FAISS trains its coarse quantizer the same way); cost
+    is iters extra assignment passes (~N·k dots, the same N^1.5 envelope
+    as one IVF build) + a linear (cid, dim)-keyed mean shuffle per round —
+    write-time work, amortized over every query.  Centroids are MEANS, not
+    corpus vectors, so use make_centroids where seeds must be real nodes
+    (the graph entry points).
+    """
+    from log_vector_spark.operators.cluster import _assign, _update
+
+    if every is None:
+        from log_vector_spark.catalog import cached_count
+
+        every = sqrt_stride(cached_count(vectors))
+    v = vectors.select(
+        F.col(vec_id), F.transform(vec_col, lambda x: x.cast("double")).alias("e")
+    )
+    c = v.filter(F.col(vec_id) % every == 0).select(F.col(vec_id).alias("cid"), "e")
+    for _ in range(iters):
+        c = _update(_assign(v, c, vec_id))
+    return c.select(F.col("cid").alias("list_id"), F.col("e").alias("centroid"))
 
 
 def normalize_vectors(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:

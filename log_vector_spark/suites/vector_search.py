@@ -1374,3 +1374,125 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("escore"), 6).alias("max_escore"),
         F.round(F.min("escore"), 6).alias("min_escore"),
     )
+
+
+# -- k-means-refined IVF (VERDICT r4 item 4) -------------------------------
+
+_KM_ASSIGN = (
+    "SELECT vec_id, e, cid, d FROM ("
+    "  SELECT v.vec_id, v.e, {c}.cid,"
+    "         round(list_distance(v.e, {c}.e), 6) AS d,"
+    "         row_number() OVER (PARTITION BY v.vec_id"
+    "                            ORDER BY round(list_distance(v.e, {c}.e), 6),"
+    "                                     {c}.cid) AS rn"
+    "  FROM v CROSS JOIN {c}) WHERE rn = 1"
+)
+_KM_UPDATE = (
+    "SELECT cid, list(xm ORDER BY dim) AS e FROM ("
+    "  SELECT cid, dim,"
+    "         round(CAST(sum(CAST(x AS DECIMAL(28,20))) AS DOUBLE) / count(*), 6) AS xm"
+    "  FROM (SELECT cid, t.i AS dim, e[t.i] AS x"
+    "        FROM {a}, (SELECT unnest(range(1, 65)) AS i) t)"
+    "  GROUP BY cid, dim) GROUP BY cid"
+)
+
+
+def _kmeans_centroid_ctes(iters: int = 2) -> str:
+    """Stride-seeded (cid = seed vec_id) Lloyd rounds, mirroring
+    search.make_centroids_kmeans: ends in a `cents(list_id, centroid)` CTE."""
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "st AS (SELECT greatest(16, CAST(floor(sqrt(count(*)) / 4 + 0.5) AS BIGINT))"
+        "       AS s FROM embeddings)",
+        "kc0 AS (SELECT vec_id AS cid, e FROM v, st WHERE vec_id % st.s = 0)",
+    ]
+    for it in range(iters):
+        ctes.append(f"ka{it} AS (" + _KM_ASSIGN.format(c=f"kc{it}") + ")")
+        ctes.append(f"kc{it + 1} AS (" + _KM_UPDATE.format(a=f"ka{it}") + ")")
+    ctes.append(
+        f"cents AS (SELECT cid AS list_id, e AS centroid FROM kc{iters})"
+    )
+    return ", ".join(ctes)
+
+
+@register(
+    "ivf_kmeans_recall_at10",
+    oracle=f"""
+    WITH {_kmeans_centroid_ctes(2)},
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_cos('e.embedding', 'q.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rn <= 10
+    ),
+    assigned AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_cos('e.embedding', 'c.centroid')}, 6) DESC, c.list_id ASC
+               ) AS crank
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE crank = 1
+    ),
+    probed AS (
+      SELECT query_id, list_id FROM (
+        SELECT q.query_id, c.list_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_cos('c.centroid', 'q.qv')}, 6) DESC, c.list_id ASC) AS pr
+        FROM cents c CROSS JOIN q
+      ) WHERE pr <= 4
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY round({_cos('e.embedding', 'q2.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM embeddings e
+        JOIN assigned a ON a.vec_id = e.vec_id
+        JOIN probed p ON p.list_id = a.list_id
+        JOIN q q2 ON q2.query_id = p.query_id
+      ) WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT exact.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM exact JOIN approx USING (query_id, vec_id) GROUP BY exact.query_id
+    )
+    SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+    """,
+    doc="Recall@10 of the IVF path with K-MEANS-REFINED centroids "
+    "(stride seeds -> 2 deterministic Lloyd rounds, "
+    "operators/search.py:make_centroids_kmeans) against the exact top-10 "
+    "— the offline re-train a deployment runs when stride-pick recall "
+    "degrades (how FAISS trains its coarse quantizer).  Same eval shape "
+    "as ivf_recall_at10 so the two rows compare directly; "
+    "tests/test_ann_recall.py pins refined-mean-recall >= stride-mean-"
+    "recall on the fixture.  Fully deterministic (rounded L2 argmin, "
+    "decimal means) and replayed by an unrolled DuckDB oracle.",
+)
+def ivf_kmeans_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = search.knn_batch_topk(emb, queries_df, k=10).select("query_id", "vec_id")
+    cents = search.make_centroids_kmeans(emb, iters=2)
+    approx = search.knn_ivf_batch(emb, cents, queries_df, k=10, nprobe=4).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = queries_df.select("query_id")
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / 10.0, 6).alias("recall"),
+    )

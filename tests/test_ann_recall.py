@@ -223,3 +223,20 @@ def test_ivfpq_structure_and_within_probe_quality(spark, emb):
         assert sum(overlaps) / len(overlaps) >= 0.10, f"ADC-in-probed collapsed: {overlaps}"
     finally:
         assigned.unpersist()
+
+
+@pytest.mark.spark
+def test_kmeans_centroids_recall_not_worse_than_stride(spark):
+    """VERDICT r4 item 4: the k-means-refined coarse quantizer must not
+    lose recall vs the raw stride pick on the fixture (it measured
+    0.50 vs 0.42 mean recall@10 at sf0.001 when pinned)."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    sf = "/root/testdata/sf0.001"
+    km = {r.query_id: r.recall for r in qs["ivf_kmeans_recall_at10"](spark, sf).collect()}
+    st = {r.query_id: r.recall for r in qs["ivf_recall_at10"](spark, sf).collect()}
+    assert set(km) == set(st) and len(km) == 5
+    km_mean = sum(km.values()) / len(km)
+    st_mean = sum(st.values()) / len(st)
+    assert km_mean >= st_mean, (km, st)
