@@ -143,6 +143,7 @@ HEADLINE = [
     # cost once the write-time artifact exists (first rep builds the store,
     # min() over reps records the amortized path); knn_graph_build prices
     # the write-time edge-list construction explicitly.
+    "perplexity_gate",            # CCNet bigram-LM quality gate (terciles)
     "knn_ivf_stored",             # pruned-partition IVF query (no build)
     "knn_ivfpq_stored",           # pruned-partition ADC query (no build)
     "knn_graph_stored",           # beam rounds only (no pair-join build)

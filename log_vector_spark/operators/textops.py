@@ -172,3 +172,96 @@ def pii_counts(text: Column) -> list[Column]:
         )
         scrubbed = F.regexp_replace(scrubbed, pattern, token)
     return cols
+
+
+def perplexity_gate(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style perplexity quality gate (Wenzek et al. 2020, public
+    paper): score every document by its perplexity under a language model,
+    band the corpus into head / middle / tail by perplexity terciles, and
+    gate out the tail — the canonical LM-based web-corpus quality filter.
+
+    The LM is the corpus-fit add-1-smoothed conditional bigram model the
+    mining suite already exposes (bigram_logprob) — the engine-local
+    stand-in for CCNet's Wikipedia-trained KenLM (swap the `lp` relation
+    for external model scores to reproduce CCNet exactly).  Per doc:
+
+      avg_logprob : mean log10 P(w2|w1) over the doc's bigrams (6dp)
+      ppl         : 10^(-avg_logprob) — per-bigram normalized perplexity
+      bucket      : 'head' (best tercile) / 'middle' / 'tail' by EXACT
+                    corpus avg_logprob terciles (linear interpolation —
+                    Spark `percentile` and DuckDB `quantile_cont` share
+                    the formula, verified bit-equal)
+      ppl_pass    : bucket != 'tail'
+
+    Docs with no bigrams (< 2 tokens) get an explicit row: NULL scores,
+    bucket 'tail', ppl_pass false (the repetition_stats missing-row rule).
+
+    Plan shape: vocab + bigram-vocab hash aggregates, a 1-row vocab-size
+    broadcast, probability table joined back on the doc bigrams (linear,
+    keyed by token/bigram), one exact-percentile 1-row aggregate
+    broadcast into the final scan-stage bucket projection.  No windows
+    over data-scaled relations; at 100 TB the LM fit is write-time work
+    shared with every other LM consumer, and the gate itself is a
+    broadcast-join + filter on the scan.
+    """
+    from log_vector_spark.functions.text import shingles_from_words
+
+    w = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("words"))
+    bgs = w.select(id_col, F.explode(shingles_from_words(F.col("words"), n=2)).alias("bg"))
+    toks = w.select(id_col, F.explode("words").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    bi = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    v = uni.agg(F.count(F.lit(1)).alias("vsize"))
+    lp = (
+        bi.join(uni, F.substring_index(F.col("bg"), " ", 1) == F.col("tok"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bg",
+            F.log10(
+                (F.col("cb") + 1).cast("double")
+                / (F.col("cu") + F.col("vsize")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    per_doc = (
+        bgs.join(lp, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+        # consumed twice (tercile bounds + the per-doc join): checkpoint so
+        # the whole LM fit runs ONCE instead of duplicating its subtree —
+        # at scale the fitted per-doc score table is a write-time artifact
+        # shared by every consumer (the knn_ivfpq residual-frame idiom)
+        .localCheckpoint(eager=False)
+    )
+    bounds = per_doc.agg(
+        F.expr(
+            "percentile(avg_logprob, array(0.3333333333333333D, 0.6666666666666666D))"
+        ).alias("b")
+    ).select(
+        F.round(F.element_at("b", 1), 6).alias("t1"),
+        F.round(F.element_at("b", 2), 6).alias("t2"),
+    )
+    out = (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(bounds))
+    )
+    bucket = (
+        F.when(F.col("avg_logprob").isNull(), F.lit("tail"))
+        .when(F.col("avg_logprob") >= F.col("t2"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("t1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        "avg_logprob",
+        F.round(F.pow(F.lit(10.0), -F.col("avg_logprob")), 6).alias("ppl"),
+        bucket.alias("bucket"),
+        (bucket != F.lit("tail")).alias("ppl_pass"),
+    )

@@ -561,3 +561,51 @@ def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "total_words", "total_pieces",
         F.round(F.col("total_pieces").cast("double") / F.col("total_words"), 6).alias("fertility"),
     )
+
+
+@register(
+    "perplexity_gate",
+    oracle=f"""
+    WITH bgs AS ({_BIGRAMS_SQL}),
+    toks AS ({_TOKS_SQL}),
+    uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY tok),
+    bi AS (SELECT bg, count(*) AS cb FROM bgs GROUP BY bg),
+    v AS (SELECT count(*) AS vsize FROM uni),
+    lp AS (
+      SELECT bg, log10(CAST(cb + 1 AS DOUBLE) / CAST(cu + vsize AS DOUBLE)) AS lp
+      FROM bi JOIN uni ON split_part(bg, ' ', 1) = uni.tok CROSS JOIN v
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(lp), 6) AS avg_logprob
+      FROM bgs JOIN lp USING (bg) GROUP BY doc_id
+    ),
+    b AS (
+      SELECT round(quantile_cont(avg_logprob, 0.3333333333333333), 6) AS t1,
+             round(quantile_cont(avg_logprob, 0.6666666666666666), 6) AS t2
+      FROM per_doc
+    ),
+    j AS (
+      SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             p.avg_logprob,
+             round(pow(10, -p.avg_logprob), 6) AS ppl,
+             CASE WHEN p.avg_logprob IS NULL THEN 'tail'
+                  WHEN p.avg_logprob >= b.t2 THEN 'head'
+                  WHEN p.avg_logprob >= b.t1 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM documents d LEFT JOIN per_doc p USING (doc_id) CROSS JOIN b
+    )
+    SELECT *, bucket <> 'tail' AS ppl_pass FROM j
+    """,
+    doc="CCNet-style perplexity quality gate (Wenzek et al. 2020): per-doc "
+    "perplexity under the corpus-fit bigram LM, head/middle/tail banding "
+    "by EXACT avg-logprob terciles, tail fails the gate.  The LM-based "
+    "rung of the quality-gate family (gopher_rules -> repetition_stats -> "
+    "perplexity_gate), composed into training_data_pipeline.  Docs with "
+    "< 2 tokens get an explicit tail/false row.  "
+    "operators/textops.py:perplexity_gate.",
+)
+def perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators import textops
+
+    return textops.perplexity_gate(table(spark, "documents", sf_dir))

@@ -19,6 +19,7 @@ from log_vector_spark.operators import chunk as chunk_ops
 from log_vector_spark.operators import search
 from log_vector_spark.operators.embed import DeterministicEmbedder
 from log_vector_spark.registry import register
+from log_vector_spark.suites.mining_suite import _BIGRAMS_SQL, _TOKS_SQL
 
 _LCG = "((doc_id * 1103515245 + d * 12345 + 42) % 2147483648) / 2147483648.0 - 0.5"
 
@@ -714,9 +715,24 @@ def _nested_scrub_sql(col: str) -> str:
       FROM m WHERE lang = 'en'
     ), keep AS (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
-    ), surv AS (
+    ), pbgs AS ({_BIGRAMS_SQL}),
+    ptoks AS ({_TOKS_SQL}),
+    puni AS (SELECT tok, count(*) AS cu FROM ptoks GROUP BY tok),
+    pbi AS (SELECT bg, count(*) AS cb FROM pbgs GROUP BY bg),
+    pv AS (SELECT count(*) AS vsize FROM puni),
+    plp AS (
+      SELECT bg, log10(CAST(cb + 1 AS DOUBLE) / CAST(cu + vsize AS DOUBLE)) AS lp
+      FROM pbi JOIN puni ON split_part(bg, ' ', 1) = puni.tok CROSS JOIN pv
+    ),
+    pper AS (
+      SELECT doc_id, round(avg(lp), 6) AS alp
+      FROM pbgs JOIN plp USING (bg) GROUP BY doc_id
+    ),
+    pb AS (SELECT round(quantile_cont(alp, 0.3333333333333333), 6) AS t1 FROM pper),
+    pkeep AS (SELECT doc_id FROM pper CROSS JOIN pb WHERE alp >= t1),
+    surv AS (
       SELECT q.doc_id, q.source, {_nested_scrub_sql('q.text')} AS scrubbed
-      FROM q JOIN keep USING (doc_id)
+      FROM q JOIN keep USING (doc_id) JOIN pkeep USING (doc_id)
       WHERE n_tokens >= 30 AND quality >= 0.3
     ), t AS (
       SELECT doc_id, source, scrubbed,
@@ -733,12 +749,14 @@ def _nested_scrub_sql(col: str) -> str:
     FROM c
     """,
     doc="The full training-data preparation chain as ONE lazy plan: language "
-    "filter -> quality floor -> exact-dedup survivors -> PII scrub -> token "
-    "count -> concat-then-split packing assignment per source.  Every stage "
-    "is an already-oracle-checked operator (text_quality, exact_dedup, "
-    "scrub_pii, pack_offsets); the composition shuffles three times "
-    "(dedup's hash agg, the survivor semi-join, the packing window) — "
-    "everything else rides the scan stage.  Per-document output ready for a packed-shard writer.",
+    "filter -> quality floor -> exact-dedup survivors -> CCNet perplexity "
+    "gate (corpus-fit bigram LM, bottom tercile dropped) -> PII scrub -> "
+    "token count -> concat-then-split packing assignment per source.  Every "
+    "stage is an already-oracle-checked operator (text_quality, exact_dedup, "
+    "perplexity_gate, scrub_pii, pack_offsets); the composition shuffles "
+    "on the dedup hash agg, the two survivor semi-joins, the LM fit, and "
+    "the packing window — everything else rides the scan stage.  "
+    "Per-document output ready for a packed-shard writer.",
 )
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -749,9 +767,11 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, "documents", sf_dir)
     quality = textops.text_quality(docs.filter(F.col("lang") == "en"), carry_cols=("source", "text"))
     keep_ids = dedup.exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    ppl_ids = textops.perplexity_gate(docs).filter(F.col("ppl_pass")).select("doc_id")
     surv = (
         quality.filter((F.col("n_tokens") >= 30) & (F.col("quality") >= 0.3))
         .join(keep_ids, "doc_id", "left_semi")
+        .join(ppl_ids, "doc_id", "left_semi")
         .select("doc_id", "source", textops.scrub_pii(F.col("text")).alias("scrubbed"))
     )
     t = surv.select(
