@@ -443,6 +443,21 @@ def knn_graph_edges(
     assigned = ivf_assign(vectors, centroids, vec_id, vec_col).select(
         vec_id, vec_col, "list_id"
     )
+    return edges_from_assigned(assigned, deg, vec_id, vec_col)
+
+
+def edges_from_assigned(
+    assigned: DataFrame,
+    deg: int = 8,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-`deg` out-edges per node from an ALREADY list-assigned frame —
+    the shared core of the batch graph build (knn_graph_edges) and the
+    incremental streaming maintenance (streaming.pipeline.
+    run_stream_graph_ingest), which re-runs it on only the lists a new
+    batch touched.  Edges depend only on a list's membership, so the two
+    paths converge to the identical graph."""
     pairs = blocked_pairs(assigned, "list_id", vec_id, vec_col)
     scored = pairs.select(
         "id_a",

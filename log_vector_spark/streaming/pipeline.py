@@ -410,6 +410,120 @@ def run_stream_ivf_ingest(
     }
 
 
+def run_stream_graph_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    deg: int = 8,
+    glob: str = "*.parquet",
+    max_files_per_trigger: int = 1,
+) -> dict:
+    """Incremental k-NN-graph maintenance (VERDICT r4 item 8): as vector
+    batches arrive, keep BOTH write-time ANN artifacts current — the
+    list_id-partitioned vector store (run_stream_ivf_ingest's layout) and
+    the graph edge store — without ever rebuilding the whole graph.
+
+    Per micro-batch:
+      1. assign the batch to its (first-batch-frozen) IVF lists and land it
+         in the vector store with the exactly-once (list_id, epoch)
+         dynamic-overwrite layout;
+      2. collect the batch's TOUCHED list ids (bounded by batch size — an
+         epoch-level literal, like the stream-IVF probe) and re-derive
+         edges for exactly those lists from their complete current
+         membership (a partition-pruned read of the store), with the same
+         blocked-pair + top-deg kernel as the batch build
+         (search.edges_from_assigned);
+      3. dynamic-overwrite the touched lists' edge partitions.
+
+    Bounded incremental state: per-batch work is |touched lists| x
+    (list size)^2 pair dots — candidates come only from the lists the new
+    vectors landed in, never the rest of the corpus — and the only state
+    is the two stores themselves (no unbounded operator state; centroids
+    are the frozen coarse quantizer, re-trained offline like the IVF
+    stream).  Exactly-once: the vector write replaces its own
+    (list_id, epoch) leaves on replay, and the edge write is an IDEMPOTENT
+    per-list overwrite — edges are a deterministic function of list
+    membership, so a replayed epoch rewrites identical content.
+
+    Graph-equivalence invariant (pinned in tests/test_stream_graph.py):
+    a list's edges depend only on its membership, and every touched list
+    is recomputed from its full membership, so after the stream drains the
+    edge store EQUALS knn_graph_edges over the whole corpus under the
+    frozen centroids — batch parity without batch cost.
+
+    Returns {'rows', 'n_lists', 'n_edges', 'centroids' (frozen frame)}.
+    """
+    import os as _os
+
+    from log_vector_spark.operators.search import (
+        edges_from_assigned,
+        ivf_assign,
+        make_centroids,
+    )
+
+    emb_schema = "vec_id long, embedding array<float>, label int"
+    src = (
+        spark.readStream.schema(emb_schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    vec_path = _os.path.join(out_path, "vectors")
+    edge_path = _os.path.join(out_path, "edges")
+    state: dict = {"centroids": None}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if state["centroids"] is None:
+            state["centroids"] = make_centroids(batch_df).localCheckpoint(eager=True)
+        assigned = ivf_assign(batch_df, state["centroids"])
+        (
+            assigned.select("vec_id", "embedding", "label", "list_id")
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("list_id", "epoch")
+            .parquet(vec_path)
+        )
+        touched = [r.list_id for r in assigned.select("list_id").distinct().collect()]
+        members = (
+            spark.read.parquet(vec_path)
+            .filter(F.col("list_id").isin(touched))  # PartitionFilters prune
+            .select("vec_id", "embedding", "list_id")
+        )
+        edges = edges_from_assigned(members, deg).join(
+            members.select(F.col("vec_id").alias("src"), "list_id"), "src"
+        )
+        (
+            edges.select("src", "dst", "escore", "list_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("list_id")
+            .parquet(edge_path)
+        )
+
+    q = (
+        src.writeStream.option(
+            "checkpointLocation", _os.path.join(out_path + "_checkpoint", "")
+        )
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    vectors = spark.read.parquet(vec_path)
+    edges = spark.read.parquet(edge_path)
+    return {
+        "rows": vectors.count(),
+        "n_lists": vectors.select("list_id").distinct().count(),
+        "n_edges": edges.count(),
+        "centroids": state["centroids"],
+    }
+
+
 def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the streaming events feed broadcast-joined
     with a static dimension (per-type category + mean value computed once
