@@ -148,6 +148,8 @@ HEADLINE = [
     "knn_ivfpq_stored",           # pruned-partition ADC query (no build)
     "knn_graph_stored",           # beam rounds only (no pair-join build)
     "knn_graph_build",            # write-time edge-list build cost
+    "ivf_kmeans_recall_at10",     # k-means coarse quantizer recall eval
+    "pq_kmeans_recall_at10",      # k-means PQ codebook recall eval
 ]
 
 

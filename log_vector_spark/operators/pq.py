@@ -85,6 +85,91 @@ def pq_codebook(
     )
 
 
+def pq_codebook_kmeans(
+    vectors: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 2,
+) -> DataFrame:
+    """K-means-refined PQ codebook (opt-in upgrade over the stride pick —
+    per-subspace Lloyd, how FAISS actually trains ProductQuantizer).
+
+    Seeds are the SAME k stride-sampled vectors' subvectors pq_codebook
+    picks, then `iters` deterministic Lloyd rounds independently in each
+    of the m subspaces: rounded-6dp squared-L2 argmin with lowest-code
+    ties (the cluster.py struct-min idiom — the shuffle carries one row
+    per (vector, subspace), never the k candidates), decimal-exact per-dim
+    means rounded to 6dp.  All arithmetic is promoted to double up front
+    so the refined centers replay bit-exactly in an unrolled SQL oracle.
+
+    Scale: each round is one broadcast of the m*k codebook, one scan-stage
+    distance projection, and one linear (subspace, code, dim)-keyed mean
+    shuffle — write-time work inside the same envelope as one extra
+    encode pass per round.  Empty codes drop (fewer, denser cells).
+    """
+    from log_vector_spark.catalog import cached_count
+
+    sub = dim // m
+    every = sqrt_stride(cached_count(vectors))
+    dbl = vectors.select(
+        F.col(vec_id), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e")
+    )
+    subspaces = F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("subspace")
+    parts = dbl.select(F.col(vec_id), subspaces, "_e").select(
+        vec_id,
+        F.col("subspace").cast("int").alias("subspace"),
+        F.slice(F.col("_e"), F.col("subspace") * sub + 1, sub).alias("subvec"),
+    )
+    seeds = (
+        dbl.filter(F.col(vec_id) % every == 0)
+        .orderBy(F.asc(vec_id))
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(F.asc(vec_id))).cast("int").alias("code_id"),
+            "_e",
+        )
+    )
+    cb = seeds.select("code_id", "_e", subspaces).select(
+        F.col("subspace").cast("int").alias("subspace"),
+        "code_id",
+        F.slice(F.col("_e"), F.col("subspace") * sub + 1, sub).alias("center"),
+    )
+    for _ in range(iters):
+        scored = parts.join(F.broadcast(cb), "subspace").withColumn(
+            "dist", F.round(_sq_l2(F.col("subvec"), F.col("center")), SCORE_DP)
+        )
+        best = scored.groupBy(vec_id, "subspace").agg(
+            F.min(F.struct(F.col("dist"), F.col("code_id"), F.col("subvec"))).alias("_b")
+        )
+        asg = best.select(
+            "subspace",
+            F.col("_b.code_id").alias("code_id"),
+            F.col("_b.subvec").alias("subvec"),
+        )
+        dims = asg.select("subspace", "code_id", F.posexplode("subvec").alias("d", "x"))
+        cb = (
+            dims.groupBy("subspace", "code_id", "d")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(28,20)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("xm")
+            )
+            .groupBy("subspace", "code_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "xm"))),
+                    lambda s: s.getField("xm"),
+                ).alias("center")
+            )
+        )
+    return cb
+
+
 def pq_encode(
     vectors: DataFrame,
     codebook: DataFrame,
@@ -164,6 +249,7 @@ def knn_pq_batch(
     query_id: str = "query_id",
     query_col: str = "query_vec",
     dim: int = 64,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k per query for a query SET: (query_id, vec_id, score, rank).
 
@@ -171,11 +257,13 @@ def knn_pq_batch(
     broadcast crossJoin of the query set against the codebook; corpus-side
     work is the same single broadcast join + decimal sum as knn_pq — per
     additional query the marginal cost is one more LUT row group, never
-    another corpus pass."""
+    another corpus pass.  Pass `codebook` to score against a refined
+    codebook (pq_codebook_kmeans) instead of the stride default."""
     from pyspark.sql import Window
 
     sub = dim // m
-    codebook = pq_codebook(vectors, m, n_codes, vec_id, vec_col, dim)
+    if codebook is None:
+        codebook = pq_codebook(vectors, m, n_codes, vec_id, vec_col, dim)
     codes = pq_encode(vectors, codebook, m, vec_id, vec_col, dim)
     lut = queries.crossJoin(F.broadcast(codebook)).select(
         query_id,

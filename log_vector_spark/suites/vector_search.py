@@ -1496,3 +1496,149 @@ def ivf_kmeans_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
         F.round(F.coalesce("n_hits", F.lit(0)) / 10.0, 6).alias("recall"),
     )
+
+
+# -- k-means-refined PQ codebook (VERDICT r4 item 4, second half) ----------
+
+_PQK_ASSIGN = (
+    "SELECT {keep} subspace, code_id, subvec FROM ("
+    "  SELECT p.vec_id, p.subspace, c.code_id, p.subvec,"
+    "         row_number() OVER (PARTITION BY p.vec_id, p.subspace"
+    f"           ORDER BY round({_SQL2.format(a='p.subvec', b='c.center')}, 6) ASC,"
+    "                    c.code_id ASC) AS rn"
+    "  FROM pkparts p JOIN {c} c ON p.subspace = c.subspace) WHERE rn = 1"
+)
+_PQK_UPDATE = (
+    "SELECT subspace, code_id, list(xm ORDER BY d) AS center FROM ("
+    "  SELECT subspace, code_id, d,"
+    "         round(CAST(sum(CAST(x AS DECIMAL(28,20))) AS DOUBLE) / count(*), 6) AS xm"
+    "  FROM (SELECT subspace, code_id, t.i AS d, subvec[t.i] AS x"
+    "        FROM {a}, (SELECT unnest(range(1, 9)) AS i) t)"
+    "  GROUP BY subspace, code_id, d) GROUP BY subspace, code_id"
+)
+
+
+def _pq_kmeans_ctes(iters: int = 2) -> str:
+    """Per-subspace Lloyd refinement of the PQ codebook, mirroring
+    pq.pq_codebook_kmeans: ends in a `pkcb{iters}` centers CTE and the
+    `pkenc` encoding of the corpus under it (all-double arithmetic)."""
+    ctes = [
+        "pkv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "pkst AS (SELECT greatest(16, CAST(floor(sqrt(count(*)) / 4 + 0.5)"
+        "         AS BIGINT)) AS s FROM embeddings)",
+        "pksub AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS subspace)",
+        "pkparts AS (SELECT vec_id, pksub.subspace,"
+        "            e[pksub.subspace * 8 + 1 : pksub.subspace * 8 + 8] AS subvec"
+        "            FROM pkv CROSS JOIN pksub)",
+        "pkseeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)"
+        "            AS code_id, e FROM pkv, pkst WHERE vec_id % pkst.s = 0"
+        "            ORDER BY vec_id LIMIT 16)",
+        "pkcb0 AS (SELECT pksub.subspace, s.code_id,"
+        "          s.e[pksub.subspace * 8 + 1 : pksub.subspace * 8 + 8] AS center"
+        "          FROM pkseeds s CROSS JOIN pksub)",
+    ]
+    for it in range(iters):
+        ctes.append(
+            f"pka{it} AS (" + _PQK_ASSIGN.format(keep="", c=f"pkcb{it}") + ")"
+        )
+        ctes.append(f"pkcb{it + 1} AS (" + _PQK_UPDATE.format(a=f"pka{it}") + ")")
+    ctes.append(
+        "pkenc AS ("
+        + _PQK_ASSIGN.format(keep="vec_id,", c=f"pkcb{iters}").replace(
+            ", subvec FROM (", " FROM (", 1
+        )
+        + ")"
+    )
+    return ", ".join(ctes)
+
+
+@register(
+    "pq_kmeans_recall_at10",
+    oracle=f"""
+    WITH {_pq_kmeans_ctes(2)},
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rn <= 10
+    ),
+    lut AS (
+      SELECT q.query_id, c.subspace, c.code_id,
+             CAST(round(list_dot_product(c.center,
+               q.qv[c.subspace * 8 + 1 : c.subspace * 8 + 8]), 6)
+               AS DECIMAL(18,6)) AS partial
+      FROM pkcb2 c CROSS JOIN q
+    ),
+    scores AS (
+      SELECT l.query_id, e.vec_id, CAST(sum(l.partial) AS DOUBLE) AS score
+      FROM pkenc e JOIN lut l ON e.subspace = l.subspace AND e.code_id = l.code_id
+      GROUP BY 1, 2
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id ASC) AS rn
+        FROM scores
+      ) WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT exact.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM exact JOIN approx USING (query_id, vec_id) GROUP BY exact.query_id
+    )
+    SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+    """,
+    doc="Recall@10 of ADC scoring under the K-MEANS-REFINED PQ codebook "
+    "(stride seeds -> 2 per-subspace Lloyd rounds, operators/pq.py:"
+    "pq_codebook_kmeans — how FAISS trains ProductQuantizer) against the "
+    "exact dot top-10.  Same eval shape as pq_recall_at10 so the stride "
+    "and refined codebooks compare row-for-row; completes the k-means "
+    "refinement pair (coarse quantizer + codebook).  All-double "
+    "arithmetic, decimal-exact means, replayed by an unrolled oracle.",
+)
+def pq_kmeans_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from log_vector_spark.functions.vector import dot_product
+    from log_vector_spark.operators.pq import knn_pq_batch, pq_codebook_kmeans
+
+    emb = table(spark, "embeddings", sf_dir)
+    dbl = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    scored = emb.crossJoin(F.broadcast(queries_df)).select(
+        "query_id",
+        "vec_id",
+        F.round(dot_product(F.col("embedding"), F.col("query_vec")), 6).alias("s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    cb = pq_codebook_kmeans(emb, iters=2)
+    approx = knn_pq_batch(dbl, queries_df, k=10, codebook=cb).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = queries_df.select("query_id")
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / 10.0, 6).alias("recall"),
+    )

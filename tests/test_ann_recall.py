@@ -240,3 +240,19 @@ def test_kmeans_centroids_recall_not_worse_than_stride(spark):
     km_mean = sum(km.values()) / len(km)
     st_mean = sum(st.values()) / len(st)
     assert km_mean >= st_mean, (km, st)
+
+
+@pytest.mark.spark
+def test_kmeans_codebook_recall_not_worse_than_stride(spark):
+    """Second half of VERDICT r4 item 4: the per-subspace-Lloyd-refined PQ
+    codebook must not lose ADC recall vs the stride codebook on the
+    fixture (measured 0.34 vs 0.30 mean recall@10 at sf0.001 when
+    pinned)."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    sf = "/root/testdata/sf0.001"
+    km = {r.query_id: r.recall for r in qs["pq_kmeans_recall_at10"](spark, sf).collect()}
+    st = {r.query_id: r.recall for r in qs["pq_recall_at10"](spark, sf).collect()}
+    assert set(km) == set(st) and len(km) == 5
+    assert sum(km.values()) >= sum(st.values()), (km, st)
