@@ -208,7 +208,10 @@ BASELINE_SEC = {
     "dedup_edit_distance_banded": 4.3,
     "doc_pagerank": 2.73,
     "events_zorder_buckets": 0.47,
-    "training_data_pipeline": 0.76,
+    # r5: the funnel gained the CCNet perplexity stage (bigram-LM fit +
+    # tercile gate), so the 0.76 pre-gate baseline no longer describes the
+    # same computation; re-based to the r5 measurement of the new chain.
+    "training_data_pipeline": 2.17,
     "rag_rerank": 0.53,
     "knn_quantized": 1.64,
     # measured fresh in the same round-3 window (3 reps, min)
