@@ -93,6 +93,48 @@ def dot_product(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
+def squared_l2(a: Column, b: Column, dim: int | None = None) -> Column:
+    """sum_i (a[i]-b[i])^2, accumulated in double — the k-means / PQ-encode
+    distance kernel.
+
+    Bit-compat contract with the HOF fold (which the DuckDB oracles
+    replay): each TERM is computed in the INPUT element type — for float32
+    arrays the zip_with lambda produces float32 squares — and only the
+    ACCUMULATION promotes to double (acc + v).  The unrolled path
+    therefore leaves the per-term arithmetic uncast and casts the finished
+    term to double before the left-associated sum: identical IEEE
+    operation sequence, so both paths produce the same doubles for float
+    AND double inputs.  (Pre-casting the operands would silently change
+    float-input results at the ulp level and break oracle hashes.)
+
+    WIDTH CAVEAT (measured): unlike dot_product, each unrolled term here
+    duplicates its subtraction subtree (d*d with no let-binding in the
+    Column algebra), so the expression is ~2.5x the dot tree.  At the PQ
+    subspace width (8) this wins ~20%% over the fold; at 64 the generated
+    method overflows whole-stage codegen limits and the interpreted
+    fallback runs 3x SLOWER than the fold (kmeans assignment measured
+    1.3 -> 3.8 s at sf0.1).  Pass dim only for narrow subvectors; leave
+    full-width k-means distances on the fold.
+    """
+    if dim:
+        def term(i: int) -> Column:
+            d = F.element_at(a, i + 1) - F.element_at(b, i + 1)
+            return (d * d).cast("double")
+
+        return _dim_checked(_unrolled_sum([term(i) for i in range(dim)]), dim, a, b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_distance(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Euclidean distance (left-to-right accumulation, matching DuckDB's
+    list_distance order — see squared_l2 for the float/double contract)."""
+    return F.sqrt(squared_l2(a, b, dim))
+
+
 def l2_norm(a: Column, dim: int | None = None) -> Column:
     if dim:
         return F.sqrt(

@@ -25,19 +25,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def _l2(a, b) -> F.Column:
+def _l2(a, b, dim: int | None = None) -> F.Column:
     """Euclidean distance between two double-array columns (left-to-right
-    fold, matching DuckDB's list_distance accumulation order)."""
-    return F.sqrt(
-        F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    accumulation, matching DuckDB's list_distance order).  With ``dim`` the
+    sum unrolls into whole-stage codegen (BASELINE lesson 7: ~30x over the
+    interpreted HOF fold on broadcast-assignment stages) — bit-identical
+    doubles either way (functions.vector.squared_l2 contract)."""
+    from log_vector_spark.functions.vector import l2_distance
+
+    return l2_distance(a, b, dim)
 
 
-def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+def _assign(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, dim: int | None = None
+) -> DataFrame:
     """Nearest centroid per vector: rounded distance, ties to lowest cid.
 
     argmin as a groupBy struct-min, NOT a window: the k-way scored relation
@@ -49,7 +50,7 @@ def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
     """
     j = vectors.crossJoin(
         F.broadcast(centroids.select("cid", F.col("e").alias("ce")))
-    ).withColumn("d", F.round(_l2(F.col("e"), F.col("ce")), 6))
+    ).withColumn("d", F.round(_l2(F.col("e"), F.col("ce"), dim), 6))
     best = j.groupBy(id_col).agg(
         F.min(F.struct(F.col("d"), F.col("cid"), F.col("e"))).alias("m")
     )
@@ -81,12 +82,14 @@ def kmeans_assignments(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Run `iters` Lloyd rounds; return (id, cluster, dist) per vector.
 
     Seeds = the k lowest-id vectors (deterministic, oracle-reproducible;
     swap for k-means|| sampling in production where determinism across
-    engines is not required).
+    engines is not required).  Pass ``dim`` when the vector width is known
+    so the assignment distances run unrolled in codegen (bit-identical).
     """
     v = vectors.select(
         id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("e")
@@ -97,9 +100,9 @@ def kmeans_assignments(
         .limit(k)
         .select((F.row_number().over(seed_w) - 1).alias("cid"), "e")
     )
-    assigned = _assign(v, c, id_col)
+    assigned = _assign(v, c, id_col, dim)
     for _ in range(iters - 1):
-        assigned = _assign(v, _update(assigned), id_col)
+        assigned = _assign(v, _update(assigned), id_col, dim)
     return assigned.select(
         id_col, F.col("cid").alias("cluster"), F.col("d").alias("dist")
     )

@@ -43,14 +43,15 @@ PQ_M = 8  # subspaces
 PQ_K = 16  # codes per subspace (4-bit codes)
 
 
-def _sq_l2(a, b):
-    # squared L2 via zip_with + aggregate fold (same HOF discipline as
-    # functions.vector: JVM-side, codegen'd, no UDF)
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _sq_l2(a, b, dim: int | None = None):
+    # squared L2; with `dim` (the subspace width, always known here) the
+    # sum unrolls into whole-stage codegen — the encode argmin is the PQ
+    # hot loop (corpus x m x k scored rows), and the unrolled form is
+    # bit-identical to the HOF fold (functions.vector.squared_l2 contract:
+    # terms in the input element type, accumulation in double)
+    from log_vector_spark.functions.vector import squared_l2
+
+    return squared_l2(a, b, dim)
 
 
 def pq_codebook(
@@ -139,7 +140,7 @@ def pq_codebook_kmeans(
     )
     for _ in range(iters):
         scored = parts.join(F.broadcast(cb), "subspace").withColumn(
-            "dist", F.round(_sq_l2(F.col("subvec"), F.col("center")), SCORE_DP)
+            "dist", F.round(_sq_l2(F.col("subvec"), F.col("center"), sub), SCORE_DP)
         )
         best = scored.groupBy(vec_id, "subspace").agg(
             F.min(F.struct(F.col("dist"), F.col("code_id"), F.col("subvec"))).alias("_b")
@@ -192,7 +193,7 @@ def pq_encode(
         F.slice(F.col(vec_col), F.col("subspace") * sub + 1, sub).alias("subvec"),
     )
     scored = parts.join(F.broadcast(codebook), "subspace").withColumn(
-        "dist", F.round(_sq_l2(F.col("subvec"), F.col("center")), SCORE_DP)
+        "dist", F.round(_sq_l2(F.col("subvec"), F.col("center"), sub), SCORE_DP)
     )
     best = scored.groupBy(vec_id, "subspace").agg(
         F.min(F.struct(F.col("dist"), F.col("code_id"))).alias("_b")

@@ -330,6 +330,7 @@ def make_centroids_kmeans(
     iters: int = 2,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """K-means-refined IVF centroids (opt-in upgrade over the stride pick).
 
@@ -359,7 +360,7 @@ def make_centroids_kmeans(
     )
     c = v.filter(F.col(vec_id) % every == 0).select(F.col(vec_id).alias("cid"), "e")
     for _ in range(iters):
-        c = _update(_assign(v, c, vec_id))
+        c = _update(_assign(v, c, vec_id, dim))
     return c.select(F.col("cid").alias("list_id"), F.col("e").alias("centroid"))
 
 
