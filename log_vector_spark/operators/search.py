@@ -360,7 +360,10 @@ def make_centroids_kmeans(
     )
     c = v.filter(F.col(vec_id) % every == 0).select(F.col(vec_id).alias("cid"), "e")
     for _ in range(iters):
-        c = _update(_assign(v, c, vec_id, dim))
+        # checkpoint per round: round r's assignment BROADCASTS c, and
+        # without lineage truncation the broadcast subtree replays rounds
+        # 1..r-1 (the dedup_clusters iterative idiom; k x dim rows, tiny)
+        c = _update(_assign(v, c, vec_id, dim)).localCheckpoint(eager=False)
     return c.select(F.col("cid").alias("list_id"), F.col("e").alias("centroid"))
 
 

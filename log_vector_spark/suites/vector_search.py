@@ -1481,7 +1481,10 @@ def ivf_kmeans_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     exact = search.knn_batch_topk(emb, queries_df, k=10).select("query_id", "vec_id")
-    cents = search.make_centroids_kmeans(emb, iters=2)
+    # refined centroids feed BOTH the probe ranking and the assignment
+    # inside knn_ivf_batch: checkpoint so the 2-round Lloyd subtree runs
+    # once, not twice (the knn_ivfpq residual idiom; write-time artifact)
+    cents = search.make_centroids_kmeans(emb, iters=2).localCheckpoint(eager=False)
     approx = search.knn_ivf_batch(emb, cents, queries_df, k=10, nprobe=4).select(
         "query_id", "vec_id"
     )
@@ -1627,7 +1630,9 @@ def pq_kmeans_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
         .select("query_id", "vec_id")
     )
-    cb = pq_codebook_kmeans(emb, iters=2)
+    # the refined codebook feeds BOTH the corpus encode and the LUT:
+    # checkpoint so the per-subspace Lloyd subtree runs once
+    cb = pq_codebook_kmeans(emb, iters=2).localCheckpoint(eager=False)
     approx = knn_pq_batch(dbl, queries_df, k=10, codebook=cb).select(
         "query_id", "vec_id"
     )
