@@ -284,6 +284,15 @@ BASELINE_SEC = {
     "ivf_build_metrics": 1.36,
     "dedup_containment": 2.08,
     "source_quality_report": 1.05,
+    # r5 additions, measured in the r5 close window (~1.4-1.9x drifted on
+    # sub-second rows per the BASELINE.md isolated re-check) — upper bounds
+    "perplexity_gate": 1.29,
+    "knn_ivf_stored": 0.93,
+    "knn_ivfpq_stored": 1.02,
+    "knn_graph_stored": 1.50,
+    "knn_graph_build": 1.57,
+    "ivf_kmeans_recall_at10": 8.45,
+    "pq_kmeans_recall_at10": 4.90,  # after the 8-wide encode unroll
 }
 
 

@@ -524,6 +524,93 @@ def run_stream_graph_ingest(
     }
 
 
+def run_stream_pq_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    glob: str = "*.parquet",
+    max_files_per_trigger: int = 1,
+) -> dict:
+    """Incremental IVF-PQ code maintenance — the third write-time ANN
+    artifact kept current by the stream (after the IVF store and the k-NN
+    graph): as vector batches arrive, residual-encode them against the
+    FROZEN coarse quantizer + codebook and append 4-bit codes partitioned
+    by list_id.
+
+    Both quantizers freeze on the first batch (centroids by sqrt-stride,
+    the PQ codebook from the first batch's residuals) — codes must be
+    comparable across the stream's lifetime, exactly like the frozen IVF
+    lists; a deployment re-trains offline and rewrites (FAISS's own
+    contract).  Unlike the graph's edges, a vector's code NEVER changes
+    when later vectors arrive (encoding is per-vector under frozen
+    quantizers), so the sink is a pure exactly-once append: each epoch
+    dynamic-overwrites only its own (list_id, epoch) leaves, and per-batch
+    work is strictly batch-linear (one residual pass + one m*k-broadcast
+    argmin).  Stream-end state equals the batch encode of the full corpus
+    under the frozen artifacts — pinned in tests/test_stream_pq.py for a
+    3-batch split.
+
+    Returns {'rows', 'n_lists', 'centroids', 'codebook' (frozen frames)}.
+    """
+    import os as _os
+
+    from log_vector_spark.operators.pq import pq_codebook, pq_encode, residual_frame
+    from log_vector_spark.operators.search import make_centroids
+
+    emb_schema = "vec_id long, embedding array<float>, label int"
+    src = (
+        spark.readStream.schema(emb_schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    codes_path = _os.path.join(out_path, "codes")
+    state: dict = {"centroids": None, "codebook": None}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if state["centroids"] is None:
+            state["centroids"] = make_centroids(batch_df).localCheckpoint(eager=True)
+            first_res = residual_frame(batch_df, state["centroids"]).localCheckpoint(
+                eager=True
+            )
+            state["codebook"] = pq_codebook(first_res, vec_col="residual").localCheckpoint(
+                eager=True
+            )
+        res = residual_frame(batch_df, state["centroids"]).localCheckpoint(eager=True)
+        codes = pq_encode(res, state["codebook"], vec_col="residual").join(
+            res.select("vec_id", "list_id"), "vec_id"
+        )
+        (
+            codes.select("vec_id", "subspace", "code_id", "list_id")
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("list_id", "epoch")
+            .parquet(codes_path)
+        )
+
+    q = (
+        src.writeStream.option(
+            "checkpointLocation", _os.path.join(out_path + "_checkpoint", "")
+        )
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    codes = spark.read.parquet(codes_path)
+    return {
+        "rows": codes.select("vec_id").distinct().count(),
+        "n_lists": codes.select("list_id").distinct().count(),
+        "centroids": state["centroids"],
+        "codebook": state["codebook"],
+    }
+
+
 def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the streaming events feed broadcast-joined
     with a static dimension (per-type category + mean value computed once

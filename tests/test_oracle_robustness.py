@@ -33,6 +33,13 @@ QUERIES = [
     "dedup_graph_stats",
     "repetition_stats",
     "knn_pq",
+    # r5 additions: decimal-sum aggregate (graph build), quantile_cont
+    # terciles + pow (perplexity), unrolled-Lloyd decimal means (k-means
+    # refinement evals)
+    "knn_graph_build",
+    "perplexity_gate",
+    "ivf_kmeans_recall_at10",
+    "pq_kmeans_recall_at10",
 ]
 
 
