@@ -107,8 +107,11 @@ def gopher_rules(
     n_symbols = F.length(
         F.regexp_replace(F.col(text_col), "[a-z0-9 ]", "")
     ).cast("int")
-    mean_word_len = F.round(n_alpha / n_words, 6)
-    symbol_ratio = F.round(n_symbols / n_words, 6)
+    # zero-word docs: NULL ratios (DuckDB x/0 parity; ANSI-safe), and the
+    # NULL comparisons leave ok_mean_len/ok_symbols NULL in both engines —
+    # gopher_pass still lands false because ok_word_count is false at n=0
+    mean_word_len = F.when(n_words > 0, F.round(n_alpha / n_words, 6))
+    symbol_ratio = F.when(n_words > 0, F.round(n_symbols / n_words, 6))
     n_stop_distinct = F.size(
         F.array_intersect(F.array_distinct(w), F.array(*[F.lit(s) for s in STOPWORDS_EN]))
     ).cast("int")
@@ -160,9 +163,12 @@ def domain_mixture_plan(
     everything = Window.partitionBy()
     total = F.sum("domain_tokens").over(everything)
     n_domains = F.count(F.lit(1)).over(everything)
-    share = F.round(F.col("domain_tokens") / total, 6)
-    rate = F.round(
-        F.least(F.lit(1.0), total / (n_domains * F.col("domain_tokens"))), 6
+    # all-empty corpus / zero-token domain: NULL share and rate (DuckDB
+    # x/0 parity; Spark ANSI would throw on the bare division)
+    share = F.when(total > 0, F.round(F.col("domain_tokens") / total, 6))
+    rate = F.when(
+        F.col("domain_tokens") > 0,
+        F.round(F.least(F.lit(1.0), total / (n_domains * F.col("domain_tokens"))), 6),
     )
     return per.select(
         "domain",

@@ -198,7 +198,10 @@ def mmr_select(
             for x in xs:
                 acc += x * x
             nrm = math.sqrt(acc)
-            units.append([x / nrm for x in xs])
+            # zero vector -> zero unit (the l2_normalize contract; the
+            # reference's error sentinel is an all-zero embedding), never a
+            # ZeroDivisionError inside the Arrow kernel
+            units.append([x / nrm for x in xs] if nrm > 0.0 else [0.0] * len(xs))
 
         def dot(i: int, j: int) -> float:
             a, b = units[i], units[j]

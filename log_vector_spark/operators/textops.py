@@ -48,10 +48,17 @@ def text_quality(
     n_tokens = F.size(toks).cast("int")
     n_alpha = F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("int")
     n_stop = _count_in(toks, STOPWORDS_EN)
-    avg_token_len = F.round(n_alpha / n_tokens, 6)
-    stop_ratio = F.round(n_stop / n_tokens, 6)
-    quality = F.round(
-        (n_stop / n_tokens) * 0.5 + F.least(n_tokens, F.lit(100)) / 100.0 * 0.5, 6
+    # zero-token docs: every ratio is NULL, matching DuckDB's x/0 -> NULL
+    # (a bare division THROWS under Spark ANSI mode — the repetition_stats
+    # degenerate-doc class, pinned corpus-wide by test_degenerate_docs.py)
+    nz = n_tokens > 0
+    avg_token_len = F.when(nz, F.round(n_alpha / n_tokens, 6))
+    stop_ratio = F.when(nz, F.round(n_stop / n_tokens, 6))
+    quality = F.when(
+        nz,
+        F.round(
+            (n_stop / n_tokens) * 0.5 + F.least(n_tokens, F.lit(100)) / 100.0 * 0.5, 6
+        ),
     )
     return docs.select(
         F.col(id_col),

@@ -314,9 +314,10 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.round(F.sum("n_distinct").cast("double") / F.sum("n_tokens"), 6).alias(
-            "distinct_token_ratio"
-        ),
+        F.when(
+            F.sum("n_tokens") > 0,
+            F.round(F.sum("n_distinct").cast("double") / F.sum("n_tokens"), 6),
+        ).alias("distinct_token_ratio"),
         F.round(
             F.sum((F.col("ok_word_count") & F.col("ok_stopwords")).cast("int")).cast("double")
             / F.count(F.lit(1)),
