@@ -48,6 +48,16 @@ from log_vector_spark.operators.search import SCORE_DP
 
 _CACHE: dict[tuple[str, str], str] = {}
 
+# Explicit read schemas: a PARTITIONED write of an empty frame lands only
+# _SUCCESS (no data files), and schema inference on the read-back throws —
+# the empty-partition case every store meets at scale.  With the schema
+# stated, an empty store reads as an empty frame and every query degrades
+# to empty results instead of failing (pinned by the empty-corpus sweep).
+_VECTORS_SCHEMA = "vec_id long, embedding array<float>, label int, list_id bigint"
+_CENTROIDS_SCHEMA = "list_id bigint, centroid array<float>"
+_CODES_SCHEMA = "vec_id long, subspace int, code_id int, list_id bigint"
+_CODEBOOK_SCHEMA = "subspace int, code_id int, center array<double>"
+
 
 def _ensure(spark: SparkSession, sf_dir: str, kind: str, builder) -> str:
     key = (os.path.abspath(sf_dir), kind)
@@ -94,7 +104,7 @@ def probe_list_ids(
     must touch every file's footer.  Ties break to the lower list_id —
     identical to the inline knn_ivf probe and its oracle.
     """
-    cents = spark.read.parquet(os.path.join(store_root, "centroids"))
+    cents = spark.read.schema(_CENTROIDS_SCHEMA).parquet(os.path.join(store_root, "centroids"))
     q = literal_vector(query_vec)
     rows = (
         cents.select(
@@ -126,7 +136,7 @@ def knn_ivf_stored(
     root = ensure_ivf_store(spark, sf_dir)
     lists = probe_list_ids(spark, root, query_vec, nprobe)
     q = literal_vector(query_vec)
-    vecs = spark.read.parquet(os.path.join(root, "vectors")).filter(
+    vecs = spark.read.schema(_VECTORS_SCHEMA).parquet(os.path.join(root, "vectors")).filter(
         F.col("list_id").isin(lists)
     )
     return (
@@ -189,7 +199,7 @@ def knn_ivfpq_stored(
     lists = probe_list_ids(spark, root, query_vec, nprobe)
     sub = dim // m
     q = literal_vector([float(x) for x in query_vec])
-    cents = spark.read.parquet(os.path.join(root, "centroids")).filter(
+    cents = spark.read.schema(_CENTROIDS_SCHEMA).parquet(os.path.join(root, "centroids")).filter(
         F.col("list_id").isin(lists)
     )
     qlists = cents.select(
@@ -198,7 +208,7 @@ def knn_ivfpq_stored(
         .cast("decimal(18,6)")
         .alias("qc"),
     )
-    codebook = spark.read.parquet(os.path.join(root, "codebook"))
+    codebook = spark.read.schema(_CODEBOOK_SCHEMA).parquet(os.path.join(root, "codebook"))
     lut = qlists.crossJoin(F.broadcast(codebook)).select(
         "list_id",
         "subspace",
@@ -211,7 +221,7 @@ def knn_ivfpq_stored(
         .cast("decimal(18,6)")
         .alias("partial"),
     )
-    codes = spark.read.parquet(os.path.join(root, "codes")).filter(
+    codes = spark.read.schema(_CODES_SCHEMA).parquet(os.path.join(root, "codes")).filter(
         F.col("list_id").isin(lists)
     )
     scored = (

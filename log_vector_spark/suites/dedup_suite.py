@@ -484,7 +484,9 @@ def _pr_iter_sql(k: int) -> str:
 def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, "documents", sf_dir)
     n = docs.count()
-    base = (15 * _PR_SCALE) // (100 * n)
+    # empty corpus: no ranks to seed — base is irrelevant but must not
+    # divide by zero on the driver (empty-partition robustness sweep)
+    base = (15 * _PR_SCALE) // (100 * n) if n else 0
     pairs = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2)
     e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
         pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
@@ -493,7 +495,8 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (u, v, deg(u)) once — reused by every iteration
     ed = e.join(deg, "u").localCheckpoint(eager=False)
     ranks = docs.select(
-        F.col("doc_id").alias("v"), F.lit(_PR_SCALE // n).cast("long").alias("r")
+        F.col("doc_id").alias("v"),
+        F.lit(_PR_SCALE // n if n else 0).cast("long").alias("r"),
     )
     nodes = docs.select(F.col("doc_id").alias("v"))
     for _ in range(3):

@@ -785,9 +785,11 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nrm",
         )
     dim_idx = spark.range(1, 65).select(F.col("id").cast("int").alias("dim"))
+    # try_element_at: an empty corpus leaves v = [] (global agg still emits
+    # one row) and ANSI element_at would throw; NULL matches DuckDB v[dim]
     return dim_idx.crossJoin(F.broadcast(spark_v)).select(
         "dim",
-        F.element_at(F.col("v"), F.col("dim")).alias("component"),
+        F.try_element_at(F.col("v"), F.col("dim")).alias("component"),
         F.round(F.col("nrm"), 6).alias("growth"),
     )
 
@@ -1363,13 +1365,18 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_edges"),
         F.countDistinct("src").cast("bigint").alias("n_nodes"),
-        F.round(
-            F.count(F.lit(1)) / F.countDistinct("src").cast("double"), 6
+        # empty graph: NULL means (DuckDB x/0 parity; ANSI-safe)
+        F.when(
+            F.countDistinct("src") > 0,
+            F.round(F.count(F.lit(1)) / F.countDistinct("src").cast("double"), 6),
         ).alias("avg_out_degree"),
-        F.round(
-            F.sum(F.col("escore").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                F.sum(F.col("escore").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ),
         ).alias("avg_escore"),
         F.round(F.max("escore"), 6).alias("max_escore"),
         F.round(F.min("escore"), 6).alias("min_escore"),

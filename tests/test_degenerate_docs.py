@@ -129,3 +129,52 @@ def test_query_survives_degenerate_embeddings(spark, degenerate_emb_sf, name):
 
     df = m.queries()[name](spark, degenerate_emb_sf)
     df.limit(20).collect()
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    """documents AND embeddings empty (0 rows, correct schema) — the
+    empty-partition / empty-source case every operator meets at 100 TB."""
+    root = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        shutil.copy(os.path.join(SF, f"{t}.parquet"), os.path.join(root, f"{t}.parquet"))
+
+    def write_single(df, name):
+        tmp = os.path.join(root, f"_{name}_tmp")
+        df.coalesce(1).write.parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(tmp, part), os.path.join(root, f"{name}.parquet"))
+        shutil.rmtree(tmp)
+
+    write_single(
+        spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string, n_chars long"
+        ),
+        "documents",
+    )
+    write_single(
+        spark.createDataFrame([], "vec_id long, embedding array<float>, label int"),
+        "embeddings",
+    )
+    return root
+
+
+def _doc_or_emb_queries():
+    import __spark_entry__ as m
+
+    return sorted(
+        name
+        for name, sql in m.oracle_sql().items()
+        if "documents" in sql or "embeddings" in sql
+    )
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("name", _doc_or_emb_queries())
+def test_query_survives_empty_corpus(spark, empty_sf, name):
+    import __spark_entry__ as m
+
+    df = m.queries()[name](spark, empty_sf)
+    df.limit(20).collect()
