@@ -402,3 +402,45 @@ def knn_ivfpq(
         .agg((F.first("qc") + F.sum("partial")).cast("double").alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc(vec_id)).limit(k)
+
+
+def knn_ivfpq_refined(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query_vec,
+    k: int = 5,
+    k_adc: int = 25,
+    nprobe: int = 4,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage IVF-PQ retrieval: ADC shortlist, exact rescore (the FAISS
+    refine stage, ``IndexRefineFlat``).
+
+    Stage 1 runs :func:`knn_ivfpq` for ``k_adc`` candidates — all the
+    data-scaled work, touching only 4-byte codes in the probed lists.
+    Stage 2 re-reads the RAW vectors for just those ``k_adc`` ids (a
+    broadcast semi-join against the vector table — at scale a pruned
+    point-lookup into the id-sorted store) and re-ranks by exact cosine.
+
+    This recovers exact top-k ordering whenever the true neighbors survive
+    the ADC shortlist, so recall@k is bounded by ADC recall@k_adc — much
+    higher than recall@k — while exact float math touches k_adc rows
+    instead of the corpus.  The standard production layout: PQ compresses
+    the scan, refine pays full precision only on the shortlist.
+    """
+    from log_vector_spark.functions.vector import cosine_similarity
+
+    cand = knn_ivfpq(
+        vectors, centroids, query_vec, k=k_adc, nprobe=nprobe,
+        m=m, n_codes=n_codes, vec_id=vec_id, vec_col=vec_col, dim=dim,
+    ).select(vec_id)
+    q = literal_vector([float(x) for x in query_vec])
+    rescored = vectors.join(F.broadcast(cand), vec_id).select(
+        vec_id,
+        F.round(cosine_similarity(F.col(vec_col), q), SCORE_DP).alias("score"),
+    )
+    return rescored.orderBy(F.desc("score"), F.asc(vec_id)).limit(k)

@@ -1226,11 +1226,10 @@ _IVFPQ_CTES = f"""centroids AS (
     )"""
 
 
-# shared by knn_ivfpq (inline build) and knn_ivfpq_stored (persisted
-# residual-code store)
-_IVFPQ_ORACLE = f"""
-    WITH {_IVFPQ_CTES},
-    probed AS (
+# query-time CTEs (probe -> per-list constant -> ADC lookup table) and the
+# ADC scoring select, shared by knn_ivfpq, knn_ivfpq_stored, and the refined
+# two-stage form
+_IVFPQ_PROBE_CTES = f"""probed AS (
       SELECT list_id, centroid FROM (
         SELECT list_id, centroid,
                round({_cos('centroid', _Q)}, 6) AS qscore
@@ -1249,13 +1248,31 @@ _IVFPQ_ORACLE = f"""
                (({_Q})::DOUBLE[])[c.subspace * 8 + 1 : c.subspace * 8 + 8]), 6)
                AS DECIMAL(18,6)) AS partial
       FROM cb c CROSS JOIN qlists q
-    )
-    SELECT vec_id, CAST(any_value(l.qc) + sum(l.partial) AS DOUBLE) AS score
+    )"""
+
+_IVFPQ_ADC_SELECT = """SELECT vec_id, CAST(any_value(l.qc) + sum(l.partial) AS DOUBLE) AS score
     FROM enc e
     JOIN lut l ON e.list_id = l.list_id AND e.subspace = l.subspace
               AND e.code_id = l.code_id
-    GROUP BY vec_id
+    GROUP BY vec_id"""
+
+_IVFPQ_ORACLE = f"""
+    WITH {_IVFPQ_CTES},
+    {_IVFPQ_PROBE_CTES}
+    {_IVFPQ_ADC_SELECT}
     ORDER BY score DESC, vec_id ASC LIMIT 5
+    """
+
+_IVFPQ_REFINED_ORACLE = f"""
+    WITH {_IVFPQ_CTES},
+    {_IVFPQ_PROBE_CTES},
+    adc AS (
+      SELECT vec_id FROM ({_IVFPQ_ADC_SELECT}
+        ORDER BY score DESC, vec_id ASC LIMIT 25)
+    )
+    SELECT e.vec_id, round({_cos('e.embedding', _Q)}, 6) AS score
+    FROM embeddings e JOIN adc a ON e.vec_id = a.vec_id
+    ORDER BY score DESC, e.vec_id ASC LIMIT 5
     """
 
 
@@ -1277,6 +1294,65 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, "embeddings", sf_dir)
     return _knn_ivfpq(emb, search.make_centroids(emb), QVEC, k=5, nprobe=4)
+
+
+@register(
+    "knn_ivfpq_refined",
+    oracle=_IVFPQ_REFINED_ORACLE,
+    doc="Two-stage IVF-PQ: ADC shortlist of 25 -> exact-cosine rescore of "
+    "just those 25 raw vectors -> top-5 (FAISS IndexRefineFlat).  Recall@5 "
+    "is bounded by ADC recall@25 instead of recall@5, and exact float math "
+    "touches 25 rows, not the corpus — the shortlist join is a broadcast "
+    "semi-join that a stored deployment serves as pruned point lookups.  "
+    "operators/pq.py:knn_ivfpq_refined.",
+)
+def knn_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.pq import knn_ivfpq_refined as _refined
+
+    emb = table(spark, "embeddings", sf_dir)
+    return _refined(emb, search.make_centroids(emb), QVEC, k=5, k_adc=25, nprobe=4)
+
+
+@register(
+    "ivfpq_refined_recall_at10",
+    oracle=f"""
+    WITH {_IVFPQ_CTES},
+    {_IVFPQ_PROBE_CTES},
+    adc AS (
+      SELECT vec_id FROM ({_IVFPQ_ADC_SELECT}
+        ORDER BY score DESC, vec_id ASC LIMIT 25)
+    ),
+    refined AS (
+      SELECT e.vec_id FROM embeddings e JOIN adc a ON e.vec_id = a.vec_id
+      ORDER BY round({_cos('e.embedding', _Q)}, 6) DESC, e.vec_id ASC LIMIT 10
+    ),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, round({_cos('embedding', _Q)}, 6) AS score
+        FROM embeddings
+      ) ORDER BY score DESC, vec_id ASC LIMIT 10
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_hits,
+           round(count(*) / 10.0, 6) AS recall
+    FROM refined JOIN exact USING (vec_id)
+    """,
+    doc="Recall@10 of the two-stage refined IVF-PQ path against the exact "
+    "scan: because stage 2 re-ranks the 25-candidate ADC shortlist with "
+    "exact cosine, recall@10 here equals ADC recall@25 — the quantitative "
+    "case for the refine stage next to pq_recall_at10's raw ADC recall.",
+)
+def ivfpq_refined_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.pq import knn_ivfpq_refined as _refined
+
+    emb = table(spark, "embeddings", sf_dir)
+    refined = _refined(
+        emb, search.make_centroids(emb), QVEC, k=10, k_adc=25, nprobe=4
+    ).select("vec_id")
+    exact = search.knn_topk(emb, QVEC, k=10).select("vec_id")
+    return refined.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall"),
+    )
 
 
 # -- persisted-index query forms (VERDICT r4 item 2) -----------------------
