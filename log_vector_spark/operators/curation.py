@@ -85,6 +85,142 @@ def span_dedup_ratio(
     )
 
 
+WINNOW_K = 8  # tokens per fingerprinted gram
+WINNOW_W = 4  # winnow window: shared runs of >= K+W-1 tokens share a fingerprint
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS local fingerprinting algorithm): (doc_id, pos, h) rows.
+
+    Every k-token gram is hashed; over each window of w consecutive gram
+    hashes the minimum is selected (ties to the leftmost position, so the
+    pick is deterministic).  The guarantee that makes this the right
+    substring-dedup primitive: any two documents sharing a token run of at
+    least k + w - 1 tokens select at least one IDENTICAL (hash, aligned)
+    fingerprint — regardless of where the run starts in either document —
+    at a fingerprint density of ~2/(w+1) per token instead of one hash per
+    token.  This is the alignment-invariance that stride-sampled span
+    hashing (span_dedup_ratio) lacks.
+
+    Scale: pure per-document Column expressions inside the scan stage
+    (O(n·w) hash comparisons per doc), then one explode to ~2n/(w+1) rows
+    per doc.  No shuffle happens here at all — consumers group the exploded
+    relation as they need.
+    """
+    wds = tokens(F.col(text_col))
+    n_grams = F.size(wds) - k + 1
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(wds, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(F.col(id_col), grams.alias("g")).filter(F.size("g") >= 1)
+    win_idx = F.sequence(F.lit(1), F.greatest(F.size("g") - w + 1, F.lit(1)))
+    fps = F.transform(
+        win_idx,
+        lambda j: F.struct(
+            (
+                j
+                + F.array_position(
+                    F.slice(F.col("g"), j, w), F.array_min(F.slice(F.col("g"), j, w))
+                )
+                - 1
+            )
+            .cast("int")
+            .alias("pos"),
+            F.array_min(F.slice(F.col("g"), j, w)).alias("h"),
+        ),
+    )
+    return (
+        g.select(F.col(id_col), F.explode(fps).alias("f"))
+        .select(id_col, F.col("f.pos").alias("pos"), F.col("f.h").alias("h"))
+        .distinct()
+    )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_dup_ratio: float = 0.5,
+) -> DataFrame:
+    """Cross-document substring dedup via winnowing fingerprints (the
+    distributed stand-in for Lee et al. 2021's suffix-array substring
+    dedup, which is not expressible as a shuffle-friendly plan).
+
+    A fingerprint is duplicated when >= 2 DISTINCT documents select it
+    (within-doc repetition is repetition_stats' domain, deliberately not
+    counted here).  Each duplicated fingerprint at gram position p covers
+    tokens [p, p+k-1]; per document the covered intervals are merged with
+    one gaps-and-islands pass and the union length reported:
+
+      n_words, n_dup_spans (maximal merged intervals), dup_tokens (union
+      size), dup_ratio, keep (dup_ratio <= max_dup_ratio; empty docs keep).
+
+    Scale: fingerprinting is scan-stage Column work; the duplicated-hash
+    filter is one linear hash-partitioned groupBy whose output SHRINKS with
+    duplication; interval merging windows partition by doc_id with at most
+    ~2n_doc/(w+1) rows per doc — bounded per-partition state, no broadcast
+    of anything data-scaled, no driver collect.
+    """
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    dup_h = (
+        fps.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = fps.join(dup_h, "h").select(
+        id_col, "pos", (F.col("pos") + k - 1).cast("int").alias("e")
+    )
+    # two window passes: running max of prior ends -> island ids (a window
+    # cannot nest inside another window's frame in one projection)
+    order_w = Window.partitionBy(id_col).orderBy("pos")
+    marked = dup.withColumn(
+        "prev_e",
+        F.max("e").over(order_w.rowsBetween(Window.unboundedPreceding, -1)),
+    ).withColumn(
+        "new_isl", (F.col("pos") > F.coalesce(F.col("prev_e"), F.lit(0))).cast("int")
+    )
+    islands = marked.withColumn(
+        "isl", F.sum("new_isl").over(order_w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_island = islands.groupBy(id_col, "isl").agg(
+        F.min("pos").alias("s"), F.max("e").alias("ee")
+    )
+    per_doc = per_island.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum(F.col("ee") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+    )
+    base = docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("int").alias("n_words")
+    )
+    joined = base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_words",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.coalesce("dup_tokens", F.lit(0)) / F.col("n_words"), 6),
+        ).alias("dup_ratio"),
+    )
+    return joined.withColumn(
+        "keep", F.coalesce(F.col("dup_ratio"), F.lit(0.0)) <= max_dup_ratio
+    )
+
+
 def gopher_rules(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -46,6 +46,141 @@ def span_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.span_dedup_ratio(table(spark, "documents", sf_dir))
 
 
+# winnowing fingerprint CTEs (k=8-token grams, w=4 winnow window), shared by
+# the two substring-dedup queries.  g[j:j+3] is DuckDB's clamped 4-element
+# slice = Spark slice(g, j, 4); leftmost-min tie break via list_position.
+_WINNOW_FPS = f"""d AS (SELECT doc_id, {_WORDS} AS wds FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(wds) >= 8
+                  THEN list_transform(range(1, CAST(len(wds) - 6 AS BIGINT)),
+                                      i -> md5(array_to_string(wds[i:i+7], ' ')))
+                  ELSE [] END AS g
+      FROM d
+    ),
+    wins AS (
+      SELECT doc_id, g,
+             unnest(range(1, greatest(len(g) - 3, 1) + 1)) AS j
+      FROM g WHERE len(g) >= 1
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             CAST(j + list_position(g[j:j+3], list_min(g[j:j+3])) - 1 AS INTEGER) AS pos,
+             list_min(g[j:j+3]) AS h
+      FROM wins
+    )"""
+
+
+@register(
+    "substring_dup_spans",
+    oracle=f"""
+    WITH {_WINNOW_FPS},
+    dup AS (
+      SELECT f.doc_id, f.pos, CAST(f.pos + 7 AS INTEGER) AS e
+      FROM fp f
+      JOIN (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM fp GROUP BY h)
+            WHERE nd >= 2) dh USING (h)
+    ),
+    marked AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM dup
+    ),
+    islands AS (
+      SELECT doc_id, pos, e,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM marked
+    ),
+    per_island AS (
+      SELECT doc_id, isl, min(pos) AS s, max(e) AS ee FROM islands GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+             CAST(sum(ee - s + 1) AS BIGINT) AS dup_tokens
+      FROM per_island GROUP BY 1
+    ),
+    base AS (SELECT doc_id, CAST(len(wds) AS INTEGER) AS n_words FROM d)
+    SELECT b.doc_id, b.n_words,
+           coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(p.dup_tokens, 0) AS dup_tokens,
+           CASE WHEN b.n_words > 0
+                THEN round(coalesce(p.dup_tokens, 0) / b.n_words, 6) END AS dup_ratio,
+           (coalesce(CASE WHEN b.n_words > 0
+                          THEN round(coalesce(p.dup_tokens, 0) / b.n_words, 6) END,
+                     0) <= 0.5) AS keep
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Cross-document substring dedup via winnowing fingerprints "
+    "(Schleimer et al. 2003; the distributed stand-in for Lee et al. "
+    "2021's suffix-array substring dedup): any token run of >= 11 shared "
+    "by two docs is guaranteed a common fingerprint regardless of "
+    "alignment; duplicated fingerprints merge into maximal per-doc "
+    "intervals (gaps-and-islands) and the union length gates the doc.  "
+    "operators/curation.py:substring_dup_spans.",
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.substring_dup_spans(table(spark, "documents", sf_dir))
+
+
+@register(
+    "winnow_density_report",
+    oracle=f"""
+    WITH {_WINNOW_FPS},
+    tok AS (SELECT CAST(sum(len(wds)) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_docs FROM d),
+    f AS (SELECT CAST(count(*) AS BIGINT) AS n_fps,
+                 CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_h
+          FROM fp),
+    dups AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_h FROM (
+               SELECT h FROM fp GROUP BY h HAVING count(DISTINCT doc_id) >= 2))
+    SELECT n_docs, n_tokens, n_fps, n_distinct_h, n_dup_h,
+           round(n_fps / n_tokens, 6) AS fp_per_token
+    FROM tok, f, dups
+    """,
+    doc="Winnowing observability: corpus fingerprint density vs the "
+    "~2/(w+1) theoretical rate, distinct-hash count, and how many "
+    "fingerprints are cross-doc duplicated — the one-row report that "
+    "sizes the substring-dedup shuffle before running it at 100 TB.",
+)
+def winnow_density_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from log_vector_spark.functions.text import tokens
+
+    docs = table(spark, "documents", sf_dir)
+    fps = curation.winnow_fingerprints(docs)
+    tok = docs.agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    f = fps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+        F.countDistinct("h").cast("bigint").alias("n_distinct_h"),
+    )
+    dups = (
+        fps.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_h"))
+    )
+    return (
+        tok.crossJoin(f)
+        .crossJoin(dups)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_fps",
+            "n_distinct_h",
+            "n_dup_h",
+            F.round(F.col("n_fps") / F.col("n_tokens"), 6).alias("fp_per_token"),
+        )
+    )
+
+
 @register(
     "gopher_rules",
     oracle=f"""
