@@ -76,15 +76,20 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assignments(
+def kmeans_fit(
     vectors: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-) -> DataFrame:
-    """Run `iters` Lloyd rounds; return (id, cluster, dist) per vector.
+) -> tuple[DataFrame, DataFrame]:
+    """Run `iters` Lloyd rounds; return (assignments, centroids) — the
+    model form.  `assignments` carries (id, e, cid, d); `centroids` is the
+    (cid, e) relation the FINAL assignment was scored against (c_{iters-1}
+    in the unrolled-oracle notation), which is what model consumers like
+    semdedup need: members must be compared to the centroid that claimed
+    them, not to a post-hoc re-mean.
 
     Seeds = the k lowest-id vectors (deterministic, oracle-reproducible;
     swap for k-means|| sampling in production where determinism across
@@ -102,7 +107,21 @@ def kmeans_assignments(
     )
     assigned = _assign(v, c, id_col, dim)
     for _ in range(iters - 1):
-        assigned = _assign(v, _update(assigned), id_col, dim)
+        c = _update(assigned)
+        assigned = _assign(v, c, id_col, dim)
+    return assigned, c
+
+
+def kmeans_assignments(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, cluster, dist) per vector — the assignment view of kmeans_fit."""
+    assigned, _ = kmeans_fit(vectors, k, iters, id_col, vec_col, dim)
     return assigned.select(
         id_col, F.col("cid").alias("cluster"), F.col("d").alias("dist")
     )

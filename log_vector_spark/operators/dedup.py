@@ -393,6 +393,93 @@ def embedding_near_dup_survivors(
     return vectors.join(dup_ids, id_col, "left_anti").select(id_col)
 
 
+def semdedup_survivors(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    k-means-scoped semantic dedup that keeps, within every duplicate
+    group, the example with the LOWEST cosine similarity to its cluster
+    centroid (the paper's keep rule: the farthest-from-centroid member
+    preserves the most diversity).
+
+    Shape: one Lloyd fit (operators/cluster.py kmeans_fit — broadcast
+    centroids, scan-stage assignment), cosine-to-own-centroid computed in
+    the same projection, then ONE within-cluster pair join on the unit
+    vectors.  A vector is dropped when some same-cluster neighbor at
+    pair-cosine >= threshold ranks ahead of it under (centroid_sim asc,
+    id asc) — the deterministic star form of the paper's per-group argmin
+    (exactly one survivor per duplicate star, no sequential scan).
+
+    Returns ALL ids: (vec_id, cluster, centroid_sim, keep) — the gate
+    column form every other dedup operator emits, so it composes into the
+    curation funnel.
+
+    Scale: the paper itself scales k with corpus size (50k clusters for
+    LAION-440M); here k is a parameter and the sqrt-N rule from
+    make_centroids is the 100 TB setting — within-cluster pair volume
+    then stays ~N^1.5, never all-pairs.  The pair join is hash-partitioned
+    on the cluster id; nothing data-scaled broadcasts.
+    """
+    from log_vector_spark.functions.vector import (
+        cosine_similarity,
+        dot_product,
+        l2_normalize,
+    )
+    from log_vector_spark.operators.cluster import kmeans_fit
+
+    assigned, centroids = kmeans_fit(
+        vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    members = assigned.join(
+        F.broadcast(centroids.select("cid", F.col("e").alias("ce"))), "cid"
+    ).select(
+        F.col(id_col),
+        F.col("cid"),
+        F.round(cosine_similarity(F.col("e"), F.col("ce")), 6).alias("centroid_sim"),
+        l2_normalize(F.col("e")).alias("unit"),
+    )
+    a = members.select(
+        F.col("cid"),
+        F.col(id_col).alias("id_a"),
+        F.col("centroid_sim").alias("cs_a"),
+        F.col("unit").alias("u_a"),
+    )
+    b = members.select(
+        F.col("cid"),
+        F.col(id_col).alias("id_b"),
+        F.col("centroid_sim").alias("cs_b"),
+        F.col("unit").alias("u_b"),
+    )
+    # drop b when a close neighbor `a` ranks ahead under (centroid_sim, id)
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.round(dot_product(F.col("u_a"), F.col("u_b")), 6) >= threshold)
+        .filter(
+            (F.col("cs_a") < F.col("cs_b"))
+            | ((F.col("cs_a") == F.col("cs_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        members.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            F.col("cid").cast("int").alias("cluster"),
+            "centroid_sim",
+            (~F.coalesce(F.col("__dropped"), F.lit(False))).alias("keep"),
+        )
+    )
+
+
 def _cc_star(edges: DataFrame, vertices: DataFrame, id_col: str, max_iter: int) -> DataFrame:
     """Alternating large-star/small-star component labeling (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14 — public paper).

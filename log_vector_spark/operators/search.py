@@ -27,6 +27,7 @@ oracle-comparable.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -589,4 +590,67 @@ def knn_graph_beam(
         beam_df.orderBy(F.desc("score"), F.asc("nid"))
         .limit(k)
         .select(F.col("nid").alias(vec_id), "score")
+    )
+
+
+# DCG position weights 1/log2(r+1) and reciprocal ranks 1/r for k=10,
+# computed ONCE driver-side and injected as the SAME double literals into
+# the Spark plan and the DuckDB oracle — log2 ULP behavior can differ
+# between engines, identical literals cannot
+DCG_W10 = [1.0 / math.log2(r + 1) for r in range(1, 11)]
+INV_R10 = [1.0 / r for r in range(1, 11)]
+IDCG10 = float(sum((11 - r) * DCG_W10[r - 1] for r in range(1, 11)))
+
+
+def ranking_eval(
+    exact: DataFrame,
+    approx: DataFrame,
+    base: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    vec_id: str = "vec_id",
+) -> DataFrame:
+    """Ranking-quality metrics of an approximate retriever against exact
+    ground truth, per query: recall@k, MRR of the exact top-1, nDCG@k with
+    graded relevance rel = (k+1) - exact_rank.
+
+    `exact` carries (query_id, vec_id, erank), `approx` (query_id, vec_id,
+    arank), `base` the query ids (queries with zero hits still get a row:
+    recall/mrr/ndcg = 0).  One bounded join (<= k rows per query) and one
+    groupBy — nothing corpus-scaled; per-hit DCG terms are rounded then
+    summed as DECIMAL so the fold order can never move the 6dp result.
+    """
+    if k != 10:  # literals are k=10; generalize by recomputing
+        w = [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+        inv = [1.0 / r for r in range(1, k + 1)]
+        idcg = float(sum((k + 1 - r) * w[r - 1] for r in range(1, k + 1)))
+    else:
+        w, inv, idcg = DCG_W10, INV_R10, IDCG10
+    w_lit = F.array(*[F.lit(x) for x in w])
+    inv_lit = F.array(*[F.lit(x) for x in inv])
+    hits = exact.join(approx, [query_id, vec_id]).select(
+        query_id,
+        (k + 1 - F.col("erank")).alias("rel"),
+        "erank",
+        F.col("arank").cast("int").alias("arank"),  # element_at needs INT
+    )
+    per_q = hits.groupBy(query_id).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.sum(
+            F.round(F.col("rel") * F.element_at(w_lit, F.col("arank")), 9).cast(
+                "decimal(28,12)"
+            )
+        )
+        .cast("double")
+        .alias("dcg"),
+        F.max(
+            F.when(F.col("erank") == 1, F.element_at(inv_lit, F.col("arank")))
+        ).alias("mrr_raw"),
+    )
+    return base.join(per_q, query_id, "left").select(
+        query_id,
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / float(k), 6).alias("recall"),
+        F.round(F.coalesce("mrr_raw", F.lit(0.0)), 6).alias("mrr"),
+        F.round(F.coalesce("dcg", F.lit(0.0)) / F.lit(idcg), 6).alias("ndcg"),
     )

@@ -280,3 +280,63 @@ def knn_graph_stored(
         centroids=cents,
         edges=edges,
     )
+
+
+# -------------------------------------------------------------- binary ----
+
+_BCODES_SCHEMA = "vec_id long, bcode array<bigint>"
+
+
+def _build_binary(spark: SparkSession, sf_dir: str, path: str) -> None:
+    from log_vector_spark.operators import binquant
+
+    emb = table(spark, "embeddings", sf_dir)
+    codes = emb.select(
+        "vec_id", binquant.sign_pack(F.col("embedding"), 64).alias("bcode")
+    )
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+
+
+def ensure_binary_store(spark: SparkSession, sf_dir: str) -> str:
+    return _ensure(spark, sf_dir, "binary", _build_binary)
+
+
+def knn_binary_stored(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: Sequence[float],
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Binary two-stage k-NN from the persisted sign-code store.
+
+    Identical results to binquant.knn_binary (same pack, same Hamming
+    ties, same rescore — shares its oracle); the difference is WHAT THE
+    SHORTLIST SCAN READS: the stored code table's ReadSchema is
+    (vec_id, bcode) — 16 bytes of code instead of 256 bytes of float per
+    vector, the 16x I/O saving that makes the binary rung pay at 100 TB.
+    The float table is touched only by the broadcast-joined shortlist
+    (<= `shortlist` rows).  tests/test_binquant.py pins the ReadSchema.
+    """
+    from log_vector_spark.operators import binquant
+
+    root = ensure_binary_store(spark, sf_dir)
+    codes = spark.read.schema(_BCODES_SCHEMA).parquet(os.path.join(root, "codes"))
+    qcode = F.array(
+        *[F.lit(int(w)).cast("long") for w in binquant.sign_pack_py(query_vec)]
+    )
+    short = (
+        codes.select(
+            "vec_id", binquant.hamming_distance(F.col("bcode"), qcode).alias("hamming")
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(shortlist)
+    )
+    q = literal_vector(query_vec)
+    emb = table(spark, "embeddings", sf_dir)
+    rescored = emb.join(F.broadcast(short), "vec_id").select(
+        "vec_id",
+        "hamming",
+        F.round(cosine_similarity(F.col("embedding"), q), SCORE_DP).alias("score"),
+    )
+    return rescored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)

@@ -1063,3 +1063,52 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_lsh_survivors(
         table(spark, "embeddings", sf_dir), threshold=0.5
     )
+
+
+# deferred import: vector_search itself imports _hyper_sig_sql from this
+# module mid-file, so this import must sit BELOW that symbol (it does — end
+# of module) to stay cycle-safe in either import order
+from log_vector_spark.suites.vector_search import _kmeans_oracle  # noqa: E402
+
+
+@register(
+    "semdedup_survivors",
+    oracle=_kmeans_oracle(
+        k=8,
+        iters=2,
+        final="""
+        , members AS (
+          SELECT a.vec_id, a.cid,
+                 round(list_cosine_similarity(a.e::DOUBLE[], c.e::DOUBLE[]), 6)
+                   AS centroid_sim,
+                 list_transform(a.e::DOUBLE[], x -> x /
+                   sqrt(list_reduce(list_transform(a.e::DOUBLE[], y -> y * y),
+                                    (acc, v) -> acc + v))) AS unit
+          FROM {a} a JOIN c1 c USING (cid)
+        ),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM members a JOIN members b
+            ON a.cid = b.cid AND a.vec_id != b.vec_id
+          WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.35
+            AND (a.centroid_sim < b.centroid_sim
+                 OR (a.centroid_sim = b.centroid_sim AND a.vec_id < b.vec_id))
+        )
+        SELECT m.vec_id, CAST(m.cid AS INTEGER) AS cluster, m.centroid_sim,
+               (d.vec_id IS NULL) AS keep
+        FROM members m LEFT JOIN dropped d USING (vec_id)
+        """,
+    ),
+    doc="SemDeDup (Abbas et al. 2023): k-means-cluster-scoped semantic "
+    "dedup keeping, per duplicate star, the member with the LOWEST cosine "
+    "to its own centroid (the paper's diversity-preserving keep rule) — "
+    "vs dedup_embedding's lowest-id seniority and IVF blocking.  One "
+    "Lloyd fit (broadcast centroids, scan-stage assignment), centroid "
+    "similarity in the same projection, one within-cluster unit-dot pair "
+    "join; k scales ~sqrt(N) at 100 TB so pair volume stays ~N^1.5.  "
+    "operators/dedup.py:semdedup_survivors.",
+)
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.semdedup_survivors(
+        table(spark, "embeddings", sf_dir), threshold=0.35, k=8, iters=2
+    )

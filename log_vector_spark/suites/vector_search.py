@@ -1730,3 +1730,335 @@ def pq_kmeans_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
         F.round(F.coalesce("n_hits", F.lit(0)) / 10.0, 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# binary (sign-bit) quantization family — operators/binquant.py
+# ---------------------------------------------------------------------------
+
+from log_vector_spark.operators import binquant  # noqa: E402
+
+# query sign code, packed driver-side (no job) and injected as the same
+# literal into both engines — the exact analogue of _Q for the bit domain
+_QCODE = "[" + ", ".join(str(w) for w in binquant.sign_pack_py(QVEC)) + "]::BIGINT[]"
+
+# sign-pack + hamming CTEs shared by the binary-family oracles: bit b of
+# word j set iff component (j*32+b+1) > 0; hamming = popcount of word XOR
+_BIN_CODES = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    codes AS (
+      SELECT vec_id,
+             list_transform(range(0, 2), j ->
+               list_reduce(list_transform(range(0, 32), b ->
+                 CASE WHEN v[CAST(j * 32 + b + 1 AS BIGINT)] > 0
+                      THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+                 (acc, x) -> acc + x)) AS bcode
+      FROM e
+    )"""
+
+
+_KNN_BINARY_ORACLE = f"""
+    WITH {_BIN_CODES},
+    ham AS (
+      SELECT vec_id,
+             CAST(list_reduce(list_transform(range(1, 3), i ->
+                    CAST(bit_count(xor(bcode[i], ({_QCODE})[i])) AS BIGINT)),
+                  (acc, x) -> acc + x) AS INTEGER) AS hamming
+      FROM codes
+    ),
+    short AS (SELECT vec_id, hamming FROM ham ORDER BY hamming ASC, vec_id ASC LIMIT 50)
+    SELECT e.vec_id, s.hamming, round({_cos('e.v', _Q)}, 6) AS score
+    FROM e JOIN short s USING (vec_id)
+    ORDER BY score DESC, e.vec_id ASC LIMIT 5
+    """
+
+
+@register(
+    "knn_binary",
+    oracle=_KNN_BINARY_ORACLE,
+    doc="Two-stage binary-quantized k-NN (FAISS IndexBinaryFlat+refine "
+    "shape): sign-bit codes (1 bit/dim, 16x smaller than the float column) "
+    "are XOR+popcount-scanned for a Hamming top-50 shortlist — JVM "
+    "bit_count intrinsics inside whole-stage codegen, map-side partial "
+    "top-k, the float table untouched — then the bounded shortlist "
+    "broadcasts back for exact cosine rescore.  "
+    "operators/binquant.py:knn_binary.",
+)
+def knn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return binquant.knn_binary(
+        table(spark, "embeddings", sf_dir), QVEC, k=5, shortlist=50
+    )
+
+
+@register(
+    "binary_recall_at10",
+    oracle=f"""
+    WITH {_BIN_CODES},
+    q AS (SELECT vec_id AS query_id, v AS qv,
+                 list_transform(range(0, 2), j ->
+                   list_reduce(list_transform(range(0, 32), b ->
+                     CASE WHEN v[CAST(j * 32 + b + 1 AS BIGINT)] > 0
+                          THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+                     (acc, x) -> acc + x)) AS qcode
+          FROM e WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_cos('e.v', 'q.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM e CROSS JOIN q
+      ) WHERE rn <= 10
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY CAST(list_reduce(list_transform(range(1, 3), i ->
+                            CAST(bit_count(xor(c.bcode[i], q.qcode[i])) AS BIGINT)),
+                          (acc, x) -> acc + x) AS INTEGER) ASC, c.vec_id ASC) AS hrn
+        FROM codes c CROSS JOIN q
+      ) WHERE hrn <= 50
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY round({_cos('e.v', 'q2.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM e JOIN short s USING (vec_id) JOIN q q2 ON q2.query_id = s.query_id
+      ) WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT exact.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM exact JOIN approx USING (query_id, vec_id) GROUP BY exact.query_id
+    )
+    SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+    """,
+    doc="recall@10 of the binary Hamming-shortlist+rescore path against the "
+    "exact top-10, per query, 5-query batch — the same eval harness as "
+    "ivf_recall_at10/pq_recall_at10 so the three compression rungs "
+    "(float32 -> int8 -> PQ -> 1-bit) price their recall on one scale.  "
+    "operators/binquant.py:knn_binary_batch.",
+)
+def binary_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators import search
+
+    emb = table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = search.knn_batch_topk(emb, queries_df, k=10).select("query_id", "vec_id")
+    approx = binquant.knn_binary_batch(emb, queries_df, k=10, shortlist=50).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = queries_df.select("query_id")
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / 10.0, 6).alias("recall"),
+    )
+
+
+@register(
+    "binary_compression_report",
+    oracle=f"""
+    WITH {_BIN_CODES},
+    q AS (SELECT vec_id AS query_id, v AS qv,
+                 list_transform(range(0, 2), j ->
+                   list_reduce(list_transform(range(0, 32), b ->
+                     CASE WHEN v[CAST(j * 32 + b + 1 AS BIGINT)] > 0
+                          THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+                     (acc, x) -> acc + x)) AS qcode
+          FROM e WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_cos('e.v', 'q.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM e CROSS JOIN q
+      ) WHERE rn <= 10
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY CAST(list_reduce(list_transform(range(1, 3), i ->
+                            CAST(bit_count(xor(c.bcode[i], q.qcode[i])) AS BIGINT)),
+                          (acc, x) -> acc + x) AS INTEGER) ASC, c.vec_id ASC) AS hrn
+        FROM codes c CROSS JOIN q
+      ) WHERE hrn <= 50
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY round({_cos('e.v', 'q2.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM e JOIN short s USING (vec_id) JOIN q q2 ON q2.query_id = s.query_id
+      ) WHERE rn <= 10
+    ),
+    rec AS (
+      SELECT round(avg(r), 6) AS recall_at10_mean FROM (
+        SELECT q.query_id, coalesce(h.n_hits, 0) / 10.0 AS r
+        FROM q LEFT JOIN (
+          SELECT exact.query_id, count(*) AS n_hits
+          FROM exact JOIN approx USING (query_id, vec_id) GROUP BY exact.query_id
+        ) h ON h.query_id = q.query_id
+      )
+    ),
+    sz AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(count(*) * 64 * 4 AS BIGINT) AS raw_bytes,
+             CAST(count(*) * 2 * 8 AS BIGINT) AS code_bytes
+      FROM e
+    )
+    SELECT n_vectors, raw_bytes, code_bytes,
+           round(raw_bytes / code_bytes, 6) AS compression_x,
+           recall_at10_mean
+    FROM sz, rec
+    """,
+    doc="Index-memory audit for the 1-bit rung: raw float bytes vs packed "
+    "sign-code bytes (16x at 64 dims with 32-bit words) next to the mean "
+    "recall@10 the compression actually buys — the pricing row an engineer "
+    "reads before choosing int8 (4x, ~exact), PQ (32x, ADC), or binary "
+    "(16x, Hamming prefilter) for a 100 TB corpus.",
+)
+def binary_compression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators import search
+
+    emb = table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = search.knn_batch_topk(emb, queries_df, k=10).select("query_id", "vec_id")
+    approx = binquant.knn_binary_batch(emb, queries_df, k=10, shortlist=50).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    rec = (
+        queries_df.select("query_id")
+        .join(hits, "query_id", "left")
+        .select((F.coalesce("n_hits", F.lit(0)) / 10.0).alias("r"))
+        .agg(F.round(F.avg("r"), 6).alias("recall_at10_mean"))
+    )
+    sz = emb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        (F.count(F.lit(1)) * 64 * 4).cast("bigint").alias("raw_bytes"),
+        (F.count(F.lit(1)) * 2 * 8).cast("bigint").alias("code_bytes"),
+    )
+    return sz.crossJoin(rec).select(
+        "n_vectors",
+        "raw_bytes",
+        "code_bytes",
+        F.round(F.col("raw_bytes") / F.col("code_bytes"), 6).alias("compression_x"),
+        "recall_at10_mean",
+    )
+
+
+# DCG position weights 1/log2(r+1) and reciprocal ranks 1/r, computed ONCE
+# driver-side and injected as the SAME double literals into both engines —
+# log2 ULP behavior can differ between JVM and DuckDB, identical literals
+# cannot (the _Q idiom applied to eval constants)
+_DCG_W = search.DCG_W10
+_INV_R = search.INV_R10
+_IDCG = search.IDCG10
+_DCG_W_SQL = "[" + ", ".join(repr(w) for w in _DCG_W) + "]::DOUBLE[]"
+_INV_R_SQL = "[" + ", ".join(repr(w) for w in _INV_R) + "]::DOUBLE[]"
+
+
+@register(
+    "ann_eval_metrics",
+    oracle=f"""
+    WITH {_CENTROIDS_CTE},
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, vec_id, rn AS erank FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_cos('e.embedding', 'q.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rn <= 10
+    ),
+    probed AS (
+      SELECT query_id, list_id FROM (
+        SELECT q.query_id, c.list_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_cos('c.centroid', 'q.qv')}, 6) DESC, c.list_id ASC) AS pr
+        FROM centroids c CROSS JOIN q
+      ) WHERE pr <= 4
+    ),
+    approx AS (
+      SELECT query_id, vec_id, rn AS arank FROM (
+        SELECT p.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY round({_cos('e.embedding', 'q2.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM embeddings e
+        JOIN assigned a ON a.vec_id = e.vec_id
+        JOIN probed p ON p.list_id = a.list_id
+        JOIN q q2 ON q2.query_id = p.query_id
+      ) WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT e.query_id, 11 - e.erank AS rel, e.erank, a.arank
+      FROM exact e JOIN approx a USING (query_id, vec_id)
+    ),
+    per_q AS (
+      SELECT query_id,
+             CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(sum(CAST(round(rel * ({_DCG_W_SQL})[arank], 9) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS dcg,
+             max(CASE WHEN erank = 1 THEN ({_INV_R_SQL})[arank] END) AS mrr_raw
+      FROM hits GROUP BY query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(p.n_hits, 0) / 10.0, 6) AS recall,
+           round(coalesce(p.mrr_raw, 0.0), 6) AS mrr,
+           round(coalesce(p.dcg, 0.0) / {_IDCG!r}, 6) AS ndcg
+    FROM q LEFT JOIN per_q p ON p.query_id = q.query_id
+    """,
+    doc="Full ranking-quality eval of the IVF path (sqrt-stride centroids, "
+    "nprobe=4) against the exact top-10, per query: recall@10, MRR of the "
+    "exact top-1, and nDCG@10 with graded relevance rel = 11 - exact_rank "
+    "— recall says WHETHER the neighbors surfaced, nDCG says whether they "
+    "surfaced IN ORDER, MRR prices the reference RAG flow where only the "
+    "first context slot matters (reference ask.py takes top-5 in order).  "
+    "Position weights are driver-computed literals shared by both engines; "
+    "per-hit terms sum decimal-exactly.",
+)
+def ann_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = search.knn_batch_topk(emb, queries_df, k=10).select(
+        "query_id", "vec_id", F.col("rank").alias("erank")
+    )
+    approx = search.knn_ivf_batch(
+        emb, search.make_centroids(emb), queries_df, k=10, nprobe=4
+    ).select("query_id", "vec_id", F.col("rank").alias("arank"))
+    return search.ranking_eval(exact, approx, queries_df.select("query_id"), k=10)
+
+
+@register(
+    "knn_binary_stored",
+    oracle=_KNN_BINARY_ORACLE,
+    doc="Binary two-stage k-NN from the PERSISTED sign-code store: the "
+    "Hamming shortlist scans a code table whose ReadSchema is (vec_id, "
+    "bcode) — 16 bytes/vector instead of 256, the write-time/query-time "
+    "split that makes the 1-bit rung pay at 100 TB (the float table is "
+    "touched only by the broadcast shortlist).  Same results and oracle "
+    "as knn_binary.  sources/index_store.py:knn_binary_stored.",
+)
+def knn_binary_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.sources.index_store import knn_binary_stored as _stored
+
+    return _stored(spark, sf_dir, QVEC, k=5, shortlist=50)

@@ -79,3 +79,65 @@ def test_embedding_outliers_flags_exact_five_percent(spark):
     # away) — tie broken to lower id first, both flagged.
     assert flagged == [0, 39]
     assert out.filter("is_outlier").count() == 2
+
+
+# ---------------------------------------------------------------------------
+# ranking_eval (operators/search.py): recall@k / MRR / nDCG@k closed forms
+# ---------------------------------------------------------------------------
+
+
+def _rank_df(spark, rows, col):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(query_id=q, vec_id=v, **{col: r}) for q, v, r in rows]
+    )
+
+
+def test_ranking_eval_perfect_retriever_scores_one(spark):
+    from pyspark.sql import Row
+
+    from log_vector_spark.operators.search import ranking_eval
+
+    exact = _rank_df(spark, [(0, v, r) for r, v in enumerate(range(100, 110), 1)], "erank")
+    approx = _rank_df(spark, [(0, v, r) for r, v in enumerate(range(100, 110), 1)], "arank")
+    base = spark.createDataFrame([Row(query_id=0)])
+    row = ranking_eval(exact, approx, base, k=10).collect()[0]
+    assert row.n_hits == 10
+    assert row.recall == 1.0
+    assert row.mrr == 1.0
+    assert row.ndcg == 1.0
+
+
+def test_ranking_eval_reversed_order_hurts_ndcg_not_recall(spark):
+    from pyspark.sql import Row
+
+    from log_vector_spark.operators.search import ranking_eval
+
+    exact_rows = [(0, v, r) for r, v in enumerate(range(100, 110), 1)]
+    # same ten ids, reversed ranking
+    approx_rows = [(0, v, 11 - r) for r, v in enumerate(range(100, 110), 1)]
+    base = spark.createDataFrame([Row(query_id=0)])
+    row = ranking_eval(
+        _rank_df(spark, exact_rows, "erank"),
+        _rank_df(spark, approx_rows, "arank"),
+        base,
+        k=10,
+    ).collect()[0]
+    assert row.recall == 1.0
+    assert row.mrr == 0.1  # exact top-1 surfaced at position 10
+    assert 0.0 < row.ndcg < 1.0
+
+
+def test_ranking_eval_zero_hits_row_present(spark):
+    from pyspark.sql import Row
+
+    from log_vector_spark.operators.search import ranking_eval
+
+    exact = _rank_df(spark, [(0, 1, 1)], "erank")
+    approx = _rank_df(spark, [(0, 99, 1)], "arank")
+    base = spark.createDataFrame([Row(query_id=0), Row(query_id=7)])
+    rows = {r.query_id: r for r in ranking_eval(exact, approx, base, k=10).collect()}
+    assert set(rows) == {0, 7}
+    for r in rows.values():
+        assert (r.n_hits, r.recall, r.mrr, r.ndcg) == (0, 0.0, 0.0, 0.0)
