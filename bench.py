@@ -150,6 +150,13 @@ HEADLINE = [
     "knn_graph_build",            # write-time edge-list build cost
     "ivf_kmeans_recall_at10",     # k-means coarse quantizer recall eval
     "pq_kmeans_recall_at10",      # k-means PQ codebook recall eval
+    # round-5 additions: the 1-bit compression rung, winnowing substring
+    # dedup, SemDeDup, and the ranking-quality eval
+    "knn_binary",                 # sign-bit Hamming shortlist + exact rescore
+    "knn_binary_stored",          # same from the persisted 16-byte code store
+    "substring_dup_spans",        # winnowing fingerprints + interval merge
+    "semdedup_survivors",         # k-means-scoped semantic dedup (SemDeDup)
+    "ann_eval_metrics",           # recall/MRR/nDCG of the IVF path
 ]
 
 
@@ -293,12 +300,31 @@ BASELINE_SEC = {
     "knn_graph_build": 1.57,
     "ivf_kmeans_recall_at10": 8.45,
     "pq_kmeans_recall_at10": 4.90,  # after the 8-wide encode unroll
+    # r5 wave 2, measured in a ~2.5x-drifted window (text_quality control
+    # 0.63 vs 0.25 clean) — upper bounds
+    "knn_binary": 1.08,
+    "knn_binary_stored": 0.69,
+    "substring_dup_spans": 5.50,   # after the winnow-scan checkpoint
+    "semdedup_survivors": 1.63,    # IVF-blocked default (was 9.9 at fixed k=8)
+    "ann_eval_metrics": 2.11,
 }
 
 
 def main() -> None:
+    import argparse
+
     import __spark_entry__ as entrymod
     from log_vector_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated subset of HEADLINE to run (isolated re-bench "
+        "of drift outliers; the driver always runs the full set)",
+    )
+    args = ap.parse_args()
+    names = [n for n in args.only.split(",") if n] if args.only else HEADLINE
 
     spark = get_spark("bench")
     qs = entrymod.queries()
@@ -315,7 +341,7 @@ def main() -> None:
     # a third run disambiguates a transient stall from a genuinely slow
     # plan.  min() is recorded either way.
     results: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = qs[name]
         # baselines were measured at sf0.1 — meaningless at other SFs
         base = (

@@ -396,54 +396,76 @@ def embedding_near_dup_survivors(
 def semdedup_survivors(
     vectors: DataFrame,
     threshold: float = 0.35,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = 64,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
-    k-means-scoped semantic dedup that keeps, within every duplicate
+    cluster-scoped semantic dedup that keeps, within every duplicate
     group, the example with the LOWEST cosine similarity to its cluster
     centroid (the paper's keep rule: the farthest-from-centroid member
     preserves the most diversity).
 
-    Shape: one Lloyd fit (operators/cluster.py kmeans_fit — broadcast
-    centroids, scan-stage assignment), cosine-to-own-centroid computed in
-    the same projection, then ONE within-cluster pair join on the unit
-    vectors.  A vector is dropped when some same-cluster neighbor at
-    pair-cosine >= threshold ranks ahead of it under (centroid_sim asc,
-    id asc) — the deterministic star form of the paper's per-group argmin
-    (exactly one survivor per duplicate star, no sequential scan).
+    DEFAULT BLOCKING IS IVF (k=None): sqrt-stride centroids whose COUNT
+    GROWS WITH THE CORPUS, so within-cluster pair volume stays ~N^1.5 —
+    the same scale rule the paper itself applies (cluster count grows
+    with corpus size: 50k clusters for LAION-440M).  Passing an explicit
+    ``k`` opts into a FIXED-k Lloyd fit (operators/cluster.py kmeans_fit)
+    — a small-corpus/fixture setting: fixed cluster cardinality makes the
+    pair join quadratic in N, exactly the label-blocking anti-pattern
+    measured in SCALE_r03.json.
+
+    Either way the shape is: one scan-stage assignment against broadcast
+    centroids with cosine-to-own-centroid computed in the same pass, then
+    ONE within-cluster pair join on the unit vectors.  A vector is
+    dropped when some same-cluster neighbor at pair-cosine >= threshold
+    ranks ahead of it under (centroid_sim asc, id asc) — the
+    deterministic star form of the paper's per-group argmin (exactly one
+    survivor per duplicate star, no sequential scan).
 
     Returns ALL ids: (vec_id, cluster, centroid_sim, keep) — the gate
     column form every other dedup operator emits, so it composes into the
-    curation funnel.
-
-    Scale: the paper itself scales k with corpus size (50k clusters for
-    LAION-440M); here k is a parameter and the sqrt-N rule from
-    make_centroids is the 100 TB setting — within-cluster pair volume
-    then stays ~N^1.5, never all-pairs.  The pair join is hash-partitioned
-    on the cluster id; nothing data-scaled broadcasts.
+    curation funnel.  Nothing data-scaled broadcasts; the pair join is
+    hash-partitioned on the cluster id.
     """
     from log_vector_spark.functions.vector import (
         cosine_similarity,
         dot_product,
         l2_normalize,
     )
-    from log_vector_spark.operators.cluster import kmeans_fit
 
-    assigned, centroids = kmeans_fit(
-        vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
-    )
-    members = assigned.join(
-        F.broadcast(centroids.select("cid", F.col("e").alias("ce"))), "cid"
-    ).select(
-        F.col(id_col),
-        F.col("cid"),
-        F.round(cosine_similarity(F.col("e"), F.col("ce")), 6).alias("centroid_sim"),
-        l2_normalize(F.col("e")).alias("unit"),
-    )
+    if k is None:
+        from log_vector_spark.operators.search import ivf_assign, make_centroids
+
+        cents = make_centroids(vectors, vec_id=id_col, vec_col=vec_col)
+        assigned_ivf = ivf_assign(vectors, cents, id_col, vec_col)
+        # cscore IS cos(member, its list centroid), rounded — the keep key
+        members = assigned_ivf.select(
+            F.col(id_col),
+            F.col("list_id").alias("cid"),
+            F.col("cscore").alias("centroid_sim"),
+            l2_normalize(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("unit"),
+        )
+    else:
+        from log_vector_spark.operators.cluster import kmeans_fit
+
+        assigned, centroids = kmeans_fit(
+            vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+        members = assigned.join(
+            F.broadcast(centroids.select("cid", F.col("e").alias("ce"))), "cid"
+        ).select(
+            F.col(id_col),
+            F.col("cid"),
+            F.round(cosine_similarity(F.col("e"), F.col("ce")), 6).alias(
+                "centroid_sim"
+            ),
+            l2_normalize(F.col("e")).alias("unit"),
+        )
     a = members.select(
         F.col("cid"),
         F.col(id_col).alias("id_a"),
@@ -473,7 +495,8 @@ def semdedup_survivors(
         members.join(dropped, id_col, "left")
         .select(
             id_col,
-            F.col("cid").cast("int").alias("cluster"),
+            # bigint: IVF cluster ids are the stride-picked member ids
+            F.col("cid").cast("bigint").alias("cluster"),
             "centroid_sim",
             (~F.coalesce(F.col("__dropped"), F.lit(False))).alias("keep"),
         )

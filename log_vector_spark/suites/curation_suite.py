@@ -152,7 +152,8 @@ def winnow_density_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.functions.text import tokens
 
     docs = table(spark, "documents", sf_dir)
-    fps = curation.winnow_fingerprints(docs)
+    # two aggregates consume fps: checkpoint so the winnow scan runs once
+    fps = curation.winnow_fingerprints(docs).localCheckpoint(eager=False)
     tok = docs.agg(
         F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

