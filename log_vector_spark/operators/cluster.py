@@ -125,3 +125,129 @@ def kmeans_assignments(
     return assigned.select(
         id_col, F.col("cid").alias("cluster"), F.col("d").alias("dist")
     )
+
+
+def embedding_drift_report(
+    vectors: DataFrame,
+    n_bins: int = 8,
+    threshold: float = 0.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    split_col=None,
+) -> DataFrame:
+    """Per-dimension distribution-drift monitor between a reference and a
+    current split of the corpus: the check a training pipeline runs when a
+    new crawl lands, before re-training indexes or mixing the batch in.
+
+    Drift metric is TOTAL VARIATION DISTANCE over `n_bins` fixed-width
+    bins (bin edges from the GLOBAL per-dim min/max), not PSI: TVD's
+    terms are pure count arithmetic — per dim,
+
+        tvd = sum_b |cnt_cur_b * total_ref - cnt_ref_b * total_cur|
+              / (2 * total_ref * total_cur)
+
+    computed in exact BIGINT products with ONE final division, so the
+    number is bit-identical on any engine and any partitioning (PSI's
+    per-bin ln() terms would ride engine ULP differences straight into
+    the 6dp compare).  Also reports decimal-exact per-split means and
+    their shift.
+
+    Default split is the id parity (vec_id % 2) — the deterministic stand-
+    in for a before/after ingest boundary; pass `split_col` (a boolean
+    Column, true = current) for a real one, e.g. F.col("ingest_day") >= X.
+
+    Scale: one posexplode (corpus x dim rows, scan stage) feeding two
+    hash aggregates keyed (dim) and (dim, bin) with map-side combine —
+    two linear shuffles whose outputs are DIM-sized, not corpus-sized;
+    the bounded (dim) stats broadcast back for binning.  No windows, no
+    UDFs, nothing data-scaled on the driver.
+    """
+    split = (
+        (F.col(id_col) % 2 == 1) if split_col is None else split_col
+    ).cast("int")  # 0 = reference, 1 = current
+    dims = vectors.select(
+        F.col(id_col),
+        split.alias("cur"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    stats = dims.groupBy("dim").agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.sum(F.when(F.col("cur") == 0, F.col("x").cast("decimal(28,20)"))).alias(
+            "s_ref"
+        ),
+        F.sum(F.when(F.col("cur") == 1, F.col("x").cast("decimal(28,20)"))).alias(
+            "s_cur"
+        ),
+        F.sum(F.lit(1) - F.col("cur")).cast("bigint").alias("total_ref"),
+        F.sum("cur").cast("bigint").alias("total_cur"),
+    )
+    binned = (
+        dims.join(F.broadcast(stats.select("dim", "mn", "mx")), "dim")
+        .select(
+            "dim",
+            "cur",
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.least(
+                    F.floor(
+                        (F.col("x") - F.col("mn"))
+                        * n_bins
+                        / (F.col("mx") - F.col("mn"))
+                    ).cast("int"),
+                    F.lit(n_bins - 1),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("bin"),
+        )
+        .groupBy("dim", "bin")
+        .agg(
+            F.sum(F.lit(1) - F.col("cur")).cast("bigint").alias("cnt_ref"),
+            F.sum("cur").cast("bigint").alias("cnt_cur"),
+        )
+    )
+    per_dim = (
+        binned.join(F.broadcast(stats), "dim")
+        .groupBy("dim")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cnt_cur") * F.col("total_ref")
+                    - F.col("cnt_ref") * F.col("total_cur")
+                )
+            )
+            .cast("bigint")
+            .alias("sum_abs"),
+            F.first("s_ref").alias("s_ref"),
+            F.first("s_cur").alias("s_cur"),
+            F.first("total_ref").alias("total_ref"),
+            F.first("total_cur").alias("total_cur"),
+        )
+    )
+    # an empty split (all-even or all-odd ids, the degenerate-corpus case)
+    # makes TVD/means undefined: guard every division so the report
+    # degrades to NULL cells instead of an ANSI divide-by-zero
+    nz_both = (F.col("total_ref") > 0) & (F.col("total_cur") > 0)
+    tvd = F.when(
+        nz_both,
+        F.round(F.col("sum_abs") / (2.0 * F.col("total_ref") * F.col("total_cur")), 6),
+    )
+    mean_ref = F.when(
+        F.col("total_ref") > 0,
+        F.round(F.col("s_ref").cast("double") / F.col("total_ref"), 6),
+    )
+    mean_cur = F.when(
+        F.col("total_cur") > 0,
+        F.round(F.col("s_cur").cast("double") / F.col("total_cur"), 6),
+    )
+    return per_dim.select(
+        F.col("dim").cast("int").alias("dim"),
+        tvd.alias("tvd"),
+        mean_ref.alias("mean_ref"),
+        mean_cur.alias("mean_cur"),
+        F.round(mean_cur - mean_ref, 6).alias("mean_shift"),
+        (tvd >= threshold).alias("drifted"),
+    )

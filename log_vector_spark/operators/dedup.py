@@ -466,6 +466,11 @@ def semdedup_survivors(
             ),
             l2_normalize(F.col("e")).alias("unit"),
         )
+    # members is consumed THREE times (both pair-join sides + the final
+    # gate join) and contains the IVF/Lloyd assignment crossJoin — without
+    # a checkpoint that ~N^1.5 scoring subtree runs three times (measured
+    # 7.8x/decade before, ~N^1.5 after; SCALE_r05)
+    members = members.localCheckpoint(eager=False)
     a = members.select(
         F.col("cid"),
         F.col(id_col).alias("id_a"),

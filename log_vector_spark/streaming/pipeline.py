@@ -715,3 +715,81 @@ def run_stream_quality_gate(
         return spark.read.parquet(p).count()
 
     return _count("admitted"), _count("quarantine")
+
+
+def run_stream_binary_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    glob: str = "*.parquet",
+    max_files_per_trigger: int = 1,
+) -> dict:
+    """Incremental binary (sign-bit) code maintenance — the fourth
+    write-time ANN artifact kept current by the stream, laid out INSIDE
+    the IVF partitioning so Hamming shortlists prune to probed lists
+    before the 16-byte-per-vector code scan even starts.
+
+    The coarse quantizer freezes on the first batch (same contract as the
+    IVF / PQ streams: codes must be comparable across the stream's
+    lifetime; retrain offline and rewrite).  The sign code itself needs
+    NO trained artifact at all — it is a pure function of the vector —
+    which makes this the easiest member of the family: the sink is a
+    pure exactly-once append ((list_id, epoch) dynamic overwrite), per-
+    batch work is strictly batch-linear (one broadcast assignment + one
+    scan-stage pack), and stream-end state equals the batch pack under
+    the frozen centroids bit-for-bit (pinned in tests/test_stream_binary.py
+    for a 3-batch split).
+
+    Returns {'rows', 'n_lists', 'centroids' (frozen frame)}.
+    """
+    import os as _os
+
+    from log_vector_spark.operators.binquant import sign_pack
+    from log_vector_spark.operators.search import ivf_assign, make_centroids
+
+    emb_schema = "vec_id long, embedding array<float>, label int"
+    src = (
+        spark.readStream.schema(emb_schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    codes_path = _os.path.join(out_path, "codes")
+    state: dict = {"centroids": None}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if state["centroids"] is None:
+            state["centroids"] = make_centroids(batch_df).localCheckpoint(eager=True)
+        assigned = ivf_assign(batch_df, state["centroids"])
+        codes = assigned.select(
+            "vec_id",
+            sign_pack(F.col("embedding"), 64).alias("bcode"),
+            "list_id",
+        )
+        (
+            codes.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("list_id", "epoch")
+            .parquet(codes_path)
+        )
+
+    q = (
+        src.writeStream.option(
+            "checkpointLocation", _os.path.join(out_path + "_checkpoint", "")
+        )
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    codes = spark.read.parquet(codes_path)
+    return {
+        "rows": codes.select("vec_id").distinct().count(),
+        "n_lists": codes.select("list_id").distinct().count(),
+        "centroids": state["centroids"],
+    }

@@ -2062,3 +2062,75 @@ def knn_binary_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.sources.index_store import knn_binary_stored as _stored
 
     return _stored(spark, sf_dir, QVEC, k=5, shortlist=50)
+
+
+@register(
+    "embedding_drift_report",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, CAST(vec_id % 2 = 1 AS INTEGER) AS cur,
+             CAST(t.i - 1 AS INTEGER) AS dim, e[t.i] AS x
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    stats AS (
+      SELECT dim, min(x) AS mn, max(x) AS mx,
+             sum(CASE WHEN cur = 0 THEN CAST(x AS DECIMAL(28,20)) END) AS s_ref,
+             sum(CASE WHEN cur = 1 THEN CAST(x AS DECIMAL(28,20)) END) AS s_cur,
+             CAST(sum(1 - cur) AS BIGINT) AS total_ref,
+             CAST(sum(cur) AS BIGINT) AS total_cur
+      FROM d GROUP BY dim
+    ),
+    binned AS (
+      SELECT d.dim, d.cur,
+             CASE WHEN s.mx > s.mn
+                  THEN least(CAST(floor((d.x - s.mn) * 8 / (s.mx - s.mn)) AS INTEGER), 7)
+                  ELSE 0 END AS bin
+      FROM d JOIN stats s USING (dim)
+    ),
+    cnts AS (
+      SELECT dim, bin,
+             CAST(sum(1 - cur) AS BIGINT) AS cnt_ref,
+             CAST(sum(cur) AS BIGINT) AS cnt_cur
+      FROM binned GROUP BY dim, bin
+    ),
+    per_dim AS (
+      SELECT c.dim,
+             CAST(sum(abs(c.cnt_cur * s.total_ref - c.cnt_ref * s.total_cur)) AS BIGINT)
+               AS sum_abs,
+             any_value(s.s_ref) AS s_ref, any_value(s.s_cur) AS s_cur,
+             any_value(s.total_ref) AS total_ref, any_value(s.total_cur) AS total_cur
+      FROM cnts c JOIN stats s USING (dim) GROUP BY c.dim
+    )
+    SELECT dim,
+           CASE WHEN total_ref > 0 AND total_cur > 0
+                THEN round(sum_abs / (2.0 * total_ref * total_cur), 6) END AS tvd,
+           CASE WHEN total_ref > 0
+                THEN round(CAST(s_ref AS DOUBLE) / total_ref, 6) END AS mean_ref,
+           CASE WHEN total_cur > 0
+                THEN round(CAST(s_cur AS DOUBLE) / total_cur, 6) END AS mean_cur,
+           round(CASE WHEN total_cur > 0
+                      THEN round(CAST(s_cur AS DOUBLE) / total_cur, 6) END
+                 - CASE WHEN total_ref > 0
+                        THEN round(CAST(s_ref AS DOUBLE) / total_ref, 6) END,
+                 6) AS mean_shift,
+           (CASE WHEN total_ref > 0 AND total_cur > 0
+                 THEN round(sum_abs / (2.0 * total_ref * total_cur), 6) END
+            >= 0.1) AS drifted
+    FROM per_dim
+    """,
+    doc="Per-dimension embedding-distribution drift monitor: total "
+    "variation distance over 8 fixed-width bins (global per-dim min/max "
+    "edges) between the reference and current corpus splits (id parity — "
+    "the deterministic stand-in for a before/after ingest boundary), plus "
+    "decimal-exact per-split means and their shift.  TVD instead of PSI "
+    "keeps every term in exact BIGINT count arithmetic with one final "
+    "division — engine-ULP-proof, unlike per-bin ln().  The new-crawl "
+    "pre-flight check a 100 TB pipeline runs before retraining indexes "
+    "or admitting the batch to the mixture.  "
+    "operators/cluster.py:embedding_drift_report.",
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.cluster import embedding_drift_report as _drift
+
+    return _drift(table(spark, "embeddings", sf_dir), n_bins=8, threshold=0.1)

@@ -65,3 +65,65 @@ def test_kmeans_assignment_is_agg_not_window(spark):
     )
     assert plan.count("Window") <= 1  # only the k-row seed numbering
     assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# embedding_drift_report (operators/cluster.py): TVD closed forms
+# ---------------------------------------------------------------------------
+
+
+def _drift_df(spark, vecs):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+
+
+def test_drift_identical_splits_is_zero(spark):
+    from log_vector_spark.operators.cluster import embedding_drift_report
+
+    # even/odd pairs carry identical vectors -> every bin count matches
+    vecs = []
+    for i in range(10):
+        v = [float(i % 4), float(-i % 3)]
+        vecs.extend([v, v])
+    rows = embedding_drift_report(_drift_df(spark, vecs)).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.tvd == 0.0
+        assert r.mean_shift == 0.0
+        assert r.drifted is False
+
+
+def test_drift_disjoint_ranges_is_one(spark):
+    from log_vector_spark.operators.cluster import embedding_drift_report
+
+    # ref (even ids) lives in [0, 1], cur (odd ids) in [10, 11]: no bin is
+    # shared, TVD = 1 on dim 0; dim 1 is constant -> single bin, TVD = 0
+    vecs = []
+    for i in range(20):
+        vecs.append([float(i % 2 * 10 + (i % 5) / 5.0), 1.0])
+    rows = {r.dim: r for r in embedding_drift_report(_drift_df(spark, vecs)).collect()}
+    assert rows[0].tvd == 1.0
+    assert rows[0].drifted is True
+    assert rows[1].tvd == 0.0
+    assert rows[1].mean_shift == 0.0
+
+
+def test_drift_empty_split_degrades_to_nulls(spark):
+    from log_vector_spark.operators.cluster import embedding_drift_report
+
+    # all ids even -> current split empty: NULL metrics, no ANSI crash
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(vec_id=2 * i, embedding=[1.0, 2.0]) for i in range(5)]
+    )
+    rows = embedding_drift_report(df).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.tvd is None
+        assert r.mean_cur is None
+        assert r.mean_ref is not None
+        assert r.drifted is None
