@@ -157,6 +157,8 @@ HEADLINE = [
     "substring_dup_spans",        # winnowing fingerprints + interval merge
     "semdedup_survivors",         # k-means-scoped semantic dedup (SemDeDup)
     "ann_eval_metrics",           # recall/MRR/nDCG of the IVF path
+    "knn_binary_ivf_stored",      # pruned-partition 16-byte code scan
+    "embedding_drift_report",     # per-dim TVD drift monitor
 ]
 
 
@@ -307,6 +309,8 @@ BASELINE_SEC = {
     "substring_dup_spans": 5.50,   # after the winnow-scan checkpoint
     "semdedup_survivors": 1.63,    # IVF-blocked default (was 9.9 at fixed k=8)
     "ann_eval_metrics": 2.11,
+    "knn_binary_ivf_stored": 1.00,
+    "embedding_drift_report": 0.92,
 }
 
 

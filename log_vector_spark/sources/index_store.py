@@ -340,3 +340,70 @@ def knn_binary_stored(
         F.round(cosine_similarity(F.col("embedding"), q), SCORE_DP).alias("score"),
     )
     return rescored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+
+
+_BIVF_CODES_SCHEMA = "vec_id long, bcode array<bigint>, list_id bigint"
+
+
+def _build_binary_ivf(spark: SparkSession, sf_dir: str, path: str) -> None:
+    from log_vector_spark.operators import binquant
+
+    emb = table(spark, "embeddings", sf_dir)
+    cents = search.make_centroids(emb).localCheckpoint(eager=True)
+    assigned = search.ivf_assign(emb, cents)
+    codes = assigned.select(
+        "vec_id", binquant.sign_pack(F.col("embedding"), 64).alias("bcode"), "list_id"
+    )
+    codes.write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(path, "codes")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def ensure_binary_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    return _ensure(spark, sf_dir, "binary_ivf", _build_binary_ivf)
+
+
+def knn_binary_ivf_stored(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: Sequence[float],
+    k: int = 5,
+    shortlist: int = 50,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Binary Hamming shortlist INSIDE the probed IVF lists, from the
+    list_id-partitioned code store (the layout run_stream_binary_ingest
+    maintains): the two cheap filters compose — partition pruning drops
+    (n_lists - nprobe)/n_lists of the files before the scan starts, and
+    the surviving scan reads 16-byte codes, not 256-byte floats.  At
+    100 TB that is nprobe/n_lists of 1/16th of the corpus bytes per
+    query, before the bounded rescore.  Exact cosine re-ranks the
+    shortlist as always.  tests/test_binquant.py pins PartitionFilters
+    on the code scan.
+    """
+    from log_vector_spark.operators import binquant
+
+    root = ensure_binary_ivf_store(spark, sf_dir)
+    lists = probe_list_ids(spark, root, query_vec, nprobe)
+    codes = spark.read.schema(_BIVF_CODES_SCHEMA).parquet(
+        os.path.join(root, "codes")
+    ).filter(F.col("list_id").isin(lists))
+    qcode = F.array(
+        *[F.lit(int(w)).cast("long") for w in binquant.sign_pack_py(query_vec)]
+    )
+    short = (
+        codes.select(
+            "vec_id", binquant.hamming_distance(F.col("bcode"), qcode).alias("hamming")
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(shortlist)
+    )
+    q = literal_vector(query_vec)
+    emb = table(spark, "embeddings", sf_dir)
+    rescored = emb.join(F.broadcast(short), "vec_id").select(
+        "vec_id",
+        "hamming",
+        F.round(cosine_similarity(F.col("embedding"), q), SCORE_DP).alias("score"),
+    )
+    return rescored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)

@@ -2134,3 +2134,47 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.operators.cluster import embedding_drift_report as _drift
 
     return _drift(table(spark, "embeddings", sf_dir), n_bins=8, threshold=0.1)
+
+
+@register(
+    "knn_binary_ivf_stored",
+    oracle=f"""
+    WITH {_CENTROIDS_CTE},
+    {_BIN_CODES},
+    probed AS (
+      SELECT list_id FROM (
+        SELECT c.list_id,
+               row_number() OVER (
+                 ORDER BY round({_cos('c.centroid', _Q)}, 6) DESC, c.list_id ASC
+               ) AS pr
+        FROM centroids c
+      ) WHERE pr <= 4
+    ),
+    cand AS (
+      SELECT a.vec_id FROM assigned a JOIN probed p USING (list_id)
+    ),
+    ham AS (
+      SELECT c.vec_id,
+             CAST(list_reduce(list_transform(range(1, 3), i ->
+                    CAST(bit_count(xor(c.bcode[i], ({_QCODE})[i])) AS BIGINT)),
+                  (acc, x) -> acc + x) AS INTEGER) AS hamming
+      FROM codes c JOIN cand USING (vec_id)
+    ),
+    short AS (SELECT vec_id, hamming FROM ham ORDER BY hamming ASC, vec_id ASC LIMIT 50)
+    SELECT e.vec_id, s.hamming, round({_cos('e.v', _Q)}, 6) AS score
+    FROM e JOIN short s USING (vec_id)
+    ORDER BY score DESC, e.vec_id ASC LIMIT 5
+    """,
+    doc="Binary Hamming shortlist composed WITH IVF pruning, from the "
+    "list_id-partitioned code store (the exact layout the streaming "
+    "binary ingest maintains): PartitionFilters drop the unprobed lists "
+    "before the scan, and the surviving scan reads 16-byte sign codes — "
+    "nprobe/n_lists of 1/16th the corpus bytes per query, then the usual "
+    "bounded exact rescore.  sources/index_store.py:knn_binary_ivf_stored.",
+)
+def knn_binary_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.sources.index_store import (
+        knn_binary_ivf_stored as _stored,
+    )
+
+    return _stored(spark, sf_dir, QVEC, k=5, shortlist=50, nprobe=4)

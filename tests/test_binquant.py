@@ -166,3 +166,60 @@ def test_binary_stored_matches_inline(spark):
     assert [(r.vec_id, r.hamming, r.score) for r in inline] == [
         (r.vec_id, r.hamming, r.score) for r in stored
     ]
+
+
+def test_binary_ivf_stored_prunes_partitions_and_reads_codes_only(spark):
+    """The composed store query must show BOTH cheap filters in its plan:
+    PartitionFilters on list_id (IVF pruning) and a code-only ReadSchema
+    (the 16-byte scan)."""
+    import os
+
+    from log_vector_spark.functions.vector import fixed_query_vector
+    from log_vector_spark.operators import binquant
+    from log_vector_spark.sources import index_store
+
+    q = fixed_query_vector(dim=64, seed=7)
+    root = index_store.ensure_binary_ivf_store(spark, "/root/testdata/sf0.001")
+    lists = index_store.probe_list_ids(spark, root, q, 4)
+    codes = spark.read.schema(index_store._BIVF_CODES_SCHEMA).parquet(
+        os.path.join(root, "codes")
+    ).filter(F.col("list_id").isin(lists))
+    short = (
+        codes.select(
+            "vec_id",
+            binquant.hamming_distance(
+                F.col("bcode"),
+                F.array(*[F.lit(int(w)).cast("long") for w in binquant.sign_pack_py(q)]),
+            ).alias("h"),
+        )
+        .orderBy(F.asc("h"), F.asc("vec_id"))
+        .limit(50)
+    )
+    plan = short._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "list_id" in line.split("PartitionFilters", 1)[1].split("]")[0]
+    assert "embedding" not in plan  # float column never touched
+
+
+def test_binary_ivf_stored_subset_of_binary_stored(spark):
+    """IVF pruning can only REMOVE candidates: every result of the pruned
+    query must appear in the unpruned binary shortlist's corpus, and with
+    nprobe = n_lists the two queries agree exactly."""
+    from log_vector_spark.functions.vector import fixed_query_vector
+    from log_vector_spark.sources import index_store
+
+    q = fixed_query_vector(dim=64, seed=7)
+    full = index_store.knn_binary_stored(
+        spark, "/root/testdata/sf0.001", q, k=5, shortlist=50
+    ).collect()
+    root = index_store.ensure_binary_ivf_store(spark, "/root/testdata/sf0.001")
+    n_lists = (
+        spark.read.parquet(f"{root}/centroids").count()
+    )
+    pruned_all = index_store.knn_binary_ivf_stored(
+        spark, "/root/testdata/sf0.001", q, k=5, shortlist=50, nprobe=n_lists
+    ).collect()
+    assert [(r.vec_id, r.score) for r in pruned_all] == [
+        (r.vec_id, r.score) for r in full
+    ]
