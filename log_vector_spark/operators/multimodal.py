@@ -572,3 +572,57 @@ def audio_trim_silence_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
             yield pd.DataFrame(rows)
 
     return docs.select(id_col).mapInPandas(extract, out_schema)
+
+
+def image_ahash_bmp(
+    docs: DataFrame, out_h: int = 8, out_w: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual average-hash (aHash — the public pHash-family baseline
+    used for LAION-style image dedup): REAL BMP decode -> REAL 8x8
+    nearest-neighbor resize -> per-pixel luma -> one bit per pixel
+    (luma above the image mean) -> two 32-bit words, the binquant code
+    layout, so the hashes drop straight into the existing Hamming-pair /
+    shortlist machinery (dedup_simhash_pairs, knn_binary).
+
+    EXACT-INTEGER contract: luma is scaled BT.601 (299r + 587g + 114b,
+    integers), and the threshold compares 64 * luma_px > sum(luma) —
+    no float mean, no division — so the oracle replays the bits
+    closed-form and any codec/resize/threshold bug breaks the hash match.
+
+    Scale: mapInPandas scan-stage kernel (Arrow batches, no shuffle);
+    output is 24 bytes/image — the artifact a 100 TB image corpus
+    actually indexes for near-dup candidate generation.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("w0", T.LongType()),
+            T.StructField("w1", T.LongType()),
+            T.StructField("n_bits", T.IntegerType()),
+        ]
+    )
+    n_px = out_h * out_w
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "w0", "w1", "n_bits")}
+            for mid in pdf[id_col]:
+                thumb = resize_image(
+                    decode_image(encode_bmp(synth_image_pixels(int(mid)))),
+                    out_h,
+                    out_w,
+                ).astype(np.int64)
+                luma = 299 * thumb[:, :, 0] + 587 * thumb[:, :, 1] + 114 * thumb[:, :, 2]
+                total = int(luma.sum())
+                bits = (n_px * luma.reshape(-1) > total).astype(np.int64)
+                words = [0, 0]
+                for idx in range(n_px):
+                    if bits[idx]:
+                        words[idx // 32] |= 1 << (idx % 32)
+                rows["media_id"].append(int(mid))
+                rows["w0"].append(words[0])
+                rows["w1"].append(words[1])
+                rows["n_bits"].append(int(bits.sum()))
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(extract, out_schema)

@@ -1180,3 +1180,47 @@ def maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("maxsim"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@register(
+    "image_ahash_bmp",
+    oracle="""
+    WITH di AS (SELECT unnest(range(8)) AS i),
+    dj AS (SELECT unnest(range(8)) AS j),
+    px AS (
+      SELECT doc_id, i, j,
+             ((doc_id * 31 + ((i * 16) // 8) * 15 + ((j * 15) // 8)) * 97 + 0) % 256 AS r,
+             ((doc_id * 31 + ((i * 16) // 8) * 15 + ((j * 15) // 8)) * 97 + 7) % 256 AS g,
+             ((doc_id * 31 + ((i * 16) // 8) * 15 + ((j * 15) // 8)) * 97 + 14) % 256 AS b
+      FROM documents CROSS JOIN di CROSS JOIN dj
+    ),
+    l AS (SELECT doc_id, i, j, 299 * r + 587 * g + 114 * b AS lum,
+                 CAST(i * 8 + j AS BIGINT) AS idx
+          FROM px),
+    s AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) AS total FROM l GROUP BY doc_id),
+    bits AS (
+      SELECT l.doc_id, l.idx,
+             CASE WHEN 64 * l.lum > s.total THEN 1 ELSE 0 END AS bit
+      FROM l JOIN s USING (doc_id)
+    )
+    SELECT doc_id AS media_id,
+           CAST(sum(CASE WHEN idx < 32 THEN bit * CAST(pow(2, idx) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS w0,
+           CAST(sum(CASE WHEN idx >= 32 THEN bit * CAST(pow(2, idx - 32) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS w1,
+           CAST(sum(bit) AS INTEGER) AS n_bits
+    FROM bits GROUP BY doc_id
+    """,
+    doc="Perceptual average-hash (aHash, the pHash-family baseline behind "
+    "LAION-style image dedup): REAL BMP decode -> REAL 8x8 NN resize -> "
+    "scaled-integer BT.601 luma -> above-mean bit per pixel, packed into "
+    "the binquant two-word layout so the hashes feed the existing "
+    "Hamming-pair/shortlist machinery directly.  All-integer threshold "
+    "(64*luma > sum) — the closed-form oracle replays every bit, so a "
+    "codec, resize, or threshold bug breaks the hash match.  "
+    "operators/multimodal.py:image_ahash_bmp.",
+)
+def image_ahash_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.multimodal import image_ahash_bmp as iab
+
+    return iab(table(spark, "documents", sf_dir))

@@ -250,3 +250,61 @@ def test_png_rgba_drops_alpha_and_exotic_variants_gate():
     )
     with _pytest.raises(NotImplementedError):
         decode_png(png16)
+
+
+def test_image_ahash_matches_direct_recompute(spark):
+    """aHash words through the Spark kernel equal a direct numpy replay of
+    the same codec path, and n_bits is the popcount of the words."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from log_vector_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        image_ahash_bmp,
+        resize_image,
+        synth_image_pixels,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(12)])
+    got = {r.media_id: r for r in image_ahash_bmp(docs).collect()}
+    assert set(got) == set(range(12))
+    for mid, r in got.items():
+        thumb = resize_image(decode_image(encode_bmp(synth_image_pixels(mid))), 8, 8)
+        thumb = thumb.astype(np.int64)
+        luma = 299 * thumb[:, :, 0] + 587 * thumb[:, :, 1] + 114 * thumb[:, :, 2]
+        bits = (64 * luma.reshape(-1) > int(luma.sum())).astype(int)
+        w0 = sum(int(bits[i]) << i for i in range(32))
+        w1 = sum(int(bits[i + 32]) << i for i in range(32))
+        assert (r.w0, r.w1) == (w0, w1)
+        assert r.n_bits == bin(r.w0).count("1") + bin(r.w1).count("1")
+        assert 0 <= r.n_bits <= 64
+
+
+def test_image_ahash_feeds_hamming_machinery(spark):
+    """The two-word layout is binquant-compatible: hamming of a hash with
+    itself is 0, and with its complement is 64."""
+    from pyspark.sql import Row, functions as F
+
+    from log_vector_spark.operators.binquant import hamming_distance
+    from log_vector_spark.operators.multimodal import image_ahash_bmp
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(4)])
+    h = image_ahash_bmp(docs).select(
+        "media_id", F.array("w0", "w1").alias("code")
+    )
+    mask = (1 << 32) - 1
+    comp = h.select(
+        "media_id",
+        F.array(
+            (F.lit(mask) - F.element_at("code", 1)).cast("long"),
+            (F.lit(mask) - F.element_at("code", 2)).cast("long"),
+        ).alias("ccode"),
+    )
+    j = h.join(comp, "media_id").select(
+        hamming_distance(F.col("code"), F.col("code")).alias("self_d"),
+        hamming_distance(F.col("code"), F.col("ccode")).alias("comp_d"),
+    )
+    for r in j.collect():
+        assert r.self_d == 0
+        assert r.comp_d == 64
