@@ -159,6 +159,9 @@ HEADLINE = [
     "ann_eval_metrics",           # recall/MRR/nDCG of the IVF path
     "knn_binary_ivf_stored",      # pruned-partition 16-byte code scan
     "embedding_drift_report",     # per-dim TVD drift monitor
+    "image_ahash_bmp",            # perceptual hash through the real codec
+    "chunk_overlap",              # sliding token windows (RAG splitter)
+    "temperature_mixture",        # exponentiated sampling mixture plan
 ]
 
 
@@ -311,6 +314,10 @@ BASELINE_SEC = {
     "ann_eval_metrics": 2.11,
     "knn_binary_ivf_stored": 1.00,
     "embedding_drift_report": 0.92,
+    # ~1.9x-drifted window (text_quality control 0.47) — upper bounds
+    "image_ahash_bmp": 0.89,
+    "chunk_overlap": 0.38,
+    "temperature_mixture": 0.48,
 }
 
 

@@ -125,3 +125,50 @@ def chunk_documents_fixed(
         F.col("total_chunks"),
         F.posexplode("chunks").alias("chunk_index", "chunk"),
     ).select(id_col, "chunk_index", "total_chunks", "chunk")
+
+
+def chunk_documents_overlap(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG-standard splitter
+    (window tokens per chunk, stride < window so consecutive chunks share
+    window - stride tokens of context; every public RAG framework ships
+    this shape).  (doc_id, chunk_idx, start_token, n_tokens, chunk).
+
+    Chunk k covers tokens [1 + k*stride, 1 + k*stride + window - 1]; the
+    final chunk may be shorter.  Empty docs produce no rows (same
+    contract as the greedy chunker's empty filter).
+
+    Pure Column work: tokens -> guarded sequence of starts -> slice +
+    concat per start -> one posexplode.  Zero Python, zero shuffle —
+    chunking stays in the scan stage no matter the corpus size; at
+    stride/window = 0.75 the output is ~4/3 of the input tokens, a
+    constant factor the downstream embed step budgets for.
+    """
+    from log_vector_spark.functions.text import tokens
+
+    w = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), w.alias("w")).filter(F.size("w") >= 1)
+    starts = F.sequence(F.lit(1), F.size("w"), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s - 1).cast("int").alias("start_token"),
+            F.least(F.lit(window), F.size("w") - s + 1).cast("int").alias("n_tokens"),
+            F.concat_ws(" ", F.slice(F.col("w"), s, window)).alias("chunk"),
+        ),
+    )
+    return (
+        base.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("c.start_token").alias("start_token"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.chunk").alias("chunk"),
+        )
+    )

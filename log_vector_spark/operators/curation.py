@@ -632,3 +632,67 @@ def repetition_stats(
         & (F.col("dup_trigram_frac") <= 0.5)
     )
     return j.withColumn("rep_pass", rep_pass)
+
+
+def temperature_mixture_plan(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture planning (the exponentiated sampling rule
+    of Conneau & Lample 2019 / multilingual-BERT, public): target share
+    p_i proportional to n_i^alpha.  alpha = 1 keeps the natural mix,
+    alpha -> 0 approaches uniform; the default 0.5 is also the IEEE-exact
+    choice — sqrt is correctly rounded on every platform, so the oracle
+    compare cannot ride a pow() ULP (other alphas go through pow and are
+    fine operationally, just not bit-pinned cross-engine).
+
+    Per domain: current_share, temp_share (the alpha-scaled target),
+    planned_tokens = floor(total * temp_share), and effective_epochs =
+    planned / current — above 1 means the domain is up-sampled (epoch
+    repetition), below 1 down-sampled; contrast domain_mixture_plan,
+    which caps at 1 and only down-samples toward uniform.
+
+    Scale: one linear group-by-domain shuffle with map-side combine; all
+    windows run over the per-domain relation (bounded rows).  Scaled
+    weights are rounded-then-decimal-summed so the share denominators are
+    fold-order-proof.
+    """
+    per = (
+        docs.select(
+            F.col(domain_col).alias("domain"), tokens(F.col(text_col)).alias("w")
+        )
+        .select("domain", F.size("w").cast("int").alias("nt"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("domain_tokens"),
+        )
+    )
+    scaled = (
+        F.sqrt(F.col("domain_tokens"))
+        if alpha == 0.5
+        else F.pow(F.col("domain_tokens"), F.lit(alpha))
+    )
+    sc = per.withColumn("s9", F.round(scaled, 9).cast("decimal(28,12)"))
+    w_all = Window.partitionBy()
+    total_tokens = F.sum("domain_tokens").over(w_all)
+    total_s = F.sum("s9").over(w_all)
+    temp_share = F.round(
+        F.col("s9").cast("double") / total_s.cast("double"), 6
+    )
+    planned = F.floor(total_tokens * temp_share).cast("bigint")
+    return sc.select(
+        "domain",
+        "n_docs",
+        "domain_tokens",
+        F.round(F.col("domain_tokens").cast("double") / total_tokens.cast("double"), 6).alias(
+            "current_share"
+        ),
+        temp_share.alias("temp_share"),
+        planned.alias("planned_tokens"),
+        F.round(planned.cast("double") / F.col("domain_tokens"), 6).alias(
+            "effective_epochs"
+        ),
+    )

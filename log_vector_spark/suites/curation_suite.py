@@ -531,3 +531,39 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.repetition_stats(table(spark, "documents", sf_dir))
+
+
+@register(
+    "temperature_mixture",
+    oracle=f"""
+    WITH per AS (
+      SELECT source AS domain, count(*) AS n_docs,
+             CAST(sum(len({_WORDS})) AS BIGINT) AS domain_tokens
+      FROM documents GROUP BY source
+    ),
+    sc AS (
+      SELECT *, CAST(round(sqrt(domain_tokens), 9) AS DECIMAL(28,12)) AS s9 FROM per
+    )
+    SELECT domain, n_docs, domain_tokens,
+           round(CAST(domain_tokens AS DOUBLE)
+                 / CAST(sum(domain_tokens) OVER () AS DOUBLE), 6) AS current_share,
+           round(CAST(s9 AS DOUBLE) / CAST(sum(s9) OVER () AS DOUBLE), 6) AS temp_share,
+           CAST(floor(sum(domain_tokens) OVER ()
+                      * round(CAST(s9 AS DOUBLE) / CAST(sum(s9) OVER () AS DOUBLE), 6))
+                AS BIGINT) AS planned_tokens,
+           round(CAST(CAST(floor(sum(domain_tokens) OVER ()
+                      * round(CAST(s9 AS DOUBLE) / CAST(sum(s9) OVER () AS DOUBLE), 6))
+                AS BIGINT) AS DOUBLE) / domain_tokens, 6) AS effective_epochs
+    FROM sc
+    """,
+    doc="Temperature-scaled mixture planning (Conneau & Lample 2019 "
+    "exponentiated sampling): target share p_i ~ n_i^alpha with alpha = "
+    "0.5 (the IEEE-exact sqrt case — pow ULP cannot flip the compare), "
+    "reporting per-domain temp_share, planned token budgets, and "
+    "effective_epochs (>1 = up-sample by repetition; contrast "
+    "domain_mixture's capped uniform-target rule).  One linear "
+    "group-by-domain shuffle; decimal-summed share denominators.  "
+    "operators/curation.py:temperature_mixture_plan.",
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.temperature_mixture_plan(table(spark, "documents", sf_dir))

@@ -1224,3 +1224,34 @@ def image_ahash_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.operators.multimodal import image_ahash_bmp as iab
 
     return iab(table(spark, "documents", sf_dir))
+
+
+@register(
+    "chunk_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, w, unnest(range(1, len(w) + 1, 48)) AS st
+      FROM d WHERE len(w) >= 1
+    )
+    SELECT doc_id,
+           CAST((st - 1) / 48 AS INTEGER) AS chunk_idx,
+           CAST(st - 1 AS INTEGER) AS start_token,
+           CAST(least(64, len(w) - st + 1) AS INTEGER) AS n_tokens,
+           array_to_string(w[st:st+63], ' ') AS chunk
+    FROM s
+    """,
+    doc="Overlapping token-window chunking (window 64, stride 48 — "
+    "consecutive chunks share 16 tokens of context): the RAG-standard "
+    "splitter alongside the reference's greedy line chunker.  Pure "
+    "Column work (guarded sequence of starts -> slice+concat -> one "
+    "posexplode), zero Python, zero shuffle — scan-stage at any corpus "
+    "size.  operators/chunk.py:chunk_documents_overlap.",
+)
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_ops.chunk_documents_overlap(
+        table(spark, "documents", sf_dir), window=64, stride=48
+    )

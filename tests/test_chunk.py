@@ -77,3 +77,29 @@ def test_chunk_documents_end_to_end(spark):
     assert by_id["s1:1:0"].total_chunks == 2
     # oversized single line intact
     assert by_id["s1:3:0"].document == "x" * 30
+
+
+def test_chunk_overlap_closed_form(spark):
+    """12 tokens, window 5, stride 4: starts at tokens 0/4/8 with lengths
+    5/5/4, overlap of 1 token between consecutive chunks."""
+    from pyspark.sql import Row
+
+    from log_vector_spark.operators.chunk import chunk_documents_overlap
+
+    text = " ".join(f"t{i}" for i in range(12))
+    docs = spark.createDataFrame([Row(doc_id=1, text=text), Row(doc_id=2, text="")])
+    rows = sorted(
+        chunk_documents_overlap(docs, window=5, stride=4).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    assert [r.doc_id for r in rows] == [1, 1, 1]  # empty doc -> no rows
+    assert [(r.chunk_idx, r.start_token, r.n_tokens) for r in rows] == [
+        (0, 0, 5),
+        (1, 4, 5),
+        (2, 8, 4),
+    ]
+    assert rows[0].chunk == "t0 t1 t2 t3 t4"
+    assert rows[1].chunk == "t4 t5 t6 t7 t8"
+    assert rows[2].chunk == "t8 t9 t10 t11"
+    # consecutive chunks share window - stride = 1 token
+    assert rows[0].chunk.split()[-1] == rows[1].chunk.split()[0]

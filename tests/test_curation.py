@@ -152,3 +152,32 @@ def test_repetition_stats_closed_form(spark):
     assert r3.top_word_share == round(2 / 7, 6)
     assert r3.top_bigram_share == round(4 / 7, 6)
     assert r3.dup_trigram_frac == round(6 / 7, 6)
+
+
+def test_temperature_mixture_closed_form(spark):
+    """Two domains with 100 and 400 tokens at alpha=0.5: sqrt weights 10
+    and 20, so temp shares 1/3 and 2/3 — the over-represented domain is
+    down-weighted (natural share 0.8 -> 2/3), the small one up-weighted
+    (0.2 -> 1/3, effective_epochs > 1)."""
+    from pyspark.sql import Row
+
+    from log_vector_spark.operators.curation import temperature_mixture_plan
+
+    rows = []
+    for i in range(10):
+        rows.append(Row(doc_id=i, source="small", text=" ".join(["w"] * 10)))
+    for i in range(10, 20):
+        rows.append(Row(doc_id=i, source="big", text=" ".join(["w"] * 40)))
+    out = {
+        r.domain: r
+        for r in temperature_mixture_plan(spark.createDataFrame(rows)).collect()
+    }
+    assert out["small"].domain_tokens == 100
+    assert out["big"].domain_tokens == 400
+    assert out["small"].temp_share == round(1 / 3, 6)
+    assert out["big"].temp_share == round(2 / 3, 6)
+    assert out["small"].current_share == 0.2
+    assert out["big"].current_share == 0.8
+    assert out["small"].effective_epochs > 1.0  # up-sampled by repetition
+    assert out["big"].effective_epochs < 1.0
+    assert out["small"].planned_tokens + out["big"].planned_tokens <= 500
