@@ -679,20 +679,27 @@ def temperature_mixture_plan(
     w_all = Window.partitionBy()
     total_tokens = F.sum("domain_tokens").over(w_all)
     total_s = F.sum("s9").over(w_all)
-    temp_share = F.round(
-        F.col("s9").cast("double") / total_s.cast("double"), 6
+    # all-empty-text corpus: total weight 0 -> shares undefined; guard so
+    # the NaN never reaches the ANSI bigint cast (degenerate-sweep class)
+    nz = total_s.cast("double") > 0
+    temp_share = F.when(
+        nz, F.round(F.col("s9").cast("double") / total_s.cast("double"), 6)
     )
-    planned = F.floor(total_tokens * temp_share).cast("bigint")
+    planned = F.when(nz, F.floor(total_tokens * temp_share)).cast("bigint")
     return sc.select(
         "domain",
         "n_docs",
         "domain_tokens",
-        F.round(F.col("domain_tokens").cast("double") / total_tokens.cast("double"), 6).alias(
-            "current_share"
-        ),
+        F.when(
+            total_tokens > 0,
+            F.round(
+                F.col("domain_tokens").cast("double") / total_tokens.cast("double"), 6
+            ),
+        ).alias("current_share"),
         temp_share.alias("temp_share"),
         planned.alias("planned_tokens"),
-        F.round(planned.cast("double") / F.col("domain_tokens"), 6).alias(
-            "effective_epochs"
-        ),
+        F.when(
+            F.col("domain_tokens") > 0,
+            F.round(planned.cast("double") / F.col("domain_tokens"), 6),
+        ).alias("effective_epochs"),
     )

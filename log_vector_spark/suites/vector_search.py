@@ -1917,7 +1917,8 @@ def binary_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     )
     SELECT n_vectors, raw_bytes, code_bytes,
-           round(raw_bytes / code_bytes, 6) AS compression_x,
+           CASE WHEN code_bytes > 0
+                THEN round(raw_bytes / code_bytes, 6) END AS compression_x,
            recall_at10_mean
     FROM sz, rec
     """,
@@ -1958,7 +1959,11 @@ def binary_compression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors",
         "raw_bytes",
         "code_bytes",
-        F.round(F.col("raw_bytes") / F.col("code_bytes"), 6).alias("compression_x"),
+        # empty corpus: 0/0 -> NULL, not an ANSI divide error
+        F.when(
+            F.col("code_bytes") > 0,
+            F.round(F.col("raw_bytes") / F.col("code_bytes"), 6),
+        ).alias("compression_x"),
         "recall_at10_mean",
     )
 
