@@ -634,6 +634,149 @@ def repetition_stats(
     return j.withColumn("rep_pass", rep_pass)
 
 
+def line_dedup_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = SPAN_TOKENS,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Boilerplate REMOVAL (CCNet/C4 line dedup, the destructive sibling of
+    ``span_dedup_ratio``): drop every ``span_tokens``-token span that occurs
+    in more than ``max_docs`` distinct documents, then reassemble each
+    document's surviving spans in original order as ``clean_text``.
+
+    ``span_dedup_ratio`` only *scores* duplication; real web-corpus
+    pipelines (CCNet's paragraph dedup, C4's three-sentence rule,
+    RefinedWeb's line filter) rewrite the document.  Every doc gets a row
+    — a fully-boilerplate doc comes back with ``clean_text = ''`` and
+    ``kept_ratio = 0`` rather than vanishing, so downstream length gates
+    see it.
+
+    Scale: the exploded relation is (doc_id, span_pos, span_text, 16-byte
+    hash) — linear in corpus tokens.  The span->n_docs aggregate groups on
+    the md5 hash (fixed 16 bytes, uniformly distributed: no skew even when
+    one boilerplate line dominates, because the hot hash is reduced
+    map-side before the shuffle).  Reassembly is one group-by-doc with
+    ``sort_array(collect_list(struct(pos, span)))`` — per-doc state is
+    bounded by document length, not corpus size.  No broadcast of a
+    data-scaled relation, no driver collect.
+    """
+    w = tokens(F.col(text_col))
+    n_spans = F.ceil(F.size(w) / F.lit(float(span_tokens))).cast("int")
+    idx = F.when(n_spans >= 1, F.sequence(F.lit(0), n_spans - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    span_arr = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(w, i * span_tokens + 1, span_tokens))
+    )
+    spans = docs.select(
+        F.col(id_col), F.posexplode(span_arr).alias("pos", "s")
+    ).withColumn("h", F.md5(F.col("s")))
+    per_span = spans.groupBy("h").agg(F.countDistinct(id_col).alias("nd"))
+    kept = (
+        spans.join(per_span, "h")
+        .where(F.col("nd") <= max_docs)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "s"))),
+                    lambda x: x["s"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    base = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    out = (
+        docs.select(id_col)
+        .join(base, id_col, "left")
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+    kept_ratio = F.when(
+        F.col("n_spans") > 0, F.round(F.col("n_kept") / F.col("n_spans"), 6)
+    )
+    return out.withColumn("kept_ratio", kept_ratio)
+
+
+def adaptive_quality_gate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    lo_p: float = 0.1,
+    hi_p: float = 0.9,
+    rep_p: float = 0.9,
+) -> DataFrame:
+    """Per-language ADAPTIVE quality thresholds (the FineWeb recipe, public:
+    thresholds are percentiles of the corpus's own feature distribution per
+    language, not global constants — a length cut tuned on English silently
+    guts Chinese).
+
+    Features per doc: token count and top-word share (max single-token
+    frequency / tokens — the repetition proxy).  Per language: keep docs
+    whose token count lies in [p{lo_p}, p{hi_p}] and whose top-word share
+    is at or below its p{rep_p}.  Token-less docs keep a row with
+    ``keep = false`` (same contract as repetition_stats).
+
+    Scale: one explode -> (doc, token) hash agg -> per-doc agg, all linear
+    with map-side combine; the percentile aggregate runs per language over
+    the tiny per-doc feature relation (one row per doc, 3 numbers), and
+    the threshold table (one row per language) is broadcast back.  Exact
+    ``percentile`` (not approx) is deliberate: the per-lang sort state is
+    |docs in lang| scalars — at 100 TB swap in ``approx_percentile`` with
+    a documented accuracy knob if even that is too wide.
+    """
+    tok = docs.select(
+        F.col(id_col), F.col(lang_col), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    per_tok = tok.groupBy(id_col, lang_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_tok.groupBy(id_col, lang_col).agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.max("c").cast("bigint").alias("top_cnt"),
+    )
+    feats = per_doc.select(
+        id_col,
+        lang_col,
+        "n_words",
+        F.round(F.col("top_cnt") / F.col("n_words"), 6).alias("top_share"),
+    )
+    thr = feats.groupBy(lang_col).agg(
+        F.round(F.percentile("n_words", lo_p), 6).alias("w_lo"),
+        F.round(F.percentile("n_words", hi_p), 6).alias("w_hi"),
+        F.round(F.percentile("top_share", rep_p), 6).alias("ts_hi"),
+    )
+    out = (
+        docs.select(id_col, lang_col)
+        .join(feats.drop(lang_col), id_col, "left")
+        .join(F.broadcast(thr), lang_col, "left")
+    )
+    keep = (
+        F.col("n_words").isNotNull()
+        & (F.col("n_words") >= F.col("w_lo"))
+        & (F.col("n_words") <= F.col("w_hi"))
+        & (F.col("top_share") <= F.col("ts_hi"))
+    )
+    return out.select(
+        id_col,
+        lang_col,
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        "top_share",
+        "w_lo",
+        "w_hi",
+        "ts_hi",
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
 def temperature_mixture_plan(
     docs: DataFrame,
     alpha: float = 0.5,

@@ -626,3 +626,69 @@ def image_ahash_bmp(
             yield pd.DataFrame(rows)
 
     return docs.select(id_col).mapInPandas(extract, out_schema)
+
+
+def image_neardup_pairs(
+    docs: DataFrame, threshold: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate image pairs from the perceptual average-hash, via
+    banded Hamming LSH (the LAION / img2dataset dedup recipe).
+
+    The 64-bit aHash is split into 4 contiguous 16-bit bands; images
+    sharing ANY band value become candidates (one equi-join), and the
+    exact Hamming distance is computed only on candidates.  Pigeonhole
+    guarantee: two hashes within Hamming distance ``threshold`` <= 3
+    differ in at most 3 of the 4 bands, so at least one band matches —
+    the banded join is EXACT for the default threshold, which is why a
+    brute-force all-pairs oracle can certify it.
+
+    Scale: candidate generation is an equi-join on (band_idx, band_value)
+    — never all-pairs.  A degenerate corpus where one band value
+    dominates (e.g. near-black images) concentrates one join key; that is
+    the same hot-bucket regime as dedup_simhash_pairs and the mitigation
+    is identical (cap or salt the hot bucket — see docs/SCALE.md).  The
+    pair relation is deduplicated on (id_a, id_b) before the Hamming
+    filter so multi-band collisions cost one row, not four.
+    """
+    h = image_ahash_bmp(docs, id_col=id_col).select("media_id", "w0", "w1")
+    mask = F.lit(0xFFFF)
+    bands = h.select(
+        "media_id",
+        "w0",
+        "w1",
+        F.posexplode(
+            F.array(
+                F.col("w0").bitwiseAND(mask),
+                F.shiftright("w0", 16).bitwiseAND(mask),
+                F.col("w1").bitwiseAND(mask),
+                F.shiftright("w1", 16).bitwiseAND(mask),
+            )
+        ).alias("band", "bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.w0").alias("a0"),
+            F.col("a.w1").alias("a1"),
+            F.col("b.w0").alias("b0"),
+            F.col("b.w1").alias("b1"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= threshold)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -65,6 +65,33 @@ def knn_topk(
     return scored.select(id_col, "score").orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def knn_radius(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    min_score: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range search (FAISS ``range_search`` semantics, cosine form): ALL
+    vectors whose similarity to the query is at or above ``min_score``,
+    best-first — the radius-bounded sibling of :func:`knn_topk` for
+    callers that need "everything this close", not "the closest k"
+    (duplicate sweeps, recall-safe shortlists, epsilon-neighborhoods).
+
+    Scale: identical plan shape to knn_topk minus the top-k — one parquet
+    scan, codegen'd score projection, and a FILTER that admits only the
+    radius hits, so the result (not the corpus) is what crosses to the
+    caller.  The ordering sort runs on the filtered relation only.  No
+    shuffle of the corpus, no driver collect.
+    """
+    scored = score_against(vectors, query_vec, vec_col)
+    return (
+        scored.select(id_col, "score")
+        .where(F.col("score") >= min_score)
+        .orderBy(F.desc("score"), F.asc(id_col))
+    )
+
+
 def knn_batch_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -46,6 +46,76 @@ def span_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.span_dedup_ratio(table(spark, "documents", sf_dir))
 
 
+@register(
+    "line_dedup_clean",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    i AS (SELECT doc_id, words,
+                 unnest(range(CAST(ceil(len(words) / 10.0) AS BIGINT))) AS i
+          FROM w),
+    s AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                 array_to_string(words[(i*10+1):(i*10+10)], ' ') AS s
+          FROM i),
+    hh AS (SELECT doc_id, pos, s, md5(s) AS h FROM s),
+    g AS (SELECT h, count(DISTINCT doc_id) AS nd FROM hh GROUP BY h),
+    k AS (SELECT doc_id, count(*) AS n_kept,
+                 string_agg(s, ' ' ORDER BY pos) AS clean_text
+          FROM hh JOIN g USING (h) WHERE nd <= 1 GROUP BY doc_id),
+    b AS (SELECT doc_id, count(*) AS n_spans FROM hh GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(b.n_spans, 0) AS n_spans,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.clean_text, '') AS clean_text,
+           CASE WHEN coalesce(b.n_spans, 0) > 0
+                THEN round(coalesce(k.n_kept, 0) / b.n_spans, 6) END AS kept_ratio
+    FROM documents d LEFT JOIN b USING (doc_id) LEFT JOIN k USING (doc_id)
+    """,
+    doc="CCNet/C4-style boilerplate REMOVAL: drop 10-token spans shared by "
+    ">1 doc, reassemble surviving spans in order as clean_text; every doc "
+    "keeps a row (empty string when fully boilerplate).  Group-by is on the "
+    "16-byte span md5 (uniform, map-side combined — a corpus-dominating "
+    "boilerplate line cannot skew the shuffle); reassembly state is "
+    "bounded by doc length.",
+)
+def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.line_dedup_clean(table(spark, "documents", sf_dir))
+
+
+@register(
+    "adaptive_quality_gate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, unnest({_WORDS}) AS t FROM documents),
+    pt AS (SELECT doc_id, lang, t, count(*) AS c FROM tok GROUP BY doc_id, lang, t),
+    pd AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_words,
+                  CAST(max(c) AS BIGINT) AS top_cnt
+           FROM pt GROUP BY doc_id, lang),
+    f AS (SELECT doc_id, lang, n_words,
+                 round(top_cnt / n_words, 6) AS top_share FROM pd),
+    thr AS (SELECT lang,
+                   round(quantile_cont(n_words, 0.1), 6) AS w_lo,
+                   round(quantile_cont(n_words, 0.9), 6) AS w_hi,
+                   round(quantile_cont(top_share, 0.9), 6) AS ts_hi
+            FROM f GROUP BY lang)
+    SELECT d.doc_id, d.lang,
+           coalesce(f.n_words, 0) AS n_words,
+           f.top_share, thr.w_lo, thr.w_hi, thr.ts_hi,
+           coalesce(f.n_words >= thr.w_lo AND f.n_words <= thr.w_hi
+                    AND f.top_share <= thr.ts_hi, false) AS keep
+    FROM documents d
+    LEFT JOIN f USING (doc_id)
+    LEFT JOIN thr ON d.lang = thr.lang
+    """,
+    doc="FineWeb-style ADAPTIVE quality gate: per-language percentile "
+    "thresholds (token count in [p10, p90], top-word share <= its p90) "
+    "instead of global constants.  Linear explode->agg feature pass; "
+    "exact percentile over the tiny per-doc feature relation; one-row-"
+    "per-language threshold table broadcast back.  Token-less docs keep "
+    "a keep=false row.",
+)
+def adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.adaptive_quality_gate(table(spark, "documents", sf_dir))
+
+
 # winnowing fingerprint CTEs (k=8-token grams, w=4 winnow window), shared by
 # the two substring-dedup queries.  g[j:j+3] is DuckDB's clamped 4-element
 # slice = Spark slice(g, j, 4); leftmost-min tie break via list_position.

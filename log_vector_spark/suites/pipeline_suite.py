@@ -1182,9 +1182,10 @@ def maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "image_ahash_bmp",
-    oracle="""
+# closed-form replay of the aHash bit computation (synthetic pixels ->
+# 8x8 NN resize -> scaled-integer luma -> above-mean bits -> two words);
+# shared by image_ahash_bmp and image_neardup_pairs
+_AHASH_ORACLE_CTE = """
     WITH di AS (SELECT unnest(range(8)) AS i),
     dj AS (SELECT unnest(range(8)) AS j),
     px AS (
@@ -1202,14 +1203,24 @@ def maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l.doc_id, l.idx,
              CASE WHEN 64 * l.lum > s.total THEN 1 ELSE 0 END AS bit
       FROM l JOIN s USING (doc_id)
+    ),
+    ahash AS (
+      SELECT doc_id AS media_id,
+             CAST(sum(CASE WHEN idx < 32 THEN bit * CAST(pow(2, idx) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS w0,
+             CAST(sum(CASE WHEN idx >= 32 THEN bit * CAST(pow(2, idx - 32) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS w1,
+             CAST(sum(bit) AS INTEGER) AS n_bits
+      FROM bits GROUP BY doc_id
     )
-    SELECT doc_id AS media_id,
-           CAST(sum(CASE WHEN idx < 32 THEN bit * CAST(pow(2, idx) AS BIGINT) ELSE 0 END)
-                AS BIGINT) AS w0,
-           CAST(sum(CASE WHEN idx >= 32 THEN bit * CAST(pow(2, idx - 32) AS BIGINT) ELSE 0 END)
-                AS BIGINT) AS w1,
-           CAST(sum(bit) AS INTEGER) AS n_bits
-    FROM bits GROUP BY doc_id
+"""
+
+
+@register(
+    "image_ahash_bmp",
+    oracle=_AHASH_ORACLE_CTE
+    + """
+    SELECT media_id, w0, w1, n_bits FROM ahash
     """,
     doc="Perceptual average-hash (aHash, the pHash-family baseline behind "
     "LAION-style image dedup): REAL BMP decode -> REAL 8x8 NN resize -> "
@@ -1224,6 +1235,30 @@ def image_ahash_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.operators.multimodal import image_ahash_bmp as iab
 
     return iab(table(spark, "documents", sf_dir))
+
+
+@register(
+    "image_neardup_pairs",
+    oracle=_AHASH_ORACLE_CTE
+    + """
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INTEGER)
+             AS hamming
+    FROM ahash a JOIN ahash b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+    """,
+    doc="Near-duplicate image pairs (LAION-style): banded Hamming LSH over "
+    "the 64-bit aHash — 4 contiguous 16-bit bands, one equi-join on "
+    "(band, value), exact Hamming only on candidates.  Pigeonhole makes "
+    "the banding EXACT for threshold 3, so the brute-force all-pairs "
+    "oracle certifies zero recall loss.  At scale: candidates ~ bucket "
+    "occupancy, never all-pairs; hot-bucket regime and mitigation shared "
+    "with dedup_simhash_pairs.  operators/multimodal.py:image_neardup_pairs.",
+)
+def image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.multimodal import image_neardup_pairs as inp
+
+    return inp(table(spark, "documents", sf_dir))
 
 
 @register(

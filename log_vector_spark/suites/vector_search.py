@@ -43,6 +43,23 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_radius",
+    oracle=f"""
+    SELECT vec_id, score FROM (
+      SELECT vec_id, round({_cos('embedding', _Q)}, 6) AS score
+      FROM embeddings
+    ) WHERE score >= 0.2 ORDER BY score DESC, vec_id ASC
+    """,
+    doc="Range search (FAISS range_search, cosine form): every vector with "
+    "similarity >= 0.2, best-first.  Same scan+codegen plan as knn_topk "
+    "with a filter instead of a top-k — only radius hits cross out of the "
+    "scan stage.  operators/search.py:knn_radius.",
+)
+def knn_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search.knn_radius(table(spark, "embeddings", sf_dir), QVEC, min_score=0.2)
+
+
+@register(
     "knn_batch_topk",
     oracle=f"""
     WITH q AS (
