@@ -393,6 +393,88 @@ def embedding_near_dup_survivors(
     return vectors.join(dup_ids, id_col, "left_anti").select(id_col)
 
 
+def semantic_lexical_pairs(
+    vectors: DataFrame,
+    docs: DataFrame,
+    cos_threshold: float = 0.3,
+    jac_threshold: float = 0.02,
+    shingle_n: int = 3,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-stage CROSS-MODAL dedup audit: semantic candidates (IVF-blocked
+    embedding pairs at cosine >= cos_threshold) annotated with their EXACT
+    lexical n-gram Jaccard and a ``lexical_match`` verdict.
+
+    This is the production near-dup recipe (SemDeDup-then-verify): the
+    embedding stage recalls paraphrase-level duplicates that lexical
+    methods miss, and the lexical stage separates true rewordings
+    (high Jaccard) from topically-similar-but-distinct documents, which a
+    pure-semantic threshold would over-merge.  Emitting BOTH scores per
+    candidate (rather than only the verified survivors) makes this the
+    audit surface for threshold calibration.
+
+    The vec_id = doc_id layout contract links the two tables (the store's
+    chunk/vector id scheme, sources/store.py).
+
+    Scale: candidates come from the IVF-blocked pair join (~N^1.5, never
+    all-pairs); the lexical verify joins the candidate PAIR relation to the
+    exploded distinct-shingle relation — cost |candidates| x shingles/doc,
+    linear in candidates, NOT a corpus-wide lexical self-join.  Shingle
+    lookups shuffle on (doc_id) then (doc_id, shingle) — both uniform
+    hash keys.  No corpus-scaled broadcast, no collect.
+    """
+    from log_vector_spark.functions.vector import dot_product
+    from log_vector_spark.operators.search import blocked_pairs, ivf_assign, make_centroids
+
+    assigned = ivf_assign(
+        vectors, make_centroids(vectors, vec_id=vec_id, vec_col=vec_col), vec_id, vec_col
+    ).select(vec_id, "list_id", vec_col)
+    cand = (
+        blocked_pairs(assigned, "list_id", vec_id, vec_col)
+        .withColumn("cos_score", F.round(dot_product(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cos_score") >= cos_threshold)
+        .select("id_a", "id_b", "cos_score")
+    )
+    words = docs.select(F.col(doc_id), tokens(F.col(text_col)).alias("words"))
+    sh = words.select(
+        F.col(doc_id),
+        F.explode(
+            F.array_distinct(shingles_from_words(F.col("words"), shingle_n))
+        ).alias("shingle"),
+    )
+    cnt = sh.groupBy(doc_id).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(doc_id).alias("id_a"), F.col("shingle"))
+    sb = sh.select(F.col(doc_id).alias("id_b"), F.col("shingle"))
+    common = (
+        cand.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = cnt.select(F.col(doc_id).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = cnt.select(F.col(doc_id).alias("id_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        cand.join(na, "id_a", "left")
+        .join(nb, "id_b", "left")
+        .join(common, ["id_a", "id_b"], "left")
+    )
+    denom = (
+        F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0)) - F.coalesce("common", F.lit(0))
+    )
+    jac = F.when(denom > 0, F.round(F.coalesce("common", F.lit(0)) / denom, 6))
+    return j.select(
+        "id_a",
+        "id_b",
+        "cos_score",
+        jac.alias("jaccard"),
+        F.coalesce(jac >= jac_threshold, F.lit(False)).alias("lexical_match"),
+    )
+
+
 def semdedup_survivors(
     vectors: DataFrame,
     threshold: float = 0.35,

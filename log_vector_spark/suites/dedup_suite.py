@@ -193,9 +193,10 @@ def dedup_embedding_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding",
-    oracle="""
+# IVF-blocked unit-vector CTE (sqrt-stride centroids -> nearest-list
+# assignment -> l2-normalized vectors tagged by list), shared by
+# dedup_embedding and dedup_semantic_verified
+_IVF_UNIT_CTE = """
     WITH centroids AS (
       -- sqrt(N) stride (same rule as search.sqrt_stride): N^1.5 total cost
       SELECT vec_id AS list_id, embedding AS centroid
@@ -218,6 +219,13 @@ def dedup_embedding_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (acc, v) -> acc + v))) AS unit
       FROM embeddings e JOIN assigned a USING (vec_id)
     )
+"""
+
+
+@register(
+    "dedup_embedding",
+    oracle=_IVF_UNIT_CTE
+    + """
     SELECT e.vec_id FROM u e
     WHERE NOT EXISTS (
       SELECT 1 FROM u d
@@ -234,6 +242,63 @@ def dedup_embedding_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_survivors(table(spark, "embeddings", sf_dir), threshold=0.35)
+
+
+@register(
+    "dedup_semantic_verified",
+    oracle=_IVF_UNIT_CTE
+    + """
+    , cand AS (
+      SELECT d.vec_id AS id_a, e.vec_id AS id_b,
+             round(list_dot_product(d.unit, e.unit), 6) AS cos_score
+      FROM u d JOIN u e ON d.list_id = e.list_id AND d.vec_id < e.vec_id
+      WHERE round(list_dot_product(d.unit, e.unit), 6) >= 0.3
+    ),
+    sh AS (
+      SELECT doc_id, unnest(g) AS shingle FROM (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(w) >= 3
+                 THEN list_transform(range(1, CAST(len(w) - 2 AS BIGINT) + 1),
+                                     i -> array_to_string(w[i:i+2], ' '))
+                 ELSE [] END) AS g
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents))
+    ),
+    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    com AS (
+      SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a, c.id_b, c.cos_score,
+           CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(m.common, 0) > 0
+                THEN round(coalesce(m.common, 0)
+                           / (coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(m.common, 0)), 6)
+           END AS jaccard,
+           coalesce(CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(m.common, 0) > 0
+                         THEN round(coalesce(m.common, 0)
+                                    / (coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(m.common, 0)), 6)
+                    END >= 0.02, false) AS lexical_match
+    FROM cand c
+    LEFT JOIN cnt na ON na.doc_id = c.id_a
+    LEFT JOIN cnt nb ON nb.doc_id = c.id_b
+    LEFT JOIN com m ON m.id_a = c.id_a AND m.id_b = c.id_b
+    """,
+    doc="Two-stage cross-modal dedup audit (SemDeDup-then-verify): IVF-"
+    "blocked embedding candidates at cosine >= 0.3, each annotated with "
+    "its EXACT trigram Jaccard and a lexical_match verdict — the "
+    "calibration surface separating paraphrase duplicates from topically-"
+    "close distinct docs.  Lexical verify joins the candidate PAIR "
+    "relation to the exploded shingles (cost ~ |candidates| x "
+    "shingles/doc), never a corpus-wide lexical self-join.  "
+    "operators/dedup.py:semantic_lexical_pairs.",
+)
+def dedup_semantic_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.semantic_lexical_pairs(
+        table(spark, "embeddings", sf_dir), table(spark, "documents", sf_dir)
+    )
 
 
 @register(

@@ -377,6 +377,75 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cluster_keywords",
+    oracle=_kmeans_oracle(
+        final="""
+        , asn AS (SELECT vec_id AS doc_id, cid FROM {a}),
+        toks AS (
+          SELECT a.cid,
+                 unnest(list_filter(string_split(d.text, ' '), x -> x <> '')) AS tok
+          FROM documents d JOIN asn a USING (doc_id)
+        ),
+        tc AS (SELECT cid, tok, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY cid, tok),
+        cdf AS (SELECT tok, count(DISTINCT cid) AS cdf FROM tc GROUP BY tok),
+        nc AS (SELECT CAST(count(DISTINCT cid) AS DOUBLE) AS k FROM asn),
+        scored AS (
+          SELECT tc.cid, tc.tok, tc.tf,
+                 round(tc.tf * ln(nc.k / cdf.cdf), 6) AS tfidf
+          FROM tc JOIN cdf USING (tok) CROSS JOIN nc
+        )
+        SELECT CAST(cid AS INTEGER) AS cluster, tok, tf, tfidf, rnk FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY cid ORDER BY tfidf DESC, tok ASC) AS INT) AS rnk
+          FROM scored
+        ) WHERE rnk <= 5
+        """
+    ),
+    doc="Cluster LABELING (the explainability step after semantic "
+    "clustering, the public recipe behind dataset-map tools like Nomic "
+    "Atlas): k-means buckets over the embedding table (vec_id = doc_id "
+    "layout contract), then cluster-level tf-idf — each CLUSTER is the "
+    "'document', idf counts clusters containing the term — and the top-5 "
+    "terms per cluster name the bucket.  Scale: one explode->(cluster, "
+    "term) hash agg (linear, map-side combined), idf via a window over "
+    "the tiny (cluster,term) relation, final rank window partitioned by "
+    "cluster.  No corpus-scaled broadcast, no collect.",
+)
+def cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from log_vector_spark.functions.text import tokens
+    from log_vector_spark.operators.cluster import kmeans_assignments
+
+    emb = table(spark, "embeddings", sf_dir)
+    asn = kmeans_assignments(emb, k=8, iters=2).select(
+        F.col("vec_id").alias("doc_id"), F.col("cluster")
+    )
+    docs = table(spark, "documents", sf_dir)
+    toks = docs.join(asn, "doc_id").select(
+        "cluster", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tc = toks.groupBy("cluster", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    nc = asn.agg(F.countDistinct("cluster").cast("double").alias("k"))
+    scored = (
+        tc.withColumn("cdf", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+        .crossJoin(F.broadcast(nc))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("k") / F.col("cdf")), 6)
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("cluster").cast("int").alias("cluster"), "tok", "tf", "tfidf", "rnk"
+        )
+    )
+
+
 _CENTROIDS_CTE = f"""
     centroids AS (
       SELECT vec_id AS list_id, embedding AS centroid

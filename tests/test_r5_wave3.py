@@ -65,26 +65,36 @@ def test_line_dedup_clean_order_preserved(spark):
 
 
 @pytest.mark.spark
-def test_image_neardup_pairs_mod256_twins(spark):
+def test_image_dup_groups_and_neardup_pairs_mod256_twins(spark):
+    from log_vector_spark.operators.multimodal import image_dup_groups
+
     # synth_image_pixels is linear in doc_id mod 256 -> ids d and d+256
-    # produce identical images, so the pair MUST surface at Hamming 0
+    # produce identical images: they MUST collapse into one group
     ids = [0, 1, 2, 256, 257]
     docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    groups = {r["rep_id"]: r["n_members"] for r in image_dup_groups(docs).collect()}
+    assert groups[0] == 2 and groups[1] == 2 and groups[2] == 1
+    # pairs run over distinct-hash reps only: no Hamming-0 member pairs,
+    # and the banded join is EXACT for threshold 3 vs brute force
     pairs = {
-        (r["id_a"], r["id_b"]): r["hamming"]
+        (r["id_a"], r["id_b"]): (r["hamming"], r["n_a"], r["n_b"])
         for r in image_neardup_pairs(docs).collect()
     }
-    assert pairs[(0, 256)] == 0 and pairs[(1, 257)] == 0
-    # banded join is EXACT for threshold 3: cross-check against brute force
     h = {r["media_id"]: (r["w0"], r["w1"]) for r in image_ahash_bmp(docs).collect()}
+    reps = {}  # hash -> (rep, n)
+    for i in ids:
+        reps.setdefault(h[i], [i, 0])
+        reps[h[i]][1] += 1
     brute = {}
-    for a in ids:
-        for b in ids:
-            if a < b:
-                d = bin(h[a][0] ^ h[b][0]).count("1") + bin(h[a][1] ^ h[b][1]).count("1")
+    rep_list = [(v[0], v[1], k) for k, v in reps.items()]
+    for ra, na, ka in rep_list:
+        for rb, nb, kb in rep_list:
+            if ra < rb:
+                d = bin(ka[0] ^ kb[0]).count("1") + bin(ka[1] ^ kb[1]).count("1")
                 if d <= 3:
-                    brute[(a, b)] = d
+                    brute[(ra, rb)] = (d, na, nb)
     assert pairs == brute
+    assert all(hm >= 1 for hm, _, _ in pairs.values())
 
 
 @pytest.mark.spark
