@@ -134,6 +134,84 @@ def knn_batch_topk(
     )
 
 
+def triplet_mining(
+    vectors: DataFrame,
+    n_anchors: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative TRIPLET mining for embedding-model training (the
+    public contrastive-learning recipe — SBERT/SimCLR-style hard
+    negatives): for each anchor, the highest-cosine SAME-label vector is
+    the positive and the highest-cosine DIFFERENT-label vector is the
+    hard negative; the margin (pos - neg) is the triplet's difficulty —
+    small or negative margins are the training signal.
+
+    Anchors are the deterministic lowest-id slice (swap in any sampled
+    anchor set).  Same two-phase salted top-1 as knn_batch_topk: phase 1
+    ranks within (anchor, class-side, salt) — parallelism #anchors x 2 x
+    #salts — phase 2 merges #salts survivors per (anchor, side).  The
+    corpus side never shuffles (broadcast anchors), and only 2 x #salts
+    rows per anchor cross the second shuffle.  At 100 TB swap the scoring
+    stage for the IVF-probed shortlist (knn_ivf) — the window machinery
+    is unchanged.
+    """
+    anchors = vectors.filter(F.col(id_col) < n_anchors).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("anchor_vec"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    n_salts = 64
+    scored = (
+        vectors.crossJoin(F.broadcast(anchors))
+        .filter(F.col(id_col) != F.col("anchor_id"))
+        .withColumn(
+            "score",
+            F.round(cosine_similarity(F.col(vec_col), F.col("anchor_vec")), SCORE_DP),
+        )
+        .withColumn(
+            "side",
+            F.when(F.col(label_col) == F.col("anchor_label"), F.lit("pos")).otherwise(
+                F.lit("neg")
+            ),
+        )
+        .withColumn("_salt", F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)).cast("int"))
+    )
+    w1 = Window.partitionBy("anchor_id", "side", "_salt").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    survivors = (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") == 1)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("anchor_id", "side").orderBy(F.desc("score"), F.asc(id_col))
+    best = (
+        survivors.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") == 1)
+        .select("anchor_id", "side", F.col(id_col).alias("best_id"), "score")
+    )
+    pos = best.filter(F.col("side") == "pos").select(
+        "anchor_id",
+        F.col("best_id").alias("pos_id"),
+        F.col("score").alias("pos_score"),
+    )
+    neg = best.filter(F.col("side") == "neg").select(
+        "anchor_id",
+        F.col("best_id").alias("neg_id"),
+        F.col("score").alias("neg_score"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "pos_score",
+        "neg_id",
+        "neg_score",
+        F.round(F.col("pos_score") - F.col("neg_score"), 6).alias("margin"),
+    )
+
+
 SALT_FACTOR = 8
 
 

@@ -378,6 +378,43 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "triplet_mining",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding AS av, label AS al
+      FROM embeddings WHERE vec_id < 20
+    ),
+    s AS (
+      SELECT a.anchor_id, e.vec_id,
+             round({_cos('e.embedding', 'a.av')}, 6) AS score,
+             CASE WHEN e.label = a.al THEN 'pos' ELSE 'neg' END AS side
+      FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.anchor_id
+    ),
+    b AS (
+      SELECT anchor_id, side, vec_id, score FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY anchor_id, side ORDER BY score DESC, vec_id ASC) AS rn
+        FROM s) WHERE rn = 1
+    )
+    SELECT p.anchor_id, p.vec_id AS pos_id, p.score AS pos_score,
+           n.vec_id AS neg_id, n.score AS neg_score,
+           round(p.score - n.score, 6) AS margin
+    FROM b p JOIN b n ON p.anchor_id = n.anchor_id
+    WHERE p.side = 'pos' AND n.side = 'neg'
+    """,
+    doc="Hard-negative triplet mining (SBERT/SimCLR-style contrastive "
+    "training data): per anchor, best same-label vector = positive, best "
+    "different-label vector = hard negative, margin = difficulty signal.  "
+    "Broadcast anchors (corpus never shuffles), two-phase salted top-1 "
+    "per (anchor, side) — same scale shape as knn_batch_topk; swap the "
+    "scoring stage for the IVF shortlist at 100 TB.  "
+    "operators/search.py:triplet_mining.",
+)
+def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search.triplet_mining(table(spark, "embeddings", sf_dir), n_anchors=20)
+
+
+@register(
     "cluster_keywords",
     oracle=_kmeans_oracle(
         final="""
