@@ -162,6 +162,14 @@ HEADLINE = [
     "image_ahash_bmp",            # perceptual hash through the real codec
     "chunk_overlap",              # sliding token windows (RAG splitter)
     "temperature_mixture",        # exponentiated sampling mixture plan
+    # round-5 wave 3: curation gates, cross-modal dedup, cluster labeling
+    "line_dedup_clean",           # destructive span dedup + reassembly
+    "adaptive_quality_gate",      # per-language percentile thresholds
+    "image_neardup_pairs",        # group-based banded-Hamming image dedup
+    "dedup_semantic_verified",    # IVF candidates + exact lexical verify
+    "cluster_keywords",           # tf-idf cluster labeling
+    "triplet_mining",             # hard-negative contrastive triplets
+    "knn_radius",                 # cosine range search
 ]
 
 

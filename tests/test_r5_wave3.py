@@ -139,3 +139,23 @@ def test_knn_radius_bounds_and_consistency(spark):
     top1 = knn_topk(vecs, q, k=1).collect()[0]
     if top1["score"] >= 0.3:
         assert hits[0]["vec_id"] == top1["vec_id"]
+
+
+@pytest.mark.spark
+def test_triplet_mining_semantics(spark):
+    from log_vector_spark.operators.search import triplet_mining
+
+    # 3 anchors, labels 0/1; construct so the hard negative is obvious
+    rows = []
+    for i in range(12):
+        base = [1.0 if j == i % 4 else 0.1 * ((i + j) % 3) for j in range(8)]
+        rows.append((i, base, i % 2))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["anchor_id"]: r for r in triplet_mining(vecs, n_anchors=3).collect()}
+    assert set(out) == {0, 1, 2}
+    for r in out.values():
+        assert r["pos_id"] != r["anchor_id"] and r["neg_id"] != r["anchor_id"]
+        # positive shares the anchor's label, negative does not
+        assert r["pos_id"] % 2 == r["anchor_id"] % 2
+        assert r["neg_id"] % 2 != r["anchor_id"] % 2
+        assert abs(r["margin"] - round(r["pos_score"] - r["neg_score"], 6)) < 1e-9
