@@ -1182,6 +1182,57 @@ def maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_embedding_pool",
+    oracle=_INDEX_PIPELINE_ORACLE.rsplit("SELECT chunk_id,", 1)[0]
+    + """
+    , unit AS (
+      -- the embedder L2-normalizes each chunk vector (embed.py:86-88);
+      -- replay the normalization before pooling
+      SELECT rdims.chunk_id, d,
+             r / sqrt(list_dot_product(v, v)) AS ur
+      FROM rdims JOIN vecs ON rdims.chunk_id = vecs.chunk_id
+    ),
+    dims AS (
+      SELECT CAST(string_split(chunk_id, ':')[2] AS BIGINT) AS doc_id, d, ur
+      FROM unit
+    )
+    SELECT doc_id, CAST(d AS INTEGER) AS dim,
+           round(CAST(sum(CAST(ur AS DECIMAL(28,20))) AS DOUBLE) / count(*), 6)
+             AS pooled,
+           CAST(count(*) AS BIGINT) AS n_chunks
+    FROM dims GROUP BY doc_id, d
+    """,
+    doc="Document representations by MEAN-POOLING chunk embeddings (the "
+    "single-vector sibling of maxsim_topk's late interaction): chunk + "
+    "embed via the oracle-replayable kernels, then a per-(doc, dim) "
+    "decimal-exact rounded mean — fold-order-proof, so the oracle match "
+    "certifies every pooled coordinate.  Long-form output (doc, dim, "
+    "value) keeps the compare cell-exact.  Scale: pooling is one linear "
+    "hash agg keyed (doc_id, dim) with map-side combine; no window, no "
+    "broadcast, no collect — the pooled table is the write-time artifact "
+    "single-vector retrieval reads.",
+)
+def doc_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.translate(F.col("text"), " ", "\n").alias("text")
+    )
+    chunks = chunk_ops.chunk_documents(docs, chunk_size=400)
+    embedder = DeterministicEmbedder(dim=64)
+    embedded = chunks.withColumn("embedding", embedder.embed_col(F.col("document")))
+    dims = embedded.select(
+        F.split(F.col("chunk_id"), ":").getItem(1).cast("bigint").alias("doc_id"),
+        F.posexplode(F.col("embedding")).alias("dim", "r"),
+    )
+    return dims.groupBy("doc_id", "dim").agg(
+        F.round(
+            F.sum(F.col("r").cast("decimal(28,20)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("pooled"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+    ).select("doc_id", F.col("dim").cast("int").alias("dim"), "pooled", "n_chunks")
+
+
 # closed-form replay of the aHash bit computation (synthetic pixels ->
 # 8x8 NN resize -> scaled-integer luma -> above-mean bits -> two words);
 # shared by image_ahash_bmp and image_neardup_pairs
