@@ -57,6 +57,14 @@ DEFAULT_QUERIES = [
     "knn_graph",              # graph-ANN: build is ~N^1.5, query O(beam*deg)
     "knn_pq",                 # PQ: encode linear, ADC scoring linear
     "dedup_embedding_lsh",    # adaptive-width LSH bands: should be ~linear
+    # r5 wave-3 (measured once in SCALE_r05.json; keep in the default set
+    # so regressions in these postures are caught by future rounds)
+    "line_dedup_clean",       # span hash aggs: linear
+    "adaptive_quality_gate",  # exact per-lang percentile: documented trade
+    "image_neardup_pairs",    # distinct-hash group form: must stay ~1x
+    "dedup_semantic_verified",# IVF candidate envelope ~N^1.5
+    "cluster_keywords",       # explode+agg linear over cluster labels
+    "doc_embedding_pool",     # (doc, dim)-keyed linear hash agg
 ]
 
 
