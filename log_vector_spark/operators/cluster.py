@@ -251,3 +251,65 @@ def embedding_drift_report(
         F.round(mean_cur - mean_ref, 6).alias("mean_shift"),
         (tvd >= threshold).alias("drifted"),
     )
+
+
+def cluster_silhouette(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-cluster simplified (centroid-based) silhouette — the standard
+    clustering-quality report for a curation run that buckets a corpus
+    before balanced sampling or semantic dedup.
+
+    Classic silhouette needs all pairwise within/between distances (O(N^2),
+    a non-starter at corpus scale); the centroid form (a(i) = distance to
+    own centroid, b(i) = min distance to any OTHER centroid,
+    s = (b-a)/max(a,b)) is the scalable estimator every production
+    clustering report uses — it reuses the k-row centroid relation the
+    assignment already broadcast, so the marginal cost over kmeans_fit is
+    one more scan-stage k-way distance fold and one linear vec-keyed
+    reduce.  No new shuffle keys, nothing data-scaled on the driver.
+
+    Determinism contract (oracle-pairable): a is the assignment's rounded
+    6dp distance; b rounds each other-centroid distance to 6dp before the
+    min; s is rounded to 6dp; the per-cluster mean is a decimal-exact sum
+    of the 6dp values divided once and rounded (the kmeans update idiom),
+    so every reported number is fold-order-proof.  Degenerate vectors
+    sitting exactly on two centroids (a = b = 0) score 0 by convention.
+    """
+    assigned, cents = kmeans_fit(vectors, k, iters, id_col, vec_col, dim)
+    others = F.broadcast(
+        cents.select(F.col("cid").alias("ocid"), F.col("e").alias("ce"))
+    )
+    scored = (
+        assigned.crossJoin(others)
+        .filter(F.col("ocid") != F.col("cid"))
+        .withColumn("od", F.round(_l2(F.col("e"), F.col("ce"), dim), 6))
+    )
+    # key includes the per-vector constants (cid, d) so no first()/max()
+    # non-determinism sneaks in; shuffle carries one row per vector after
+    # the map-side partial min.
+    per_vec = scored.groupBy(id_col, "cid", "d").agg(F.min("od").alias("b"))
+    s = F.when(F.greatest(F.col("d"), F.col("b")) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.col("b") - F.col("d")) / F.greatest(F.col("d"), F.col("b")), 6
+        )
+    )
+    return (
+        per_vec.withColumn("s", s)
+        .groupBy(F.col("cid").cast("int").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_silhouette"),
+            F.round(F.min("s").cast("double"), 6).alias("min_silhouette"),
+            F.sum((F.col("s") < 0).cast("bigint")).alias("n_negative"),
+        )
+    )

@@ -483,6 +483,47 @@ def cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cluster_silhouette",
+    oracle=_kmeans_oracle(
+        final="""
+        , pv AS (
+          SELECT v.vec_id, v.cid, v.d,
+                 (SELECT min(round(list_distance(v.e, c.e), 6))
+                  FROM c1 c WHERE c.cid <> v.cid) AS b
+          FROM {a} v
+        ),
+        sil AS (
+          SELECT cid,
+                 CASE WHEN greatest(d, b) = 0 THEN 0.0
+                      ELSE round((b - d) / greatest(d, b), 6) END AS s
+          FROM pv
+        )
+        SELECT CAST(cid AS INTEGER) AS cluster,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+                 AS mean_silhouette,
+               round(min(s), 6) AS min_silhouette,
+               CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+        FROM sil GROUP BY cid
+        """
+    ),
+    doc="Clustering-quality report: per-cluster simplified silhouette over "
+    "the k-means buckets (a = rounded distance to own centroid, b = min "
+    "rounded distance to any other centroid, s = (b-a)/max(a,b)) — the "
+    "scalable estimator (exact silhouette is O(N^2) pairwise and a "
+    "non-starter at corpus scale).  Marginal cost over kmeans_fit is one "
+    "scan-stage k-way distance fold against the already-broadcast k-row "
+    "centroid relation plus one linear vec-keyed reduce; per-cluster means "
+    "are decimal-exact sums of 6dp values (fold-order-proof).  "
+    "operators/cluster.py:cluster_silhouette.",
+)
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.cluster import cluster_silhouette as _sil
+
+    return _sil(table(spark, "embeddings", sf_dir), k=8, iters=2, dim=64)
+
+
 _CENTROIDS_CTE = f"""
     centroids AS (
       SELECT vec_id AS list_id, embedding AS centroid

@@ -127,3 +127,31 @@ def test_drift_empty_split_degrades_to_nulls(spark):
         assert r.mean_cur is None
         assert r.mean_ref is not None
         assert r.drifted is None
+
+
+def test_silhouette_separated_blobs_near_one(spark):
+    # Two tight, far-apart blobs: every point is ~0 from its own centroid
+    # and ~14 from the other, so both clusters' mean silhouette ~= 1.
+    blob_a = [[0.0 + d, 0.0] for d in (0, 0.1, 0.2)]
+    blob_b = [[10.0 + d, 10.0] for d in (0, 0.1, 0.2)]
+    from log_vector_spark.operators.cluster import cluster_silhouette
+
+    out = cluster_silhouette(_vecs(spark, blob_a + blob_b), k=2, iters=3).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_vectors"] == 3
+        assert r["mean_silhouette"] > 0.95
+        assert r["n_negative"] == 0
+
+
+def test_silhouette_bounded_and_counts_negatives(spark):
+    # A point sitting between two centroids scores near 0 (can dip negative
+    # after reassignment rounding); all values must stay within [-1, 1].
+    vecs = [[0.0, 0.0], [0.1, 0.0], [10.0, 0.0], [10.1, 0.0], [5.0, 0.0]]
+    from log_vector_spark.operators.cluster import cluster_silhouette
+
+    out = cluster_silhouette(_vecs(spark, vecs), k=2, iters=2).collect()
+    assert sum(r["n_vectors"] for r in out) == 5
+    for r in out:
+        assert -1.0 <= r["min_silhouette"] <= 1.0
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
