@@ -272,3 +272,113 @@ def perplexity_gate(
         bucket.alias("bucket"),
         (bucket != F.lit("tail")).alias("ppl_pass"),
     )
+
+
+def nb_lang_confusion(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Train a multinomial Naive Bayes classifier on the hash-assigned
+    train split and score the test split — the fastText-class TRAINED
+    text classifier (language/domain/quality routing) that large-scale
+    curation pipelines run beside the scan-stage heuristics; lang_id is
+    the zero-shot heuristic, this is its learned counterpart plus the
+    holdout confusion matrix that audits both.
+
+    Training is two linear aggregates: per-(label, token) counts and
+    per-label token totals; the "model" is those relations plus a k-row
+    prior table — nothing is collected, no iterative optimizer.  Scoring
+    joins the test token counts against the model keyed on the token
+    (linear shuffle; the k-row label/prior/denominator table and the
+    1-row vocab size are broadcast) and sums add-one-smoothed
+    log-likelihoods in integer MICRO-UNITS (round(ln(p) * 1e6) bigint —
+    the DSIR idiom), so per-document scores are exact bigint sums:
+    fold-order-proof and bit-identical in any engine.  The argmax is a
+    map-side struct-min with ties to the lexicographically first label.
+
+    Token-less test documents keep a row (scored by priors alone): the
+    test-side grid LEFT-joins token counts, so no document silently
+    drops out of the confusion matrix (the repetition_stats contract
+    lesson).
+
+    Scale: every relation that scales with data only ever crosses a
+    shuffle keyed on (doc) or (token); the broadcasts are k labels and
+    one vocab-size row.  At 100 TB the model relations are write-time
+    artifacts shared across scoring runs, exactly like the IVF/PQ
+    stores.
+    """
+    from log_vector_spark.operators.sampling import assign_split
+
+    d = assign_split(docs, id_col).select(
+        id_col, F.col(label_col).alias("declared"), "split", text_col
+    )
+    tr_toks = d.filter(F.col("split") == "train").select(
+        "declared", F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    tw = tr_toks.groupBy("declared", "tok").agg(F.count(F.lit(1)).alias("cw"))
+    tl = tw.groupBy("declared").agg(F.sum("cw").cast("bigint").alias("tl"))
+    vv = tr_toks.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    pri = (
+        d.filter(F.col("split") == "train")
+        .groupBy("declared")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    )
+    tot = pri.agg(F.sum("nd").cast("bigint").alias("nt"))
+    langs = (
+        pri.join(tl, "declared")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            F.col("declared").alias("cand"),
+            F.round(F.log(F.col("nd") / F.col("nt").cast("double")) * 1e6, 0)
+            .cast("bigint")
+            .alias("prior_micro"),
+            "tl",
+            "v",
+        )
+    )
+    te = d.filter(F.col("split") == "test").select(id_col, "declared")
+    tt = (
+        d.filter(F.col("split") == "test")
+        .select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    grid = te.crossJoin(F.broadcast(langs))
+    ll = (
+        F.round(
+            F.log(
+                (F.coalesce(F.col("cw"), F.lit(0)) + 1)
+                / (F.col("tl") + F.col("v")).cast("double")
+            )
+            * 1e6,
+            0,
+        )
+        .cast("bigint")
+        .alias("ll_micro")
+    )
+    j = (
+        grid.join(tt, id_col, "left")
+        .join(
+            tw.select(F.col("declared").alias("cand"), "tok", "cw"),
+            ["cand", "tok"],
+            "left",
+        )
+        .select(id_col, "declared", "cand", "prior_micro", "n", ll)
+    )
+    sc = j.groupBy(id_col, "declared", "cand", "prior_micro").agg(
+        (
+            F.col("prior_micro")
+            + F.coalesce(F.sum(F.col("n") * F.col("ll_micro")), F.lit(0))
+        ).alias("score")
+    )
+    pred = (
+        sc.groupBy(id_col, "declared")
+        .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("cand"))).alias("m"))
+        .select("declared", F.col("m.cand").alias("predicted"))
+    )
+    return pred.groupBy(F.col("declared").alias(label_col), "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )

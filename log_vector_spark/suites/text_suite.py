@@ -259,3 +259,79 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.sum("n").over(w), 6).alias("share_of_declared"),
         (F.col("declared_lang") == F.col("predicted_lang")).alias("is_correct"),
     )
+
+
+_NB_BUCKET = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+
+
+@register(
+    "nb_lang_confusion",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, lang AS declared,
+             CASE WHEN {_NB_BUCKET} % 100 < 80 THEN 'train'
+                  WHEN {_NB_BUCKET} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    tr_toks AS (
+      SELECT declared,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM b WHERE split = 'train'
+    ),
+    tw AS (SELECT declared, tok, CAST(count(*) AS BIGINT) AS cw
+           FROM tr_toks GROUP BY declared, tok),
+    tl AS (SELECT declared, CAST(sum(cw) AS BIGINT) AS tl FROM tw GROUP BY declared),
+    vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tr_toks),
+    pri AS (SELECT declared, CAST(count(*) AS BIGINT) AS nd
+            FROM b WHERE split = 'train' GROUP BY declared),
+    tot AS (SELECT CAST(sum(nd) AS BIGINT) AS nt FROM pri),
+    langs AS (
+      SELECT p.declared AS cand,
+             CAST(round(ln(p.nd / CAST(t.nt AS DOUBLE)) * 1e6, 0) AS BIGINT)
+               AS prior_micro,
+             l.tl, v.v
+      FROM pri p JOIN tl l ON p.declared = l.declared
+      CROSS JOIN tot t CROSS JOIN vv v
+    ),
+    te AS (SELECT doc_id, declared FROM b WHERE split = 'test'),
+    tt AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM b WHERE split = 'test')
+      GROUP BY doc_id, tok
+    ),
+    sc AS (
+      SELECT g.doc_id, g.declared, g.cand,
+             g.prior_micro + COALESCE(SUM(t.n *
+               CAST(round(ln((COALESCE(w.cw, 0) + 1)
+                            / CAST(g.tl + g.v AS DOUBLE)) * 1e6, 0) AS BIGINT)), 0)
+               AS score
+      FROM (SELECT te.doc_id, te.declared, lg.* FROM te CROSS JOIN langs lg) g
+      LEFT JOIN tt t ON t.doc_id = g.doc_id
+      LEFT JOIN tw w ON w.tok = t.tok AND w.declared = g.cand
+      GROUP BY g.doc_id, g.declared, g.cand, g.prior_micro
+    ),
+    pred AS (
+      SELECT declared, cand AS predicted FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+        FROM sc) WHERE rn = 1
+    )
+    SELECT declared AS lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY declared, predicted
+    """,
+    doc="TRAINED multinomial Naive Bayes language classifier: fit on the "
+    "hash-assigned train split (per-(label,token) counts + label priors — "
+    "two linear aggregates, no optimizer), score the held-out test split, "
+    "report the confusion matrix.  The learned counterpart to the lang_id "
+    "scan-stage heuristic and the declarative stand-in for the "
+    "fastText-class quality/domain classifiers production curation "
+    "pipelines run.  Add-one-smoothed log-likelihoods in integer "
+    "micro-units (DSIR idiom) make per-doc scores exact bigint sums; "
+    "token-less docs keep a prior-only row.  "
+    "operators/textops.py:nb_lang_confusion.",
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.nb_lang_confusion(table(spark, "documents", sf_dir))
