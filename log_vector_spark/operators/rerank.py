@@ -54,6 +54,25 @@ def _tf(words: Column, term: str) -> Column:
     return F.size(F.filter(words, lambda x: x == F.lit(term))).cast("long")
 
 
+def bm25_score_expr(n_terms: int, k1: float = BM25_K1, b: float = BM25_B) -> Column:
+    """The Okapi BM25 score as ONE expression over the naming convention
+    (tf_i, df_i, dl, n, sumlen) — factored out so the inline corpus form
+    (bm25_scored) and the posting-store form (sources/index_store.py:
+    bm25_stored) build the IDENTICAL double-expression tree: same term
+    order, same left-to-right sum, bit-identical scores."""
+    avgdl = F.col("sumlen").cast("double") / F.col("n")
+    score = None
+    for i in range(n_terms):
+        tf = F.col(f"tf_{i}").cast("double")
+        df_ = F.col(f"df_{i}")
+        idf = F.log((F.col("n") - df_ + 0.5) / (df_ + 0.5) + 1.0)
+        term_score = idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * (F.col("dl") / avgdl))
+        )
+        score = term_score if score is None else score + term_score
+    return F.round(score, 6)
+
+
 def bm25_scored(
     docs: DataFrame,
     terms: Sequence[str],
@@ -93,15 +112,7 @@ def bm25_scored(
         ],
     )
     j = d.crossJoin(F.broadcast(stats))
-    avgdl = F.col("sumlen").cast("double") / F.col("n")
-    score = None
-    for i in range(len(terms)):
-        tf = F.col(f"tf_{i}").cast("double")
-        df_ = F.col(f"df_{i}")
-        idf = F.log((F.col("n") - df_ + 0.5) / (df_ + 0.5) + 1.0)
-        term_score = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (F.col("dl") / avgdl)))
-        score = term_score if score is None else score + term_score
-    return j.select("doc_id", "dl", F.round(score, 6).alias("score"))
+    return j.select("doc_id", "dl", bm25_score_expr(len(terms), k1, b).alias("score"))
 
 
 def bm25_topk(

@@ -407,3 +407,122 @@ def knn_binary_ivf_stored(
         F.round(cosine_similarity(F.col("embedding"), q), SCORE_DP).alias("score"),
     )
     return rescored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+
+
+# ---------------------------------------------------------- BM25 postings ----
+
+_POSTINGS_SCHEMA = "doc_id long, dl long, term string, tf long, term_bucket bigint"
+_BM25_STATS_SCHEMA = "n bigint, sumlen bigint"
+BM25_TERM_BUCKETS = 16
+
+
+def _term_bucket_col(term) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
+        % BM25_TERM_BUCKETS
+    )
+
+
+def term_bucket_py(term: str) -> int:
+    """Driver-side twin of _term_bucket_col for literal pruning filters."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % BM25_TERM_BUCKETS
+
+
+def _build_bm25(spark: SparkSession, sf_dir: str, path: str) -> None:
+    from log_vector_spark.functions.text import tokens
+
+    docs = table(spark, "documents", sf_dir)
+    d = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    dl = d.select("doc_id", F.size("w").cast("long").alias("dl"), "w")
+    # corpus stats over ALL docs (token-less docs count toward n)
+    dl.select("doc_id", "dl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("sumlen"),
+    ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    postings = (
+        dl.select("doc_id", "dl", F.explode("w").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn("term_bucket", _term_bucket_col(F.col("term")))
+    )
+    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        os.path.join(path, "postings")
+    )
+
+
+def ensure_bm25_store(spark: SparkSession, sf_dir: str) -> str:
+    return _ensure(spark, sf_dir, "bm25", _build_bm25)
+
+
+def bm25_stored(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float | None = None,
+    b: float | None = None,
+) -> DataFrame:
+    """BM25 top-k served from the persisted term_bucket-partitioned
+    posting-list store — the inverted-index form of bm25_topk, and the
+    text-retrieval member of the stored-index family (reference
+    index.py:434's write-time index semantics, applied to lexical search).
+
+    The inline form (rerank.bm25_topk) scans the corpus twice per query;
+    this form's query-time reads are PRUNED: the literal
+    ``term_bucket IN (...)`` filter (buckets computed driver-side from the
+    query terms, the probe_list_ids idiom) reaches the scan as
+    PartitionFilters, so the query touches at most |terms| of the
+    BM25_TERM_BUCKETS partitions and never the raw text.  df per term is
+    an aggregate over the SAME pruned posting rows (a term's full posting
+    list lives in exactly one bucket), corpus stats (n, sumlen) are a
+    persisted 1-row table, and the per-doc score pivots posting rows back
+    into per-term tf columns so rerank.bm25_score_expr builds the
+    IDENTICAL double-expression tree as the inline form — bit-identical
+    scores.
+
+    Posting semantics, structurally: only documents containing >= 1 query
+    term appear (exactly the score > 0 set — the +1-smoothed idf is always
+    positive).  At 100 TB the postings are the write-time artifact a
+    streaming ingest maintains per batch (the run_stream_ivf_ingest
+    layout), and term skew is absorbed by the bucket hash.
+    """
+    from log_vector_spark.operators import rerank
+
+    k1 = rerank.BM25_K1 if k1 is None else k1
+    b = rerank.BM25_B if b is None else b
+    root = ensure_bm25_store(spark, sf_dir)
+    buckets = sorted({term_bucket_py(t) for t in terms})
+    post = (
+        spark.read.schema(_POSTINGS_SCHEMA)
+        .parquet(os.path.join(root, "postings"))
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(list(terms)))
+    )
+    per_doc = post.groupBy("doc_id", "dl").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    dfs = post.groupBy().agg(
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    stats = spark.read.schema(_BM25_STATS_SCHEMA).parquet(os.path.join(root, "stats"))
+    j = per_doc.crossJoin(F.broadcast(dfs)).crossJoin(F.broadcast(stats))
+    scored = j.select(
+        "doc_id", rerank.bm25_score_expr(len(terms), k1, b).alias("score")
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id", "score", F.row_number().over(w).cast("int").alias("rank")
+    )

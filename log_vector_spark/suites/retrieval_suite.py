@@ -213,3 +213,31 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
     cand = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 6)
     return rerank.mmr_select(cand.select("query_id", "vec_id", "rel", "embedding"), k=4)
+
+
+@register(
+    "bm25_stored",
+    oracle=f"""
+    WITH {_bm25_scored_sql()}
+    SELECT doc_id, score, rank FROM (
+      SELECT b.doc_id, b.score,
+             CAST(row_number() OVER (ORDER BY b.score DESC, b.doc_id ASC) AS INTEGER) AS rank
+      FROM bm25 b JOIN t USING (doc_id)
+      WHERE tf_0 + tf_1 + tf_2 + tf_3 + tf_4 > 0
+    ) WHERE rank <= 10
+    """,
+    doc="BM25 top-10 from the persisted term_bucket-partitioned "
+    "posting-list store (the inverted-index / write-time artifact form of "
+    "bm25_topk): query terms hash to literal bucket ids driver-side, so "
+    "the scan carries PartitionFilters and reads at most |terms| of 16 "
+    "partitions — never the raw text.  Scores are bit-identical to the "
+    "inline form (shared bm25_score_expr); only documents containing at "
+    "least one query term appear — exactly the score > 0 set, stated "
+    "structurally in the oracle via the tf filter.  "
+    "sources/index_store.py:bm25_stored; pruning pinned in "
+    "tests/test_partition_pruning.py.",
+)
+def bm25_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.sources import index_store
+
+    return index_store.bm25_stored(spark, sf_dir, QUERY_TERMS, k=10)

@@ -53,3 +53,28 @@ def test_store_partitioned_by_source_prunes(spark, tmp_path):
     pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("source" in ln for ln in pf_lines), plan[:500]
     assert one.count() == 10
+
+
+@pytest.mark.spark
+def test_bm25_posting_store_prunes_term_buckets(spark):
+    """The posting-list query must read only the buckets its terms hash to
+    (PartitionFilters on term_bucket), and match the inline BM25 scores."""
+    from log_vector_spark.sources import index_store
+
+    terms = ("table", "scan", "join", "filter", "query")
+    q = index_store.bm25_stored(spark, SF, terms, k=10)
+    plan = plan_string(q)
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("term_bucket" in ln for ln in pf_lines), plan[:800]
+
+    # stored scores must be bit-identical to the inline corpus form for
+    # every returned doc (same expression tree via bm25_score_expr)
+    from log_vector_spark.catalog import table
+    from log_vector_spark.operators import rerank
+
+    inline = {
+        r["doc_id"]: r["score"]
+        for r in rerank.bm25_topk(table(spark, "documents", SF), terms, k=10).collect()
+    }
+    stored = {r["doc_id"]: r["score"] for r in q.collect()}
+    assert stored == inline
