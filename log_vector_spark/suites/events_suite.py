@@ -1171,3 +1171,209 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_registers_hit",
         "merge_consistent",
     )
+
+
+@register(
+    "events_quantile_sketch",
+    oracle="""
+    WITH st AS (
+      SELECT event_type, min(value) AS mn, max(value) AS mx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type, date_trunc('day', e.ts) AS day,
+             CASE WHEN st.mx = st.mn THEN 0
+                  ELSE least(63, greatest(0, CAST(floor((e.value - st.mn)
+                       / ((st.mx - st.mn) / 64.0)) AS INTEGER))) END AS bin
+      FROM events e JOIN st USING (event_type)
+    ),
+    daily AS (
+      SELECT event_type, day, bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM binned GROUP BY event_type, day, bin
+    ),
+    merged AS (
+      SELECT event_type, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM daily GROUP BY event_type, bin
+    ),
+    direct AS (
+      SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM binned GROUP BY event_type, bin
+    ),
+    audit AS (
+      SELECT m.event_type, bool_and(m.cnt = d.cnt) AS merge_consistent
+      FROM merged m JOIN direct d ON m.event_type = d.event_type AND m.bin = d.bin
+      GROUP BY m.event_type
+    ),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM merged
+    ),
+    targets AS (
+      SELECT st.event_type, q.q, st.mn, st.mx, st.n,
+             CAST(ceil(st.n * q.q / 100.0) AS BIGINT) AS t
+      FROM st CROSS JOIN (SELECT unnest([50, 90, 99]) AS q) q
+    ),
+    pick AS (
+      SELECT tg.event_type, tg.q, tg.mn, tg.mx, tg.n, tg.t,
+             min_by(c.bin, c.bin) AS bin,
+             min_by(c.cnt, c.bin) AS cnt,
+             min_by(c.c, c.bin) AS c
+      FROM targets tg JOIN cum c
+        ON c.event_type = tg.event_type AND c.c >= tg.t
+      GROUP BY tg.event_type, tg.q, tg.mn, tg.mx, tg.n, tg.t
+    ),
+    est AS (
+      SELECT event_type, q,
+             round(CASE WHEN mx = mn THEN mn
+                   ELSE mn + bin * ((mx - mn) / 64.0)
+                        + ((mx - mn) / 64.0)
+                          * (CAST(t - (c - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE))
+                   END, 6) AS q_est,
+             t
+      FROM pick
+    ),
+    r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn
+      FROM events
+    )
+    SELECT e.event_type, CAST(e.q AS INTEGER) AS q, e.q_est,
+           r.value AS q_exact,
+           round(abs(e.q_est - r.value), 6) AS abs_err,
+           a.merge_consistent
+    FROM est e
+    JOIN r ON r.event_type = e.event_type AND r.rn = e.t
+    JOIN audit a ON a.event_type = e.event_type
+    """,
+    doc="Mergeable quantile sketch (64 fixed equi-width bins) built PER "
+    "DAY and merged by count addition — with the exact integer-rank "
+    "quantile beside it as the audit, completing the mergeable-sketch "
+    "trio (KMV distinct, HLL, quantiles).  Per-day histograms are 64 "
+    "tiny rows each; merge is exact bigint addition, verified against "
+    "the direct single-pass histogram in merge_consistent.  p50/p90/p99 "
+    "estimates interpolate inside the first bin whose cumulative count "
+    "reaches the target rank — all selector arithmetic is exact bigint, "
+    "and the interpolation is one double expression identical in both "
+    "engines.  At 100 TB the daily sketch table IS the rollup artifact: "
+    "any time range's quantiles come from summing its days' 64-row "
+    "histograms, never re-scanning raw events.",
+)
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "events", sf_dir)
+    st = e.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / 64.0
+    binned = e.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(63),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("value") - F.col("mn")) / width).cast("int"),
+                ),
+            )
+        )
+        .alias("bin"),
+    )
+    daily = binned.groupBy("event_type", "day", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    merged = daily.groupBy("event_type", "bin").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    direct = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_d")
+    )
+    audit = (
+        merged.join(direct, ["event_type", "bin"])
+        .groupBy("event_type")
+        .agg(F.bool_and(F.col("cnt") == F.col("cnt_d")).alias("merge_consistent"))
+    )
+    cum = merged.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt")
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("c"),
+    )
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q int")
+    targets = st.crossJoin(F.broadcast(qs)).select(
+        F.col("event_type").alias("et"),
+        "q",
+        "mn",
+        "mx",
+        "n",
+        F.ceil(F.col("n") * F.col("q") / 100.0).cast("bigint").alias("t"),
+    )
+    pick = (
+        targets.join(
+            cum,
+            (F.col("event_type") == F.col("et")) & (F.col("c") >= F.col("t")),
+        )
+        .groupBy("et", "q", "mn", "mx", "n", "t")
+        .agg(F.min(F.struct("bin", "cnt", "c")).alias("m"))
+        .select(
+            F.col("et").alias("event_type"),
+            "q",
+            "mn",
+            "mx",
+            "t",
+            F.col("m.bin").alias("bin"),
+            F.col("m.cnt").alias("cnt"),
+            F.col("m.c").alias("c"),
+        )
+    )
+    w2 = (F.col("mx") - F.col("mn")) / 64.0
+    est = pick.select(
+        "event_type",
+        "q",
+        F.round(
+            F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+                F.col("mn")
+                + F.col("bin") * w2
+                + w2
+                * (
+                    (F.col("t") - (F.col("c") - F.col("cnt"))).cast("double")
+                    / F.col("cnt").cast("double")
+                )
+            ),
+            6,
+        ).alias("q_est"),
+        "t",
+    )
+    r = e.select(
+        F.col("event_type").alias("rt"),
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id")))
+        .alias("rn"),
+    )
+    return (
+        est.join(
+            r, (F.col("rt") == F.col("event_type")) & (F.col("rn") == F.col("t"))
+        )
+        .join(audit, "event_type")
+        .select(
+            "event_type",
+            F.col("q").cast("int").alias("q"),
+            "q_est",
+            F.col("value").alias("q_exact"),
+            F.round(F.abs(F.col("q_est") - F.col("value")), 6).alias("abs_err"),
+            "merge_consistent",
+        )
+    )

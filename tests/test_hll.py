@@ -45,3 +45,28 @@ def test_hll_merge_equals_direct_on_skewed_days(spark, tmp_path):
     r = get_queries_fn()["events_hll_distinct"](spark, str(tmp_path)).collect()[0]
     assert r["merge_consistent"] is True
     assert r["n_registers_hit"] <= 64
+
+
+def test_quantile_sketch_interpolation_and_merge(spark, tmp_path):
+    # Uniform 0..999 values: p50 estimate from a 64-bin histogram must land
+    # within one bin width (~15.6) of the exact rank value; merge audit true.
+    df = _events(spark, n_users=500)
+    import pyspark.sql.functions as F
+
+    df = df.withColumn("value", (F.col("event_id") % 1000).cast("double"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = get_queries_fn()["events_quantile_sketch"](spark, str(tmp_path)).collect()
+    assert {r["q"] for r in out} == {50, 90, 99}
+    for r in out:
+        assert r["merge_consistent"] is True
+        assert r["abs_err"] <= (999.0 / 64.0) + 1e-6, r
+
+
+def test_quantile_sketch_constant_values_degenerate(spark, tmp_path):
+    # All-equal values: mx == mn -> single bin, estimates collapse to the
+    # constant with zero error (the divide-by-zero guard path).
+    df = _events(spark, n_users=50)
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = get_queries_fn()["events_quantile_sketch"](spark, str(tmp_path)).collect()
+    for r in out:
+        assert r["q_est"] == 1.0 and r["q_exact"] == 1.0 and r["abs_err"] == 0.0
