@@ -430,24 +430,38 @@ def term_bucket_py(term: str) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % BM25_TERM_BUCKETS
 
 
-def _build_bm25(spark: SparkSession, sf_dir: str, path: str) -> None:
+def postings_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf, term_bucket) posting rows for a document
+    frame — the per-batch transform shared by the batch store build and the
+    streaming ingest."""
     from log_vector_spark.functions.text import tokens
 
-    docs = table(spark, "documents", sf_dir)
     d = docs.select("doc_id", tokens(F.col("text")).alias("w"))
     dl = d.select("doc_id", F.size("w").cast("long").alias("dl"), "w")
-    # corpus stats over ALL docs (token-less docs count toward n)
-    dl.select("doc_id", "dl").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("dl").cast("bigint").alias("sumlen"),
-    ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
-    postings = (
+    return (
         dl.select("doc_id", "dl", F.explode("w").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .withColumn("term_bucket", _term_bucket_col(F.col("term")))
     )
-    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+
+
+def corpus_stats_row(docs: DataFrame) -> DataFrame:
+    """1-row (n, sumlen) over ALL docs — token-less docs count toward n."""
+    from log_vector_spark.functions.text import tokens
+
+    return docs.select(
+        F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("sumlen"),
+    )
+
+
+def _build_bm25(spark: SparkSession, sf_dir: str, path: str) -> None:
+    docs = table(spark, "documents", sf_dir)
+    corpus_stats_row(docs).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    postings_from_docs(docs).write.mode("overwrite").partitionBy("term_bucket").parquet(
         os.path.join(path, "postings")
     )
 
@@ -500,6 +514,27 @@ def bm25_stored(
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(list(terms)))
     )
+    stats = spark.read.schema(_BM25_STATS_SCHEMA).parquet(os.path.join(root, "stats"))
+    return bm25_topk_from_postings(post, stats, terms, k, k1, b)
+
+
+def bm25_topk_from_postings(
+    post: DataFrame,
+    stats: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float | None = None,
+    b: float | None = None,
+) -> DataFrame:
+    """Score a pre-filtered posting relation (doc_id, dl, term, tf) against
+    a 1-row stats relation (n, sumlen) — shared by the batch store query
+    and the streaming-ingested store (streaming/pipeline.py:
+    run_stream_bm25_ingest), so both serve bit-identical BM25 scores via
+    rerank.bm25_score_expr."""
+    from log_vector_spark.operators import rerank
+
+    k1 = rerank.BM25_K1 if k1 is None else k1
+    b = rerank.BM25_B if b is None else b
     per_doc = post.groupBy("doc_id", "dl").agg(
         *[
             F.coalesce(
@@ -514,7 +549,6 @@ def bm25_stored(
             for i, t in enumerate(terms)
         ]
     )
-    stats = spark.read.schema(_BM25_STATS_SCHEMA).parquet(os.path.join(root, "stats"))
     j = per_doc.crossJoin(F.broadcast(dfs)).crossJoin(F.broadcast(stats))
     scored = j.select(
         "doc_id", rerank.bm25_score_expr(len(terms), k1, b).alias("score")

@@ -793,3 +793,91 @@ def run_stream_binary_ingest(
         "n_lists": codes.select("list_id").distinct().count(),
         "centroids": state["centroids"],
     }
+
+
+def run_stream_bm25_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    max_files_per_trigger: int = 1,
+) -> dict:
+    """Streaming text-index maintenance: as document batches arrive, their
+    posting rows land in the term_bucket-partitioned inverted index and a
+    1-row per-epoch corpus-stats DELTA is recorded — the write-time half
+    of the BM25 stored-index design (sources/index_store.py:bm25_stored),
+    mirroring run_stream_ivf_ingest's layout discipline for the lexical
+    family.
+
+    Exactly-once: postings write dynamic-overwrite partitions keyed
+    (term_bucket, epoch) — term_bucket stays the FIRST partition level so
+    query-time pruning is unchanged, while a replayed epoch replaces
+    exactly its own leaf partitions; the stats deltas are epoch-keyed
+    1-row partitions under the same rule.  Corpus stats are MERGEABLE
+    (n and sumlen are sums), so query time folds the bounded per-epoch
+    delta rows into the global (n, sumlen) with one tiny aggregate —
+    state never grows with corpus size, only with epoch count, and a
+    compaction job can fold deltas at any time.
+
+    Returns {'rows': posting rows, 'n_buckets': distinct term buckets,
+    'stats': folded (n, sumlen) dict}.
+    """
+    import os as _os
+
+    from log_vector_spark.sources.index_store import (
+        corpus_stats_row,
+        postings_from_docs,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(sf_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            postings_from_docs(batch_df)
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("term_bucket", "epoch")
+            .parquet(_os.path.join(out_path, "postings"))
+        )
+        (
+            corpus_stats_row(batch_df)
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(_os.path.join(out_path, "stats_deltas"))
+        )
+
+    q = (
+        src.writeStream.option(
+            "checkpointLocation", _os.path.join(out_path + "_checkpoint", "")
+        )
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    post = spark.read.parquet(_os.path.join(out_path, "postings"))
+    folded = (
+        spark.read.parquet(_os.path.join(out_path, "stats_deltas"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sumlen").cast("bigint").alias("sumlen"),
+        )
+        .collect()[0]
+    )
+    return {
+        "rows": post.count(),
+        "n_buckets": post.select("term_bucket").distinct().count(),
+        "stats": {"n": folded["n"], "sumlen": folded["sumlen"]},
+    }
