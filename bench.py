@@ -170,6 +170,12 @@ HEADLINE = [
     "cluster_keywords",           # tf-idf cluster labeling
     "triplet_mining",             # hard-negative contrastive triplets
     "knn_radius",                 # cosine range search
+    # r5 wave-4: sketches, trained classifier, lexical stored index
+    "cluster_silhouette",         # centroid-based cluster-quality report
+    "events_hll_distinct",        # per-day HLL registers merged by max
+    "events_quantile_sketch",     # per-day 64-bin histograms + exact-rank audit
+    "nb_lang_confusion",          # trained NB classifier + holdout confusion
+    "bm25_stored",                # term-bucket-pruned posting-list query
 ]
 
 

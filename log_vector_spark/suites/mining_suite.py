@@ -609,3 +609,86 @@ def perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.operators import textops
 
     return textops.perplexity_gate(table(spark, "documents", sf_dir))
+
+
+@register(
+    "pmi_top_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(words) AS tok FROM w) GROUP BY tok
+    ),
+    ut AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+    bgs AS ({_BIGRAMS_SQL}),
+    bc AS (
+      SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bgs GROUP BY bg
+    ),
+    bt AS (SELECT CAST(sum(c12) AS BIGINT) AS b FROM bc),
+    j AS (
+      SELECT split_part(bc.bg, ' ', 1) AS w1, split_part(bc.bg, ' ', 2) AS w2,
+             bc.c12, u1.c AS c1, u2.c AS c2, ut.t, bt.b
+      FROM bc
+      JOIN uni u1 ON u1.tok = split_part(bc.bg, ' ', 1)
+      JOIN uni u2 ON u2.tok = split_part(bc.bg, ' ', 2)
+      CROSS JOIN ut CROSS JOIN bt
+      WHERE bc.c12 >= 5
+    )
+    SELECT w1, w2, c12 AS n,
+           round(ln((CAST(c12 AS DOUBLE) * t * t) / (CAST(b AS DOUBLE) * c1 * c2)), 6)
+             AS pmi
+    FROM j
+    ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
+    """,
+    doc="Top-20 adjacent-pair pointwise mutual information (collocation / "
+    "phrase detection, the word2phrase statistic tokenizer and vocab "
+    "builders run before merging multiword units): "
+    "pmi = ln(P(w1,w2) / (P(w1) P(w2))) over adjacent pairs with count "
+    ">= 5.  Two linear hash aggs (unigrams, bigrams), two vocab-keyed "
+    "joins to attach unigram counts, 1-row totals broadcast, distributed "
+    "top-20 — shuffle = |vocab| + |distinct bigrams|, never corpus-"
+    "quadratic.  The probability ratio is one double expression identical "
+    "in both engines.",
+)
+def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.functions.text import shingles_from_words, tokens
+
+    docs = table(spark, "documents", sf_dir)
+    words = docs.select("doc_id", tokens(F.col("text")).alias("words"))
+    uni = (
+        words.select(F.explode("words").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ut = uni.agg(F.sum("c").cast("bigint").alias("t"))
+    bc = (
+        words.select(F.explode(shingles_from_words(F.col("words"), n=2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    )
+    bt = bc.agg(F.sum("c12").cast("bigint").alias("b"))
+    sp = F.split(F.col("bg"), " ")
+    pairs = bc.filter(F.col("c12") >= 5).select(
+        sp.getItem(0).alias("w1"), sp.getItem(1).alias("w2"), "c12"
+    )
+    j = (
+        pairs.join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(ut))
+        .crossJoin(F.broadcast(bt))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") * F.col("t") * F.col("t"))
+            / (F.col("b").cast("double") * F.col("c1") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        j.select("w1", "w2", F.col("c12").alias("n"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )

@@ -65,6 +65,12 @@ DEFAULT_QUERIES = [
     "dedup_semantic_verified",# IVF candidate envelope ~N^1.5
     "cluster_keywords",       # explode+agg linear over cluster labels
     "doc_embedding_pool",     # (doc, dim)-keyed linear hash agg
+    # r5 wave-4 (sketches / trained classifier / lexical stored index)
+    "cluster_silhouette",     # kmeans + one extra scan-stage fold: linear
+    "events_hll_distinct",    # day-keyed register aggs: linear, tiny shuffles
+    "events_quantile_sketch", # histogram aggs + rank window: window is the floor
+    "nb_lang_confusion",      # token-keyed model join: linear in tokens
+    "bm25_stored",            # pruned posting read: sublinear in buckets read
 ]
 
 
