@@ -881,3 +881,93 @@ def run_stream_bm25_ingest(
         "n_buckets": post.select("term_bucket").distinct().count(),
         "stats": {"n": folded["n"], "sumlen": folded["sumlen"]},
     }
+
+
+def run_stream_nb_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    max_files_per_trigger: int = 1,
+) -> dict:
+    """Streaming Naive-Bayes model maintenance: the classifier's training
+    state (per-(label, token) counts, per-label doc counts) is a pair of
+    COUNT relations, and counts are sums — so the model is maintained the
+    same way the BM25 corpus stats are: per-epoch DELTA rows landing in
+    exactly-once epoch partitions, folded by one aggregate at scoring
+    time.  No retraining job, no driver state, no model server: the
+    "trained model" a 100 TB curation pipeline consults is a parquet
+    artifact that every ingested batch advances incrementally.
+
+    Layout: token count deltas partition by (tok_bucket, epoch) — a 16-way
+    token-hash bucket first, so a scorer that needs only its query tokens'
+    rows prunes like the BM25 posting store — and label/doc-count deltas
+    by (epoch).  Exactly-once via dynamic partition overwrite, as
+    everywhere in this module.
+
+    Returns {'token_rows': folded distinct (label, token) rows,
+    'labels': folded label count}.
+    """
+    import os as _os
+
+    from log_vector_spark.functions.text import tokens
+    from log_vector_spark.sources.index_store import _term_bucket_col
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(sf_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        toks = batch_df.select(
+            F.col("lang").alias("label"), F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        (
+            toks.groupBy("label", "tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cw_delta"))
+            .withColumn("tok_bucket", _term_bucket_col(F.col("tok")))
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("tok_bucket", "epoch")
+            .parquet(_os.path.join(out_path, "token_deltas"))
+        )
+        (
+            batch_df.groupBy(F.col("lang").alias("label"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("nd_delta"))
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(_os.path.join(out_path, "label_deltas"))
+        )
+
+    q = (
+        src.writeStream.option(
+            "checkpointLocation", _os.path.join(out_path + "_checkpoint", "")
+        )
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    folded_tokens = (
+        spark.read.parquet(_os.path.join(out_path, "token_deltas"))
+        .groupBy("label", "tok")
+        .agg(F.sum("cw_delta").cast("bigint").alias("cw"))
+    )
+    folded_labels = (
+        spark.read.parquet(_os.path.join(out_path, "label_deltas"))
+        .groupBy("label")
+        .agg(F.sum("nd_delta").cast("bigint").alias("nd"))
+    )
+    return {
+        "token_rows": folded_tokens.count(),
+        "labels": folded_labels.count(),
+    }

@@ -60,3 +60,48 @@ def test_stream_bm25_bucket_filter_prunes(spark, tmp_path):
     )
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("term_bucket" in ln for ln in pf), plan[:800]
+
+
+@pytest.mark.spark
+def test_stream_nb_ingest_folded_model_equals_batch_counts(spark, tmp_path):
+    """The folded per-epoch deltas must equal the batch-trained model's
+    count relations exactly (counts are sums — the mergeable-model
+    contract)."""
+    from log_vector_spark.catalog import table
+    from log_vector_spark.functions.text import tokens as _tokens
+    from log_vector_spark.streaming.pipeline import run_stream_nb_ingest
+
+    out = str(tmp_path / "nbstore")
+    stats = run_stream_nb_ingest(spark, SF, out)
+
+    docs = table(spark, "documents", SF)
+    batch_tw = (
+        docs.select(F.col("lang").alias("label"), F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("label", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
+    )
+    folded = (
+        spark.read.parquet(os.path.join(out, "token_deltas"))
+        .groupBy("label", "tok")
+        .agg(F.sum("cw_delta").cast("bigint").alias("cw"))
+    )
+    assert stats["token_rows"] == batch_tw.count()
+    assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, batch_tw.collect()))
+
+    batch_labels = docs.groupBy(F.col("lang").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd")
+    )
+    folded_l = (
+        spark.read.parquet(os.path.join(out, "label_deltas"))
+        .groupBy("label")
+        .agg(F.sum("nd_delta").cast("bigint").alias("nd"))
+    )
+    assert sorted(map(tuple, folded_l.collect())) == sorted(map(tuple, batch_labels.collect()))
+
+    # token deltas prune on the bucket hash like the posting store
+    one = spark.read.parquet(os.path.join(out, "token_deltas")).filter(
+        F.col("tok_bucket") == 5
+    )
+    plan = one._sc._jvm.PythonSQLUtils.explainString(one._jdf.queryExecution(), "simple")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("tok_bucket" in ln for ln in pf), plan[:800]
