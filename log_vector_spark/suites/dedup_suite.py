@@ -1186,3 +1186,63 @@ _COSQ = "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
 )
 def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semdedup_survivors(table(spark, "embeddings", sf_dir), threshold=0.35)
+
+
+@register(
+    "source_dedup_matrix",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
+    h AS (SELECT doc_id, {_MH_BASE} AS h FROM sh),
+    seeded AS (SELECT doc_id, h, unnest(range(0, 8)) AS seed FROM h),
+    sig AS (SELECT doc_id, seed,
+                   min((h * ({_MH_AS}[CAST(seed AS INTEGER) + 1]) + seed) % {_MH_P}) AS minhash
+            FROM seeded GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY 1, 2),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           least(da.source, db.source) <> greatest(da.source, db.source)
+             AS cross_source
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+    doc="Duplication PROVENANCE matrix: MinHash-LSH candidate near-dup "
+    "pairs attributed to their (source, source) cell — the 'who mirrors "
+    "whom' report that decides source-level drops (mirror/scrape "
+    "detection) before any per-document dedup runs.  Candidate volume is "
+    "the LSH-bounded pair set (never all-pairs); the two doc joins are "
+    "id-keyed and linear; output is |sources|^2-bounded.  "
+    "Composes dedup_minhash_pairs' banding unchanged.",
+)
+def source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (F.col("source_a") != F.col("source_b")).alias("cross_source"),
+    )

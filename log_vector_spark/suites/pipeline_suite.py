@@ -1367,3 +1367,72 @@ def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_ops.chunk_documents_overlap(
         table(spark, "documents", sf_dir), window=64, stride=48
     )
+
+
+@register(
+    "doc_knn_pooled",
+    oracle=_INDEX_PIPELINE_ORACLE.rsplit("SELECT chunk_id,", 1)[0]
+    + f"""
+    , unit AS (
+      SELECT rdims.chunk_id, d,
+             r / sqrt(list_dot_product(v, v)) AS ur
+      FROM rdims JOIN vecs ON rdims.chunk_id = vecs.chunk_id
+    ),
+    dims AS (
+      SELECT CAST(string_split(chunk_id, ':')[2] AS BIGINT) AS doc_id, d, ur
+      FROM unit
+    ),
+    pooled AS (
+      SELECT doc_id, d,
+             round(CAST(sum(CAST(ur AS DECIMAL(28,20))) AS DOUBLE) / count(*), 6)
+               AS pv
+      FROM dims GROUP BY doc_id, d
+    ),
+    dv AS (
+      SELECT doc_id, list(pv ORDER BY d) AS v FROM pooled GROUP BY doc_id
+    )
+    SELECT doc_id, score FROM (
+      SELECT doc_id,
+             round(list_cosine_similarity(v::DOUBLE[],
+                   {vector_sql_literal(fixed_query_vector(64))}::DOUBLE[]), 6) AS score
+      FROM dv
+    ) ORDER BY score DESC, doc_id ASC LIMIT 5
+    """,
+    doc="DOCUMENT-level retrieval over mean-pooled chunk vectors — the "
+    "third rung of the retrieval-granularity ladder (chunk-level knn_topk, "
+    "late-interaction maxsim_topk, pooled doc_knn_pooled): pool per "
+    "(doc, dim) with the decimal-exact rounded mean (doc_embedding_pool's "
+    "write-time artifact), assemble the ordered vector, score against the "
+    "query with the shared list-cosine contract, distributed top-5.  "
+    "Scale: the pooled table is dim-bounded rows per doc; assembly is one "
+    "(doc)-keyed agg; scoring is a scan-stage fold + TakeOrdered — at "
+    "100 TB the query reads the persisted pooled store, never re-pools.",
+)
+def doc_knn_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.translate(F.col("text"), " ", "\n").alias("text")
+    )
+    chunks = chunk_ops.chunk_documents(docs, chunk_size=400)
+    embedder = DeterministicEmbedder(dim=64)
+    embedded = chunks.withColumn("embedding", embedder.embed_col(F.col("document")))
+    dims = embedded.select(
+        F.split(F.col("chunk_id"), ":").getItem(1).cast("bigint").alias("doc_id"),
+        F.posexplode(F.col("embedding")).alias("dim", "r"),
+    )
+    pooled = dims.groupBy("doc_id", "dim").agg(
+        F.round(
+            F.sum(F.col("r").cast("decimal(28,20)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("pv")
+    )
+    dv = pooled.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "pv"))),
+            lambda s: s.getField("pv"),
+        ).alias("v")
+    )
+    from log_vector_spark.operators import search as search_ops
+
+    return search_ops.knn_topk(
+        dv, fixed_query_vector(64), k=5, id_col="doc_id", vec_col="v"
+    )
