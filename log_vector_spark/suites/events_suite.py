@@ -1377,3 +1377,88 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merge_consistent",
         )
     )
+
+
+@register(
+    "events_mad_outliers",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, n, value AS med FROM r
+      WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    ),
+    dev AS (
+      SELECT e.event_type, e.event_id, e.value, m.n, m.med,
+             abs(e.value - m.med) AS d,
+             row_number() OVER (PARTITION BY e.event_type
+                                ORDER BY abs(e.value - m.med) ASC, e.event_id ASC)
+               AS drn
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, d AS mad FROM dev
+      WHERE drn = CAST(ceil(n / 2.0) AS BIGINT)
+    ),
+    z AS (
+      SELECT dev.event_type, dev.n, dev.med, mad.mad,
+             CASE WHEN mad.mad = 0 THEN NULL
+                  ELSE (dev.value - dev.med) / (1.4826 * mad.mad) END AS rz,
+             dev.d
+      FROM dev JOIN mad USING (event_type)
+    )
+    SELECT event_type, n, med, mad,
+           CAST(sum(CASE WHEN mad = 0 THEN CASE WHEN d > 0 THEN 1 ELSE 0 END
+                         WHEN abs(rz) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           round(max(abs(rz)), 6) AS max_abs_z
+    FROM z GROUP BY event_type, n, med, mad
+    """,
+    doc="Robust outlier report per event type via MEDIAN / MAD (the "
+    "estimator that survives the outliers it hunts, unlike the trailing-"
+    "mean z of events_hourly_anomaly): median and MAD by exact integer "
+    "rank (the deciles discipline — no percentile interpolation), robust "
+    "z = (x - med)/(1.4826 * mad), |z| > 3.5 flagged; the zero-MAD "
+    "degenerate (>=50% identical values) falls back to counting any "
+    "deviation.  Two rank windows per type + linear joins; the per-event "
+    "z never leaves the aggregate.",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "events", sf_dir)
+    wv = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    wn = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type", "event_id", "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    med = r.filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint")).select(
+        "event_type", "n", F.col("value").alias("med")
+    )
+    d = e.join(med, "event_type").withColumn("d", F.abs(F.col("value") - F.col("med")))
+    wd = Window.partitionBy("event_type").orderBy(F.asc("d"), F.asc("event_id"))
+    dev = d.withColumn("drn", F.row_number().over(wd))
+    mad = dev.filter(F.col("drn") == F.ceil(F.col("n") / 2.0).cast("bigint")).select(
+        "event_type", F.col("d").alias("mad")
+    )
+    z = dev.join(mad, "event_type").withColumn(
+        "rz",
+        F.when(F.col("mad") == 0, F.lit(None).cast("double")).otherwise(
+            (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+        ),
+    )
+    return z.groupBy("event_type", "n", "med", "mad").agg(
+        F.sum(
+            F.when(
+                F.col("mad") == 0, F.when(F.col("d") > 0, 1).otherwise(0)
+            ).otherwise(F.when(F.abs(F.col("rz")) > 3.5, 1).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.round(F.max(F.abs(F.col("rz"))), 6).alias("max_abs_z"),
+    )

@@ -2347,3 +2347,92 @@ def knn_binary_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _stored(spark, sf_dir, QVEC, k=5, shortlist=50, nprobe=4)
+
+
+@register(
+    "embedding_geometry_report",
+    oracle=f"""
+    WITH cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    p AS (
+      SELECT a.vec_id, (a.vec_id * 31 + 7) % cnt.n AS partner
+      FROM embeddings a CROSS JOIN cnt
+    ),
+    pr AS (
+      SELECT p.vec_id,
+             round({_cos('a.embedding', 'b.embedding')}, 6) AS c
+      FROM p
+      JOIN embeddings a ON a.vec_id = p.vec_id
+      JOIN embeddings b ON b.vec_id = p.partner
+      WHERE p.partner <> p.vec_id
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS total,
+             round(CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+               AS mean_cos
+      FROM pr
+    ),
+    binned AS (
+      SELECT least(15, greatest(0, CAST(floor((c + 1.0) / 2.0 * 16) AS INTEGER)))
+               AS bin
+      FROM pr
+    )
+    SELECT b.bin, round(-1.0 + b.bin * 0.125, 6) AS lo,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(count(*) / CAST(g.total AS DOUBLE), 6) AS share,
+           g.mean_cos
+    FROM binned b CROSS JOIN g
+    GROUP BY b.bin, g.total, g.mean_cos
+    """,
+    doc="Embedding-space GEOMETRY report: cosine distribution over a "
+    "deterministic hash-sampled pairing (each vector paired with id "
+    "(31*id+7) mod N — one pair per vector, linear, never all-pairs) as a "
+    "16-bin histogram plus the global mean pair cosine — the anisotropy / "
+    "representation-collapse monitor (mean random-pair cosine near 1 "
+    "means the space has collapsed and every retrieval looks alike; near "
+    "0 means healthy spread).  Runs beside embedding_drift_report as the "
+    "second standing embedding-health check: drift watches marginals move "
+    "over time, geometry watches the pairwise structure.  One id-keyed "
+    "join, decimal-exact mean of rounded cosines, dim-bounded output.",
+)
+def embedding_geometry_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    cnt = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    p = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cnt)).select(
+        "vec_id",
+        "embedding",
+        ((F.col("vec_id") * 31 + 7) % F.col("n")).alias("partner"),
+    ).filter(F.col("partner") != F.col("vec_id"))
+    b = emb.select(
+        F.col("vec_id").alias("partner"), F.col("embedding").alias("b_emb")
+    )
+    from log_vector_spark.functions.vector import cosine_similarity
+
+    pr = p.join(b, "partner").select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), F.col("b_emb")), 6).alias("c"),
+    )
+    g = pr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.round(
+            F.sum(F.col("c").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("mean_cos"),
+    )
+    binned = pr.select(
+        F.least(
+            F.lit(15),
+            F.greatest(F.lit(0), F.floor((F.col("c") + 1.0) / 2.0 * 16).cast("int")),
+        ).alias("bin")
+    )
+    return (
+        binned.crossJoin(F.broadcast(g))
+        .groupBy("bin", "total", "mean_cos")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(F.lit(-1.0) + F.col("bin") * 0.125, 6).alias("lo"),
+            "n_pairs",
+            F.round(F.col("n_pairs") / F.col("total").cast("double"), 6).alias("share"),
+            "mean_cos",
+        )
+    )
