@@ -11,7 +11,7 @@ double fold after round(·, 6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from log_vector_spark.catalog import table
@@ -2436,3 +2436,108 @@ def embedding_geometry_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_cos",
         )
     )
+
+
+@register(
+    "embedding_alignment_uniformity",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    pos AS (
+      SELECT vec_id, label, e,
+             lead(vec_id) OVER w AS nid, lead(e) OVER w AS ne
+      FROM v WINDOW w AS (PARTITION BY label ORDER BY vec_id)
+    ),
+    posd AS (
+      SELECT round(round(list_distance(e, ne), 6) * round(list_distance(e, ne), 6), 6)
+               AS sq
+      FROM pos WHERE nid IS NOT NULL
+    ),
+    al AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pos_pairs,
+             round(CAST(sum(CAST(sq AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+               AS alignment
+      FROM posd
+    ),
+    cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    up AS (
+      SELECT a.vec_id, a.e AS ae, b.e AS be
+      FROM (SELECT vec_id, e, (vec_id * 31 + 7) % cnt.n AS partner
+            FROM v CROSS JOIN cnt) a
+      JOIN v b ON b.vec_id = a.partner
+      WHERE a.partner <> a.vec_id
+    ),
+    ud AS (
+      SELECT round(exp(-2.0 * round(round(list_distance(ae, be), 6)
+                                    * round(list_distance(ae, be), 6), 6)), 6) AS g
+      FROM up
+    ),
+    un AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_unif_pairs,
+             round(ln(CAST(sum(CAST(g AS DECIMAL(18,6))) AS DOUBLE) / count(*)), 6)
+               AS uniformity
+      FROM ud
+    )
+    SELECT al.n_pos_pairs, al.alignment, un.n_unif_pairs, un.uniformity
+    FROM al CROSS JOIN un
+    """,
+    doc="Contrastive representation quality (Wang & Isola 2020): ALIGNMENT "
+    "= mean squared distance over positive pairs (each vector paired with "
+    "the next same-label vector by id — deterministic, one lead window "
+    "per label, linear) and UNIFORMITY = log mean exp(-2 d^2) over the "
+    "deterministic hash-sampled pairing (one pair per vector, never "
+    "all-pairs).  Lower alignment = positives embed close; lower (more "
+    "negative) uniformity = mass spreads over the sphere — together the "
+    "standard diagnosis of contrastive-embedding quality before an "
+    "embedding ships to retrieval.  Distances are rounded-then-squared so "
+    "every term is identical in both engines; means are decimal-exact "
+    "sums of 6dp values.",
+)
+def embedding_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.functions.vector import l2_distance
+
+    emb = table(spark, "embeddings", sf_dir)
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    wl = Window.partitionBy("label").orderBy("vec_id")
+    pos = v.select(
+        "vec_id",
+        "e",
+        F.lead("vec_id").over(wl).alias("nid"),
+        F.lead("e").over(wl).alias("ne"),
+    ).filter(F.col("nid").isNotNull())
+    d1 = F.round(l2_distance(F.col("e"), F.col("ne"), 64), 6)
+    posd = pos.select(F.round(d1 * d1, 6).alias("sq"))
+    al = posd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos_pairs"),
+        F.round(
+            F.sum(F.col("sq").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("alignment"),
+    )
+    cnt = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = (
+        v.crossJoin(F.broadcast(cnt))
+        .select(
+            "vec_id", "e", ((F.col("vec_id") * 31 + 7) % F.col("n")).alias("partner")
+        )
+        .filter(F.col("partner") != F.col("vec_id"))
+    )
+    b = v.select(F.col("vec_id").alias("partner"), F.col("e").alias("be"))
+    d2 = F.round(l2_distance(F.col("e"), F.col("be"), 64), 6)
+    ud = a.join(b, "partner").select(
+        F.round(F.exp(-2.0 * F.round(d2 * d2, 6)), 6).alias("g")
+    )
+    un = ud.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unif_pairs"),
+        F.round(
+            F.log(
+                F.sum(F.col("g").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("uniformity"),
+    )
+    return al.crossJoin(un)
