@@ -176,6 +176,12 @@ HEADLINE = [
     "events_quantile_sketch",     # per-day 64-bin histograms + exact-rank audit
     "nb_lang_confusion",          # trained NB classifier + holdout confusion
     "bm25_stored",                # term-bucket-pruned posting-list query
+    "pmi_top_pairs",              # word2phrase collocation mining
+    "doc_knn_pooled",             # pooled document-level retrieval
+    "source_dedup_matrix",        # who-mirrors-whom provenance matrix
+    "events_mad_outliers",        # robust median/MAD outlier report
+    "embedding_geometry_report",  # anisotropy/collapse monitor
+    "embedding_alignment_uniformity",  # contrastive-quality eval
 ]
 
 

@@ -71,6 +71,8 @@ DEFAULT_QUERIES = [
     "events_quantile_sketch", # histogram aggs + rank window: window is the floor
     "nb_lang_confusion",      # token-keyed model join: linear in tokens
     "bm25_stored",            # pruned posting read: sublinear in buckets read
+    "source_dedup_matrix",    # LSH-bounded pair attribution: ~minhash_pairs
+    "embedding_geometry_report",  # one pair per vector: linear id-keyed join
 ]
 
 
