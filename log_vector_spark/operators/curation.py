@@ -846,3 +846,93 @@ def temperature_mixture_plan(
             F.round(planned.cast("double") / F.col("domain_tokens"), 6),
         ).alias("effective_epochs"),
     )
+
+
+def epoch_plan(
+    docs: DataFrame,
+    budget_multiplier: int = 2,
+    max_epochs: int = 4,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-constrained epoch planning (Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models", public): given a token budget
+    LARGER than the corpus (budget = budget_multiplier x total tokens),
+    split it uniformly across domains, cap every domain at max_epochs
+    repetitions (beyond ~4 epochs repeated data stops helping), and
+    redistribute the capped domains' shortfall to the domains that still
+    have headroom, proportionally, in ONE deterministic pass (iterating
+    to a fixpoint would be data-dependent rounds; one pass is the
+    documented contract and leaves any residue unallocated).
+
+    Contrast temperature_mixture_plan: that reshapes SHARES at a fixed
+    budget; this sizes EPOCHS at a fixed repetition cap — the planner you
+    run when the budget exceeds the corpus.
+
+    Integer discipline: budget, uniform target, caps and the first-pass
+    allocation are exact BIGINTs; only the redistribution fraction goes
+    through double (products stay < 2^53 at any realistic corpus), and
+    every double is rounded at the query boundary.
+
+    Scale: one linear group-by-domain shuffle; every window runs over the
+    bounded per-domain relation.  Degenerate corpora (zero domains, zero
+    tokens, a zero-token domain) short-circuit to NULL-free zeros —
+    division is always guarded.
+    """
+    per = (
+        docs.select(F.col(domain_col).alias("domain"), tokens(F.col(text_col)).alias("w"))
+        .select("domain", F.size("w").cast("int").alias("nt"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("domain_tokens"),
+        )
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("domain_tokens").over(w_all)
+    n_dom = F.count(F.lit(1)).over(w_all)
+    budget = (F.lit(budget_multiplier) * total).cast("bigint")
+    u = F.floor(budget / n_dom).cast("bigint")
+    cap = (F.lit(max_epochs) * F.col("domain_tokens")).cast("bigint")
+    final1 = F.least(u, cap)
+    step1 = per.select(
+        "domain",
+        "n_docs",
+        "domain_tokens",
+        budget.alias("budget_tokens"),
+        u.alias("uniform_target"),
+        cap.alias("cap_tokens"),
+        final1.alias("final1"),
+        (u > cap).alias("capped"),
+    )
+    w2 = Window.partitionBy()
+    headroom = F.col("cap_tokens") - F.col("final1")
+    sh = F.sum(headroom).over(w2)
+    leftover = (F.col("budget_tokens") - F.sum("final1").over(w2)).cast("bigint")
+    add = F.when(
+        (sh > 0) & (leftover > 0),
+        F.round((leftover * headroom).cast("double") / sh.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    final_tokens = F.round(F.col("final1") + add, 6)
+    out = step1.withColumn("final_tokens", final_tokens)
+    return out.select(
+        "domain",
+        "n_docs",
+        "domain_tokens",
+        "budget_tokens",
+        "uniform_target",
+        "capped",
+        "final_tokens",
+        F.when(
+            F.col("domain_tokens") > 0,
+            F.round(F.col("final_tokens") / F.col("domain_tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("final_epochs"),
+        F.when(
+            F.col("budget_tokens") > 0,
+            F.round(F.col("final_tokens") / F.col("budget_tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("final_share"),
+    )

@@ -637,3 +637,61 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.temperature_mixture_plan(table(spark, "documents", sf_dir))
+
+
+@register(
+    "epoch_plan",
+    oracle=f"""
+    WITH per AS (
+      SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_WORDS})) AS BIGINT) AS domain_tokens
+      FROM documents GROUP BY source
+    ),
+    s1 AS (
+      SELECT *,
+             CAST(2 * sum(domain_tokens) OVER () AS BIGINT) AS budget_tokens,
+             CAST(floor(CAST(2 * sum(domain_tokens) OVER () AS BIGINT)
+                        / (count(*) OVER ())) AS BIGINT) AS uniform_target,
+             CAST(4 * domain_tokens AS BIGINT) AS cap_tokens
+      FROM per
+    ),
+    s2 AS (
+      SELECT *, least(uniform_target, cap_tokens) AS final1,
+             uniform_target > cap_tokens AS capped
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *,
+             CAST(sum(cap_tokens - final1) OVER () AS BIGINT) AS sh,
+             CAST(budget_tokens - sum(final1) OVER () AS BIGINT) AS leftover
+      FROM s2
+    ),
+    s4 AS (
+      SELECT *,
+             round(final1 + CASE WHEN sh > 0 AND leftover > 0
+                   THEN round(CAST(leftover * (cap_tokens - final1) AS DOUBLE)
+                              / CAST(sh AS DOUBLE), 6)
+                   ELSE 0.0 END, 6) AS final_tokens
+      FROM s3
+    )
+    SELECT domain, n_docs, domain_tokens, budget_tokens, uniform_target, capped,
+           final_tokens,
+           CASE WHEN domain_tokens > 0
+                THEN round(final_tokens / domain_tokens, 6) ELSE 0.0 END AS final_epochs,
+           CASE WHEN budget_tokens > 0
+                THEN round(final_tokens / budget_tokens, 6) ELSE 0.0 END AS final_share
+    FROM s4
+    """,
+    doc="Data-constrained epoch planning (Muennighoff et al. 2023): a "
+    "token budget 2x the corpus is split uniformly across domains, every "
+    "domain is capped at 4 effective epochs (repetition stops paying "
+    "around there), and the capped domains' shortfall is redistributed "
+    "once, proportionally to remaining headroom — the planner you run "
+    "when the budget EXCEEDS the data, where temperature_mixture's "
+    "share-reshaping (fixed budget) does not apply.  Exact-BIGINT "
+    "targets/caps/first-pass; one double redistribution fraction rounded "
+    "at the boundary; all windows over the bounded per-domain relation.  "
+    "operators/curation.py:epoch_plan.",
+)
+def epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.epoch_plan(table(spark, "documents", sf_dir))

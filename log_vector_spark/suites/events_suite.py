@@ -1380,6 +1380,172 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cms_heavy_hitters",
+    oracle="""
+    WITH r AS (
+      SELECT date_trunc('day', ts) AS day, user_id, s.salt,
+             CAST(('0x' || substr(md5(CAST(s.salt AS VARCHAR) || ':' ||
+                                      CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 64 AS cell
+      FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(salt)
+    ),
+    daily AS (
+      SELECT day, salt, cell, CAST(count(*) AS BIGINT) AS c
+      FROM r GROUP BY day, salt, cell
+    ),
+    merged AS (
+      SELECT salt, cell, CAST(sum(c) AS BIGINT) AS c
+      FROM daily GROUP BY salt, cell
+    ),
+    direct AS (
+      SELECT salt, cell, CAST(count(*) AS BIGINT) AS c_d
+      FROM r GROUP BY salt, cell
+    ),
+    top AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+      FROM events GROUP BY user_id
+      ORDER BY n_exact DESC, user_id ASC LIMIT 10
+    ),
+    cells AS (
+      SELECT t.user_id, t.n_exact, s.salt,
+             CAST(('0x' || substr(md5(CAST(s.salt AS VARCHAR) || ':' ||
+                                      CAST(t.user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 64 AS cell
+      FROM top t CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(salt)
+    )
+    SELECT c.user_id, c.n_exact,
+           CAST(min(m.c) AS BIGINT) AS cms_estimate,
+           CAST(min(m.c) - c.n_exact AS BIGINT) AS overestimate,
+           bool_and(m.c = d.c_d) AS merge_consistent
+    FROM cells c
+    JOIN merged m ON c.salt = m.salt AND c.cell = m.cell
+    JOIN direct d ON c.salt = d.salt AND c.cell = d.cell
+    GROUP BY c.user_id, c.n_exact
+    """,
+    doc="Count-Min-Sketch heavy hitters (d=4 salted md5 hash rows x w=64 "
+    "cells), built PER DAY and merged by cell-wise count ADDITION — the "
+    "third mergeable-sketch discipline next to events_hll_distinct "
+    "(register max) and events_quantile_sketch (bin addition): per-shard "
+    "sketches are <=256 tiny rows, merge is associative +, so per-key "
+    "frequency estimates roll up across shards/days without re-touching "
+    "raw data.  Point query = min over the 4 rows' cells; CMS guarantees "
+    "estimate >= exact (overestimate column is the audit, always >= 0), "
+    "and merge_consistent pins merged == direct single-pass cells.  The "
+    "exact top-10 (TakeOrdered, no global window) is the ground truth the "
+    "sketch is judged against; the merged sketch itself is 256 rows -> "
+    "broadcast to the probe join.",
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "events", sf_dir)
+    salts = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("salt")
+
+    def cms_cell(salt_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(salt_col.cast("string"), F.lit(":"), key_col.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        ).alias("cell")
+
+    r = e.select(F.date_trunc("day", "ts").alias("day"), "user_id", salts).select(
+        "day", "user_id", "salt", cms_cell(F.col("salt"), F.col("user_id"))
+    )
+    daily = r.groupBy("day", "salt", "cell").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    merged = daily.groupBy("salt", "cell").agg(F.sum("c").cast("bigint").alias("c"))
+    direct = r.groupBy("salt", "cell").agg(F.count(F.lit(1)).cast("bigint").alias("c_d"))
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(10)
+    )
+    cells = top.select("user_id", "n_exact", salts).select(
+        "user_id", "n_exact", "salt", cms_cell(F.col("salt"), F.col("user_id"))
+    )
+    return (
+        cells.join(F.broadcast(merged), ["salt", "cell"])
+        .join(F.broadcast(direct), ["salt", "cell"])
+        .groupBy("user_id", "n_exact")
+        .agg(
+            F.min("c").cast("bigint").alias("cms_estimate"),
+            (F.min("c") - F.first("n_exact")).cast("bigint").alias("overestimate"),
+            F.bool_and(F.col("c") == F.col("c_d")).alias("merge_consistent"),
+        )
+        .select("user_id", "n_exact", "cms_estimate", "overestimate", "merge_consistent")
+    )
+
+
+@register(
+    "events_late_data_report",
+    oracle="""
+    WITH a AS (
+      SELECT event_type, event_id, ts,
+             max(ts) OVER (PARTITION BY event_type ORDER BY event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS hwm
+      FROM events
+    ),
+    c AS (
+      SELECT event_type,
+             CASE WHEN hwm IS NULL OR ts >= hwm THEN 0
+                  ELSE CAST(epoch(hwm) - epoch(ts) AS BIGINT) END AS late_s
+      FROM a
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+           CAST(sum(CASE WHEN late_s > 0 AND late_s <= 600 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late_accepted,
+           CAST(sum(CASE WHEN late_s > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(max(late_s) AS BIGINT) AS max_late_s
+    FROM c GROUP BY event_type
+    """,
+    doc="Watermark late-data accounting: replays each event type's "
+    "arrival stream (event_id = arrival order) and classifies every "
+    "event against the high-water mark of event times seen BEFORE it — "
+    "on-time (ts >= hwm), late-but-accepted (within the 10-minute "
+    "watermark delay Structured Streaming's withWatermark('ts', '10 "
+    "minutes') would tolerate), or dropped (older than the watermark).  "
+    "This is the sizing query you run BEFORE picking a streaming "
+    "watermark: n_dropped tells you what that delay would silently "
+    "discard at 100 TB.  The running max is a per-event-type window "
+    "(parallel across types, never a global sort), and the per-event "
+    "lateness never leaves the aggregate.",
+)
+def events_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a = e.select("event_type", "event_id", "ts", F.max("ts").over(w).alias("hwm"))
+    late = (
+        F.when(F.col("hwm").isNull() | (F.col("ts") >= F.col("hwm")), F.lit(0))
+        .otherwise(
+            (F.unix_timestamp("hwm") - F.unix_timestamp("ts")).cast("bigint")
+        )
+        .alias("late_s")
+    )
+    c = a.select("event_type", late)
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_s") == 0, 1).otherwise(0)).cast("bigint").alias("n_on_time"),
+        F.sum(F.when((F.col("late_s") > 0) & (F.col("late_s") <= 600), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late_accepted"),
+        F.sum(F.when(F.col("late_s") > 600, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+    )
+
+
+@register(
     "events_mad_outliers",
     oracle="""
     WITH r AS (

@@ -548,6 +548,143 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bloom_decontaminate",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN {_BUCKET} % 100 < 80 THEN 'train'
+                  WHEN {_BUCKET} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 1, 1)),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+      FROM b
+    ),
+    eg AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(s.salt AS VARCHAR) || ':' || shingle), 1, 8))
+                  AS BIGINT) % 4096 AS pos
+      FROM eg CROSS JOIN (VALUES (0), (1), (2)) AS s(salt)
+    ),
+    tg AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE split = 'train'),
+    tp AS (
+      SELECT doc_id, shingle, s.salt,
+             CAST(('0x' || substr(md5(CAST(s.salt AS VARCHAR) || ':' || shingle), 1, 8))
+                  AS BIGINT) % 4096 AS pos
+      FROM tg CROSS JOIN (VALUES (0), (1), (2)) AS s(salt)
+    ),
+    m AS (
+      SELECT tp.doc_id, tp.shingle, count(bits.pos) AS matched
+      FROM tp LEFT JOIN bits ON tp.pos = bits.pos
+      GROUP BY tp.doc_id, tp.shingle
+    ),
+    ex AS (SELECT tg.doc_id, tg.shingle, 1 AS ex FROM tg JOIN eg USING (shingle)),
+    agg AS (
+      SELECT m.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN m.matched = 3 THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+             CAST(sum(CASE WHEN ex.ex IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits
+      FROM m LEFT JOIN ex ON m.doc_id = ex.doc_id AND m.shingle = ex.shingle
+      GROUP BY m.doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.n_shingles, 0) AS n_shingles,
+           coalesce(a.bloom_hits, 0) AS bloom_hits,
+           coalesce(a.exact_hits, 0) AS exact_hits,
+           coalesce(a.bloom_hits, 0) - coalesce(a.exact_hits, 0) AS false_positives,
+           coalesce(a.bloom_hits, 0) > 0 AS bloom_flag,
+           coalesce(a.exact_hits, 0) > 0 AS exact_flag
+    FROM (SELECT doc_id FROM b WHERE split = 'train') t
+    LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+    doc="Bloom-filter decontamination (GPT-3 appendix-C style, 3-gram "
+    "granularity at fixture scale): the TEST split's distinct shingles "
+    "are folded into an m=4096-bit / k=3 salted-md5 Bloom bitset, and "
+    "every TRAIN document's shingles are probed against it — a shingle "
+    "is bloom-positive iff all k of its bit positions are set.  The "
+    "bitset is the whole point at 100 TB: it is O(m) CONSTANT rows "
+    "(<=4096 here) regardless of eval-set size, broadcast to every "
+    "executor, so the train-side scan never shuffles on the shingle key "
+    "and never joins |train| x |eval| — contrast split_contamination, "
+    "whose exact equi-join this query carries along only as the audit "
+    "(exact_hits / false_positives columns; CMS-style, the estimator "
+    "ships with its ground truth).  Bloom guarantees no false negatives, "
+    "so bloom_hits >= exact_hits row-by-row; m is kept deliberately "
+    "small so the fixture shows a nonzero false-positive rate.  Every "
+    "train doc gets a row (left join from the split assignment — "
+    "shingle-less docs report zeros, the repetition_stats contract).",
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.functions.text import shingles_from_words, tokens
+    from log_vector_spark.operators.sampling import assign_split
+
+    docs = assign_split(table(spark, "documents", sf_dir), "doc_id")
+    words = docs.select("doc_id", "split", tokens(F.col("text")).alias("words"))
+    sh = words.select(
+        "doc_id",
+        "split",
+        F.explode(F.array_distinct(shingles_from_words(F.col("words"), 3))).alias("shingle"),
+    )
+    salts = F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("salt")
+
+    def bloom_pos() -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("salt").cast("string"), F.lit(":"), F.col("shingle"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4096
+        ).alias("pos")
+
+    eg = sh.filter(F.col("split") == "test").select("shingle").distinct()
+    bits = eg.select("shingle", salts).select(bloom_pos()).distinct()
+    tg = sh.filter(F.col("split") == "train").select("doc_id", "shingle").distinct()
+    tp = tg.select("doc_id", "shingle", salts).select("doc_id", "shingle", "salt", bloom_pos())
+    m = (
+        tp.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("hit").alias("matched"))
+    )
+    ex = tg.join(eg.withColumn("ex", F.lit(1)), "shingle").select("doc_id", "shingle", "ex")
+    agg = (
+        m.join(ex, ["doc_id", "shingle"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("matched") == 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("bloom_hits"),
+            F.sum(F.when(F.col("ex").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("exact_hits"),
+        )
+    )
+    base = docs.filter(F.col("split") == "train").select("doc_id")
+    out = base.join(agg, "doc_id", "left")
+    bh = F.coalesce(F.col("bloom_hits"), F.lit(0).cast("bigint"))
+    eh = F.coalesce(F.col("exact_hits"), F.lit(0).cast("bigint"))
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_shingles"), F.lit(0).cast("bigint")).alias("n_shingles"),
+        bh.alias("bloom_hits"),
+        eh.alias("exact_hits"),
+        (bh - eh).alias("false_positives"),
+        (bh > 0).alias("bloom_flag"),
+        (eh > 0).alias("exact_flag"),
+    )
+
+
 # --- sequence packing (round 3) --------------------------------------------
 
 from log_vector_spark.operators import packing as packing_ops  # noqa: E402
