@@ -171,3 +171,67 @@ def quantize_for_store(chunks: DataFrame, vec_col: str = "embedding") -> DataFra
 def dequantize_embedding(codes_col: str = "embedding_q", scale_col: str = "embedding_scale"):
     """codes + scale -> array<double> column for scoring."""
     return F.transform(F.col(codes_col), lambda c: c.cast("double") * F.col(scale_col))
+
+
+def quantize_int4_for_store(chunks: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """int4 storage form: two 4-bit codes nibble-packed per byte plus a
+    per-vector scale — an 8x cut on the code column (6.4x end-to-end with
+    the 8-byte scale at 64 dims), the rung between int8 (4x, ~exact) and
+    binary (16x, Hamming prefilter only).
+
+    Symmetric per-vector quantization at 4 bits: scale = max|x|/7, code =
+    floor(x/scale + 0.5) in [-7, 7].  Packing is REAL, not notional:
+    byte_j = (code_{2j}+8)*16 + (code_{2j+1}+8) - 128 stays in tinyint
+    range, so the stored column is array<tinyint> of HALF the dimension
+    count; `dequantize_int4_embedding` reverses it exactly (pack/unpack
+    is pure integer arithmetic — the oracle computes codes directly and
+    any packing defect shows up as a value mismatch).  Zero vectors keep
+    scale 0 / all-zero bytes, the embed-error sentinel contract of
+    quantize_for_store.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = (
+        F.aggregate(F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x))
+        / F.lit(7.0)
+    )
+    out = chunks.withColumn("_scale", scale)
+    code = lambda x: F.floor(x / F.col("_scale") + F.lit(0.5)).cast("int")  # noqa: E731
+    codes = F.when(
+        F.col("_scale") > 0, F.transform(v, code)
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    out = out.withColumn("_codes", codes)
+    # guard sequence's descending-on-empty footgun (0-dim vectors)
+    half = F.when(
+        F.size("_codes") >= 2,
+        F.sequence(F.lit(0), (F.size("_codes") / F.lit(2)).cast("int") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    packed = F.transform(
+        half,
+        lambda j: (
+            (F.element_at(F.col("_codes"), (j * 2 + 1).cast("int")) + 8) * 16
+            + (F.element_at(F.col("_codes"), (j * 2 + 2).cast("int")) + 8)
+            - 128
+        ).cast("tinyint"),
+    )
+    return (
+        out.withColumn("embedding_q4", packed)
+        .withColumnRenamed("_scale", "embedding_scale4")
+        .drop("_codes", vec_col)
+    )
+
+
+def dequantize_int4_embedding(
+    codes_col: str = "embedding_q4", scale_col: str = "embedding_scale4"
+):
+    """Packed nibbles + scale -> array<double>: unpack each byte into its
+    (hi, lo) 4-bit codes and rescale; flatten preserves dimension order."""
+    unpack = F.flatten(
+        F.transform(
+            F.col(codes_col),
+            lambda b: F.array(
+                (F.floor((b.cast("int") + 128) / 16) - 8).cast("double") * F.col(scale_col),
+                (((b.cast("int") + 128) % 16) - 8).cast("double") * F.col(scale_col),
+            ),
+        )
+    )
+    return unpack

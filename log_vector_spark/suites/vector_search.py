@@ -292,6 +292,162 @@ def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
 
 
+_INT4_DQ = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> abs(x)),
+                         (acc, x) -> greatest(acc, x)) / 7.0 AS scale
+      FROM e
+    ),
+    dq AS (
+      SELECT vec_id,
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> floor(x / scale + 0.5) * scale)
+                  ELSE list_transform(v, x -> 0.0) END AS u
+      FROM s
+    )"""
+
+
+@register(
+    "knn_int4",
+    oracle=f"""
+    WITH {_INT4_DQ}
+    SELECT vec_id,
+           round(list_reduce(list_transform(range(1, 65),
+                   i -> u[i] * ({_Q}::DOUBLE[])[i]), (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_transform(u, x -> x * x), (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_transform({_Q}::DOUBLE[], x -> x * x),
+                           (acc, x) -> acc + x))), 6) AS score
+    FROM dq WHERE list_reduce(list_transform(u, x -> abs(x)), (acc, x) -> greatest(acc, x)) > 0
+    ORDER BY score DESC, vec_id ASC LIMIT 5
+    """,
+    doc="k-NN over the int4 nibble-packed store form (scale = max|x|/7, "
+    "codes in [-7,7], two codes per stored byte — sources/store.py:"
+    "quantize_int4_for_store): the Spark side scores through the REAL "
+    "packed bytes (unpack -> rescale -> cosine), while the oracle "
+    "computes codes directly, so any packing defect surfaces as a value "
+    "mismatch.  The rung between int8 (4x, near-exact) and binary (16x, "
+    "prefilter-only): 8x on the code column, direct ranking without a "
+    "rescore pass.  Zero vectors (the embed-error sentinel) are excluded "
+    "from scoring, same as knn_quantized.",
+)
+def knn_int4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.functions.vector import cosine_similarity, literal_vector
+    from log_vector_spark.sources.store import (
+        dequantize_int4_embedding,
+        quantize_int4_for_store,
+    )
+
+    emb = table(spark, "embeddings", sf_dir)
+    stored = quantize_int4_for_store(emb)
+    u = stored.withColumn("u", dequantize_int4_embedding())
+    nz = u.filter(
+        F.aggregate(
+            F.transform(F.col("u"), lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x)
+        )
+        > 0
+    )
+    scored = nz.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("u"), literal_vector(QVEC)), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
+
+
+@register(
+    "int4_compression_report",
+    oracle=f"""
+    WITH {_INT4_DQ},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_cos('e.v', 'q.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM e CROSS JOIN q
+      ) WHERE rn <= 10
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, dq.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_cos('dq.u', 'q.qv')}, 6) DESC, dq.vec_id ASC) AS rn
+        FROM dq CROSS JOIN q
+      ) WHERE rn <= 10
+    ),
+    rec AS (
+      SELECT round(avg(r), 6) AS recall_at10_mean FROM (
+        SELECT q.query_id, coalesce(h.n_hits, 0) / 10.0 AS r
+        FROM q LEFT JOIN (
+          SELECT exact.query_id, count(*) AS n_hits
+          FROM exact JOIN approx USING (query_id, vec_id) GROUP BY exact.query_id
+        ) h ON h.query_id = q.query_id
+      )
+    ),
+    sz AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(count(*) * 64 * 4 AS BIGINT) AS raw_bytes,
+             CAST(count(*) * (32 + 8) AS BIGINT) AS code_bytes
+      FROM e
+    )
+    SELECT n_vectors, raw_bytes, code_bytes,
+           CASE WHEN code_bytes > 0
+                THEN round(raw_bytes / code_bytes, 6) END AS compression_x,
+           recall_at10_mean
+    FROM sz, rec
+    """,
+    doc="Index-memory audit for the int4 rung: raw float bytes vs nibble-"
+    "packed bytes PLUS the per-vector scale (honest 6.4x at 64 dims, not "
+    "the headline 8x) next to the mean recall@10 the direct int4 ranking "
+    "achieves — slots into the pricing ladder between "
+    "binary_compression_report (16x, prefilter) and pq_compression_report "
+    "(32x, ADC).  Same two-phase batch top-k as the exact side, so the "
+    "comparison prices ONLY the representation, not a different plan.",
+)
+def int4_compression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators import search
+    from log_vector_spark.sources.store import (
+        dequantize_int4_embedding,
+        quantize_int4_for_store,
+    )
+
+    emb = table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = search.knn_batch_topk(emb, queries_df, k=10).select("query_id", "vec_id")
+    dq = quantize_int4_for_store(emb).withColumn("embedding", dequantize_int4_embedding())
+    approx = search.knn_batch_topk(
+        dq.select("vec_id", "embedding"), queries_df, k=10
+    ).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    rec = (
+        queries_df.select("query_id")
+        .join(hits, "query_id", "left")
+        .select((F.coalesce("n_hits", F.lit(0)) / 10.0).alias("r"))
+        .agg(F.round(F.avg("r"), 6).alias("recall_at10_mean"))
+    )
+    sz = emb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        (F.count(F.lit(1)) * 64 * 4).cast("bigint").alias("raw_bytes"),
+        (F.count(F.lit(1)) * (32 + 8)).cast("bigint").alias("code_bytes"),
+    )
+    return sz.crossJoin(rec).select(
+        "n_vectors",
+        "raw_bytes",
+        "code_bytes",
+        F.when(
+            F.col("code_bytes") > 0,
+            F.round(F.col("raw_bytes") / F.col("code_bytes"), 6),
+        ).alias("compression_x"),
+        "recall_at10_mean",
+    )
+
+
 def _kmeans_oracle(k: int = 8, iters: int = 2, final: str | None = None) -> str:
     """Unrolled Lloyd iterations in DuckDB mirroring operators/cluster.py:
     same seeds (k lowest ids), same rounded-distance argmin with cid

@@ -187,3 +187,50 @@ def test_quantized_store_roundtrip_preserves_neighbors(spark):
     # int8 reconstruction error: require full set recall and a stable head
     assert set(exact) == set(dequant)
     assert exact[:3] == dequant[:3]
+
+
+@pytest.mark.spark
+def test_int4_pack_unpack_exact_roundtrip(spark):
+    """Nibble packing is lossless: unpack(pack(codes)) * scale equals the
+    directly-computed int4 dequantization for every vector and dimension,
+    the packed column is HALF the dimension count, and codes stay in
+    [-7, 7] (so (c+8)*16 + (c+8) - 128 stays in tinyint range)."""
+    from pyspark.sql import functions as F
+
+    from log_vector_spark.sources.store import (
+        dequantize_int4_embedding,
+        quantize_int4_for_store,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    stored = quantize_int4_for_store(emb)
+    assert dict(stored.dtypes)["embedding_q4"] == "array<tinyint>"
+    back = stored.withColumn("u", dequantize_int4_embedding())
+
+    # direct (unpacked) reference computed from the float column
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = (
+        F.aggregate(
+            F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x)
+        )
+        / F.lit(7.0)
+    )
+    ref = (
+        emb.withColumn("_s", scale)
+        .withColumn(
+            "u_ref",
+            F.when(
+                F.col("_s") > 0,
+                F.transform(v, lambda x: F.floor(x / F.col("_s") + F.lit(0.5)) * F.col("_s")),
+            ).otherwise(F.transform(v, lambda x: F.lit(0.0))),
+        )
+        .select("vec_id", "u_ref")
+    )
+    j = back.select("vec_id", "u", F.size("embedding_q4").alias("n_packed")).join(
+        ref, "vec_id"
+    )
+    bad = j.filter(
+        (F.col("n_packed") != 32)
+        | F.exists(F.zip_with("u", "u_ref", lambda a, b: a != b), lambda x: x)
+    )
+    assert bad.count() == 0
