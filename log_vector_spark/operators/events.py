@@ -182,3 +182,29 @@ def funnel(events: DataFrame, first: str = "signup", then: str = "purchase", wit
         j.filter((delta >= 0) & (delta <= within_secs))
         .select("user_id", "first_ts", "then_ts", delta.cast("bigint").alias("delta_secs"))
     )
+
+
+def hll_register_rows(events: DataFrame, m: int = 64) -> DataFrame:
+    """Per-(event_type, register) HyperLogLog rows (reg, mj) over user_id —
+    the mergeable-by-MAX sketch primitive shared by the events_hll_distinct
+    query (suites/events_suite.py) and the streaming register ingest
+    (streaming/pipeline.py:run_stream_hll_ingest).  m must be a power of
+    two; rho uses exact integer bit-length (no float log2), identical to
+    the oracle-side derivation.
+    """
+    bits = m.bit_length() - 1  # log2(m) for the rho offset below
+    r = events.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h32"),
+    )
+    w = F.floor(F.col("h32") / m).cast("long")
+    rho = r.select(
+        "event_type",
+        (F.col("h32") % m).alias("reg"),
+        F.when(w == 0, F.lit(33 - bits))
+        .otherwise(F.lit(33 - bits) - F.length(F.conv(w.cast("string"), 10, 2)))
+        .alias("rho"),
+    )
+    return rho.groupBy("event_type", "reg").agg(F.max("rho").alias("mj"))

@@ -971,3 +971,74 @@ def run_stream_nb_ingest(
         "token_rows": folded_tokens.count(),
         "labels": folded_labels.count(),
     }
+
+
+def run_stream_hll_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    max_files_per_trigger: int = 1,
+) -> dict:
+    """Streaming sketch maintenance: as event batches arrive, each batch's
+    HyperLogLog register rows (event_type, reg, mj) land as an
+    epoch-partitioned DELTA, and query time folds them with one tiny
+    max-aggregate — the mergeable-sketch posture of events_hll_distinct
+    carried to the write path, completing the streaming-maintenance family
+    (IVF lists, graph edges, PQ/binary codes, BM25 postings, NB counts —
+    this is the cardinality-monitor member).
+
+    Exactly-once: deltas write dynamic-overwrite partitions keyed by
+    epoch, so a replayed epoch replaces exactly its own rows (the
+    run_stream_ivf_ingest rule).  HLL registers merge by MAX — an
+    idempotent, commutative, associative fold — so the per-epoch state is
+    bounded at m rows per event type per epoch REGARDLESS of how many
+    events the epoch carried, and a compaction job can pre-fold old
+    epochs without changing any estimate.  Batch parity (folded deltas ==
+    single-pass registers over the whole table) is pinned by
+    tests/test_stream_hll.py.
+
+    Returns {'delta_rows': rows across epoch deltas, 'folded_rows':
+    distinct (event_type, reg) after the max-fold, 'n_epochs': epochs}.
+    """
+    import os as _os
+
+    from log_vector_spark.operators.events import hll_register_rows
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(sf_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            hll_register_rows(batch_df)
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(_os.path.join(out_path, "register_deltas"))
+        )
+
+    q = (
+        src.writeStream.option(
+            "checkpointLocation", _os.path.join(out_path + "_checkpoint", "")
+        )
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    deltas = spark.read.parquet(_os.path.join(out_path, "register_deltas"))
+    folded = deltas.groupBy("event_type", "reg").agg(F.max("mj").alias("mj"))
+    return {
+        "delta_rows": deltas.count(),
+        "folded_rows": folded.count(),
+        "n_epochs": deltas.select("epoch").distinct().count(),
+    }

@@ -1,0 +1,56 @@
+"""Streaming HLL register ingest: exactly-once epoch deltas, max-fold
+batch parity, and idempotent replay."""
+
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.spark
+def test_stream_hll_ingest_batch_parity(spark, tmp_path):
+    from log_vector_spark.catalog import table
+    from log_vector_spark.operators.events import hll_register_rows
+    from log_vector_spark.streaming.pipeline import run_stream_hll_ingest
+
+    out = str(tmp_path / "hstore")
+    stats = run_stream_hll_ingest(spark, SF, out)
+    assert stats["n_epochs"] >= 1
+    assert stats["delta_rows"] >= stats["folded_rows"] > 0
+
+    # folded streamed registers == single-pass batch registers (merge is
+    # a max, so epoch boundaries cannot change any register)
+    deltas = spark.read.parquet(os.path.join(out, "register_deltas"))
+    folded = sorted(
+        map(
+            tuple,
+            deltas.groupBy("event_type", "reg").max("mj").collect(),
+        )
+    )
+    batch = sorted(
+        map(tuple, hll_register_rows(table(spark, "events", SF)).collect())
+    )
+    assert folded == batch
+
+    # per-epoch state is bounded by m=64 registers per event type
+    per_epoch = (
+        deltas.groupBy("epoch", "event_type").count().agg({"count": "max"}).collect()[0][0]
+    )
+    assert per_epoch <= 64
+
+
+@pytest.mark.spark
+def test_stream_hll_replay_is_idempotent(spark, tmp_path):
+    """Re-running the ingest with the SAME output (fresh checkpoint, as a
+    driver restart after checkpoint loss would) dynamic-overwrites each
+    epoch's own partition — row counts and folded registers unchanged."""
+    import shutil
+
+    from log_vector_spark.streaming.pipeline import run_stream_hll_ingest
+
+    out = str(tmp_path / "hstore")
+    first = run_stream_hll_ingest(spark, SF, out)
+    shutil.rmtree(out + "_checkpoint")
+    second = run_stream_hll_ingest(spark, SF, out)
+    assert first == second
