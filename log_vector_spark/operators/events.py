@@ -184,27 +184,40 @@ def funnel(events: DataFrame, first: str = "signup", then: str = "purchase", wit
     )
 
 
-def hll_register_rows(events: DataFrame, m: int = 64) -> DataFrame:
-    """Per-(event_type, register) HyperLogLog rows (reg, mj) over user_id —
-    the mergeable-by-MAX sketch primitive shared by the events_hll_distinct
-    query (suites/events_suite.py) and the streaming register ingest
-    (streaming/pipeline.py:run_stream_hll_ingest).  m must be a power of
-    two; rho uses exact integer bit-length (no float log2), identical to
-    the oracle-side derivation.
+def hll_rho_rows(
+    df: DataFrame,
+    key_col: str = "user_id",
+    group_cols: tuple[str, ...] = ("event_type",),
+    m: int = 64,
+) -> DataFrame:
+    """Per-item HyperLogLog (reg, rho) rows over md5(key) — the shared
+    primitive under the events_hll_distinct query (suites/events_suite.py,
+    which groups them per day / merged / direct) and the streaming register
+    ingest (streaming/pipeline.py:run_stream_hll_ingest).  m must be a
+    power of two; rho is the exact integer bit-length of the remaining
+    32 - log2(m) hash bits (no float log2), identical to the oracle-side
+    derivation.  `df` must already carry `group_cols` + `key_col`.
     """
-    bits = m.bit_length() - 1  # log2(m) for the rho offset below
-    r = events.select(
-        "event_type",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+    bits = m.bit_length() - 1
+    max_rho = 33 - bits  # 32 hash bits - log2(m) remaining, +1 for w == 0
+    r = df.select(
+        *group_cols,
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
         .cast("long")
         .alias("h32"),
     )
     w = F.floor(F.col("h32") / m).cast("long")
-    rho = r.select(
-        "event_type",
+    return r.select(
+        *group_cols,
         (F.col("h32") % m).alias("reg"),
-        F.when(w == 0, F.lit(33 - bits))
-        .otherwise(F.lit(33 - bits) - F.length(F.conv(w.cast("string"), 10, 2)))
+        F.when(w == 0, F.lit(max_rho))
+        .otherwise(F.lit(max_rho) - F.length(F.conv(w.cast("string"), 10, 2)))
         .alias("rho"),
     )
+
+
+def hll_register_rows(events: DataFrame, m: int = 64) -> DataFrame:
+    """Per-(event_type, register) HLL rows (reg, mj): the max-fold of
+    hll_rho_rows — the mergeable delta unit the streaming ingest writes."""
+    rho = hll_rho_rows(events, m=m)
     return rho.groupBy("event_type", "reg").agg(F.max("rho").alias("mj"))

@@ -1126,22 +1126,9 @@ _HLL_NUM = "3118214976372.736"
 )
 def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, "events", sf_dir)
-    r = e.select(
-        "event_type",
-        F.date_trunc("day", "ts").alias("day"),
-        "user_id",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h32"),
-    )
-    w = F.floor(F.col("h32") / 64).cast("long")
-    rho = r.select(
-        "event_type",
-        "day",
-        (F.col("h32") % 64).alias("reg"),
-        F.when(w == 0, F.lit(27))
-        .otherwise(F.lit(27) - F.length(F.conv(w.cast("string"), 10, 2)))
-        .alias("rho"),
+    rho = ev.hll_rho_rows(
+        e.select("event_type", F.date_trunc("day", "ts").alias("day"), "user_id"),
+        group_cols=("event_type", "day"),
     )
     daily = rho.groupBy("event_type", "day", "reg").agg(F.max("rho").alias("mj"))
     merged = daily.groupBy("event_type", "reg").agg(F.max("mj").alias("mj"))
