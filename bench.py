@@ -182,6 +182,16 @@ HEADLINE = [
     "events_mad_outliers",        # robust median/MAD outlier report
     "embedding_geometry_report",  # anisotropy/collapse monitor
     "embedding_alignment_uniformity",  # contrastive-quality eval
+    # r5 wave-5: CMS sketch, Bloom decontamination, int4 rung, planners
+    "events_cms_heavy_hitters",   # per-day CMS merged by addition + exact audit
+    "bloom_decontaminate",        # broadcast-bitset probe + exact FP audit
+    "events_late_data_report",    # watermark sizing via arrival replay
+    "epoch_plan",                 # data-constrained epoch planning
+    "knn_int4",                   # nibble-packed int4 scoring scan
+    "int4_compression_report",    # int4 compression/recall pricing
+    "events_hll_intersection",    # sketch algebra: register-max union + audit
+    "phrase_search",              # bucket-pruned positional adjacency join
+    "nb_calibration_report",      # reliability bins + ECE on exact NB scores
 ]
 
 

@@ -13,7 +13,7 @@ real lists per deployment.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from log_vector_spark.functions.text import token_count, tokens
 
@@ -274,18 +274,18 @@ def perplexity_gate(
     )
 
 
-def nb_lang_confusion(
+def nb_test_scores(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "lang",
 ) -> DataFrame:
     """Train a multinomial Naive Bayes classifier on the hash-assigned
-    train split and score the test split — the fastText-class TRAINED
-    text classifier (language/domain/quality routing) that large-scale
-    curation pipelines run beside the scan-stage heuristics; lang_id is
-    the zero-shot heuristic, this is its learned counterpart plus the
-    holdout confusion matrix that audits both.
+    train split and score the test split, returning the per-(doc,
+    candidate) exact bigint micro-unit log-likelihood relation
+    (id, declared, cand, score) — the shared base under
+    nb_lang_confusion (argmax + confusion matrix) and
+    nb_calibration_report (softmax confidence + reliability bins).
 
     Training is two linear aggregates: per-(label, token) counts and
     per-label token totals; the "model" is those relations plus a k-row
@@ -368,12 +368,25 @@ def nb_lang_confusion(
         )
         .select(id_col, "declared", "cand", "prior_micro", "n", ll)
     )
-    sc = j.groupBy(id_col, "declared", "cand", "prior_micro").agg(
+    return j.groupBy(id_col, "declared", "cand", "prior_micro").agg(
         (
             F.col("prior_micro")
             + F.coalesce(F.sum(F.col("n") * F.col("ll_micro")), F.lit(0))
         ).alias("score")
-    )
+    ).select(id_col, "declared", "cand", "score")
+
+
+def nb_lang_confusion(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Holdout confusion matrix of the trained NB classifier: argmax over
+    nb_test_scores with ties to the lexicographically first label (see
+    nb_test_scores for the training/scoring contract and scale argument).
+    """
+    sc = nb_test_scores(docs, id_col=id_col, text_col=text_col, label_col=label_col)
     pred = (
         sc.groupBy(id_col, "declared")
         .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("cand"))).alias("m"))
@@ -382,3 +395,63 @@ def nb_lang_confusion(
     return pred.groupBy(F.col("declared").alias(label_col), "predicted").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+def nb_calibration_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Reliability report for the trained NB classifier: per-document
+    softmax confidence of the argmax, bucketed into 10 confidence bins,
+    each bin reporting document count, mean confidence, and holdout
+    accuracy, plus the Expected Calibration Error (Guo et al. 2017) —
+    the audit that tells a curation pipeline whether a learned gate's
+    scores can be thresholded as probabilities or are just ranks (NB is
+    canonically OVERconfident; this query measures by how much).
+
+    Softmax in the cross-engine-exact discipline: scores are exact bigint
+    micro-units (nb_test_scores), so per-doc confidence = 1 / sum_c
+    round(exp((s_c - s_max)/1e6), 12) with the 12dp terms summed as
+    DECIMALs (fold-order-proof); per-bin means sum already-rounded 6dp
+    values the same way, and ECE weights the rounded per-bin gap — no
+    unrounded double ever crosses an aggregate.
+
+    Scale: everything after nb_test_scores is keyed on (doc) then a
+    10-row bin relation; the window computing ECE runs over <= 10 rows.
+    """
+    sc = nb_test_scores(docs, id_col=id_col, text_col=text_col, label_col=label_col)
+    mx = sc.groupBy(id_col, "declared").agg(F.max("score").alias("smax"))
+    soft = sc.join(mx, [id_col, "declared"]).withColumn(
+        "t",
+        F.round(F.exp((F.col("score") - F.col("smax")) / F.lit(1e6)), 12).cast(
+            "decimal(38,18)"
+        ),
+    )
+    g = soft.groupBy(id_col, "declared").agg(
+        F.round(F.lit(1.0) / F.sum("t").cast("double"), 6).alias("conf"),
+        F.min(F.when(F.col("score") == F.col("smax"), F.col("cand"))).alias("predicted"),
+    )
+    binned = g.select(
+        F.least(F.floor(F.col("conf") * 10).cast("int"), F.lit(9)).alias("conf_bin"),
+        "conf",
+        F.when(F.col("predicted") == F.col("declared"), 1).otherwise(0).alias("ok"),
+    )
+    per = binned.groupBy("conf_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("conf").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_confidence"),
+        F.round(F.sum("ok") / F.count(F.lit(1)).cast("double"), 6).alias("accuracy"),
+    )
+    w = Window.partitionBy()
+    gap = F.round(F.abs(F.col("avg_confidence") - F.col("accuracy")), 6).cast(
+        "decimal(18,6)"
+    )
+    ece = F.round(
+        F.sum(gap * F.col("n_docs")).over(w).cast("double")
+        / F.sum("n_docs").over(w).cast("double"),
+        6,
+    )
+    return per.select("conf_bin", "n_docs", "avg_confidence", "accuracy", ece.alias("ece"))

@@ -560,3 +560,70 @@ def bm25_topk_from_postings(
     return topk.select(
         "doc_id", "score", F.row_number().over(w).cast("int").alias("rank")
     )
+
+
+# ------------------------------------------------------- positional ----
+
+
+def positional_postings_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, pos, term_bucket) positional posting rows — the
+    phrase-query extension of postings_from_docs: pos is the 0-based index
+    in the filtered token stream, so adjacency (pos_b = pos_a + 1) means
+    the words were consecutive in the document."""
+    from log_vector_spark.functions.text import tokens
+
+    d = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    return (
+        d.select("doc_id", F.posexplode("w").alias("pos", "term"))
+        .withColumn("term_bucket", _term_bucket_col(F.col("term")))
+    )
+
+
+def _build_phrase(spark: SparkSession, sf_dir: str, path: str) -> None:
+    docs = table(spark, "documents", sf_dir)
+    (
+        positional_postings_from_docs(docs)
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+
+
+def ensure_phrase_store(spark: SparkSession, sf_dir: str) -> str:
+    return _ensure(spark, sf_dir, "phrase", _build_phrase)
+
+
+def phrase_search_stored(
+    spark: SparkSession,
+    sf_dir: str,
+    phrase: Sequence[str] = ("table", "scan"),
+) -> DataFrame:
+    """Exact phrase search over the positional posting store: each phrase
+    term reads ONLY its md5 term_bucket partitions (PartitionFilters, the
+    bm25_stored pruning discipline — at 16 buckets a 2-word phrase touches
+    <= 2/16 of the index regardless of corpus size), then consecutive
+    terms join per doc on pos_{i+1} = pos_i + 1.  The join chain is keyed
+    (doc_id, pos): candidates are bounded by the SPARSEST term's posting
+    list, never the corpus.  Returns (doc_id, n_occurrences) for docs
+    containing the phrase at least once.
+
+    This is the positional half a lexical index needs beyond BM25's
+    bag-of-words scoring (Manning et al., IIR ch. 2 positional postings);
+    the reference engine has no lexical index at all (its only query path
+    is dense retrieval, reference ask.py:200-203).
+    """
+    path = ensure_phrase_store(spark, sf_dir)
+    buckets = sorted({term_bucket_py(t) for t in phrase})
+    post = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(list(phrase)))
+    )
+    first = post.filter(F.col("term") == phrase[0]).select("doc_id", F.col("pos").alias("p0"))
+    cur = first
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = post.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        cur = cur.join(nxt, ["doc_id", "p0"])
+    return cur.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))

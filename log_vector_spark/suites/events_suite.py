@@ -1367,6 +1367,130 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hll_intersection",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    rho AS (
+      SELECT event_type, h32 % 64 AS reg,
+             CASE WHEN CAST(floor(h32 / 64) AS BIGINT) = 0 THEN 27
+                  ELSE 27 - length(bin(CAST(floor(h32 / 64) AS BIGINT))) END AS rho
+      FROM r
+    ),
+    regs AS (
+      SELECT event_type, reg, max(rho) AS mj FROM rho GROUP BY event_type, reg
+    ),
+    uregs AS (
+      SELECT reg, max(mj) AS mj FROM regs GROUP BY reg
+    ),
+    zt AS (
+      SELECT
+        CAST(sum(CASE WHEN event_type = 'click'
+                      THEN CAST(2**(30 - mj) AS BIGINT) END) AS BIGINT) AS zhit_a,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS hit_a,
+        CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(2**(30 - mj) AS BIGINT) END) AS BIGINT) AS zhit_b,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS hit_b
+      FROM regs
+    ),
+    zu AS (
+      SELECT CAST(sum(CAST(2**(30 - mj) AS BIGINT)) AS BIGINT) AS zhit_u,
+             CAST(count(*) AS BIGINT) AS hit_u
+      FROM uregs
+    ),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact FROM (
+        SELECT user_id FROM r GROUP BY user_id
+        HAVING count(DISTINCT event_type) = 2
+      )
+    ),
+    est AS (
+      SELECT
+        round({_HLL_NUM} / (zt.zhit_a + (64 - zt.hit_a) * 1073741824), 6) AS est_a,
+        round({_HLL_NUM} / (zt.zhit_b + (64 - zt.hit_b) * 1073741824), 6) AS est_b,
+        round({_HLL_NUM} / (zu.zhit_u + (64 - zu.hit_u) * 1073741824), 6) AS est_union,
+        ex.n_exact
+      FROM zt, zu, ex
+    )
+    SELECT 'click' AS type_a, 'purchase' AS type_b,
+           est_a, est_b, est_union,
+           round(est_a + est_b - est_union, 6) AS est_intersection,
+           n_exact,
+           CASE WHEN n_exact > 0
+                THEN round(abs(round(est_a + est_b - est_union, 6) - n_exact)
+                           / n_exact, 6) END AS rel_error
+    FROM est
+    """,
+    doc="HLL sketch ALGEBRA: the distinct-user intersection of two event "
+    "types estimated by inclusion-exclusion over three sketches — "
+    "est(A) + est(B) - est(A union B), where the union sketch is the "
+    "register-wise MAX of A's and B's registers (no rescan of raw data; "
+    "union is the only exact operation HLL supports, intersection rides "
+    "on it).  This is what makes mergeable sketches compose at 100 TB: "
+    "per-type register sets are 64 rows each, so cross-segment overlap "
+    "questions (shared users, audience overlap, contamination across "
+    "shards) collapse to tiny register folds.  Exact intersection and "
+    "relative error ship in the same row (the estimator-with-audit "
+    "discipline); built on the shared hll_rho_rows primitive.",
+)
+def events_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+    )
+    rho = ev.hll_rho_rows(e)
+    regs = rho.groupBy("event_type", "reg").agg(F.max("rho").alias("mj"))
+    uregs = regs.groupBy("reg").agg(F.max("mj").alias("mj"))
+    pw2 = F.expr("CAST(shiftleft(1L, CAST(30 - mj AS INT)) AS BIGINT)")
+    zt = regs.agg(
+        F.sum(F.when(F.col("event_type") == "click", pw2)).cast("bigint").alias("zhit_a"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("hit_a"),
+        F.sum(F.when(F.col("event_type") == "purchase", pw2)).cast("bigint").alias("zhit_b"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("hit_b"),
+    )
+    zu = uregs.agg(
+        F.sum(pw2).cast("bigint").alias("zhit_u"),
+        F.count(F.lit(1)).cast("bigint").alias("hit_u"),
+    )
+    ex = (
+        e.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    num = F.lit(float(_HLL_NUM))
+    est_a = F.round(num / (F.col("zhit_a") + (F.lit(64) - F.col("hit_a")) * F.lit(1073741824)), 6)
+    est_b = F.round(num / (F.col("zhit_b") + (F.lit(64) - F.col("hit_b")) * F.lit(1073741824)), 6)
+    est_u = F.round(num / (F.col("zhit_u") + (F.lit(64) - F.col("hit_u")) * F.lit(1073741824)), 6)
+    est_i = F.round(est_a + est_b - est_u, 6)
+    return (
+        zt.crossJoin(F.broadcast(zu))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.lit("click").alias("type_a"),
+            F.lit("purchase").alias("type_b"),
+            est_a.alias("est_a"),
+            est_b.alias("est_b"),
+            est_u.alias("est_union"),
+            est_i.alias("est_intersection"),
+            "n_exact",
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(F.abs(est_i - F.col("n_exact")) / F.col("n_exact"), 6),
+            ).alias("rel_error"),
+        )
+    )
+
+
+@register(
     "events_cms_heavy_hitters",
     oracle="""
     WITH r AS (

@@ -241,3 +241,36 @@ def bm25_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.sources import index_store
 
     return index_store.bm25_stored(spark, sf_dir, QUERY_TERMS, k=10)
+
+
+@register(
+    "phrase_search",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(range(1, len(words)),
+                    i -> words[i] = 'table' AND words[i+1] = 'scan')) AS BIGINT)
+               AS n_occurrences
+      FROM w
+    )
+    SELECT doc_id, n_occurrences FROM m WHERE n_occurrences >= 1
+    """,
+    doc="Exact phrase search ('table scan') over a PERSISTED positional "
+    "posting store (sources/index_store.py:phrase_search_stored): each "
+    "phrase term reads only its md5 term_bucket partitions "
+    "(PartitionFilters — a 2-word phrase touches <= 2/16 of the index at "
+    "any corpus size), consecutive terms join per doc on pos+1 adjacency, "
+    "candidates bounded by the sparsest term's posting list.  The "
+    "positional half a lexical index needs beyond BM25's bag-of-words "
+    "(IIR ch.2); the oracle recomputes occurrences from the raw text, so "
+    "the store build, bucket pruning, and the adjacency join are all "
+    "under audit at once.",
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.sources import index_store
+
+    return index_store.phrase_search_stored(spark, sf_dir, phrase=("table", "scan"))

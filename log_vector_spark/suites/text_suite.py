@@ -335,3 +335,98 @@ _NB_BUCKET = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
 )
 def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.nb_lang_confusion(table(spark, "documents", sf_dir))
+
+
+@register(
+    "nb_calibration_report",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, lang AS declared,
+             CASE WHEN {_NB_BUCKET} % 100 < 80 THEN 'train'
+                  WHEN {_NB_BUCKET} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    tr_toks AS (
+      SELECT declared,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM b WHERE split = 'train'
+    ),
+    tw AS (SELECT declared, tok, CAST(count(*) AS BIGINT) AS cw
+           FROM tr_toks GROUP BY declared, tok),
+    tl AS (SELECT declared, CAST(sum(cw) AS BIGINT) AS tl FROM tw GROUP BY declared),
+    vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tr_toks),
+    pri AS (SELECT declared, CAST(count(*) AS BIGINT) AS nd
+            FROM b WHERE split = 'train' GROUP BY declared),
+    tot AS (SELECT CAST(sum(nd) AS BIGINT) AS nt FROM pri),
+    langs AS (
+      SELECT p.declared AS cand,
+             CAST(round(ln(p.nd / CAST(t.nt AS DOUBLE)) * 1e6, 0) AS BIGINT)
+               AS prior_micro,
+             l.tl, v.v
+      FROM pri p JOIN tl l ON p.declared = l.declared
+      CROSS JOIN tot t CROSS JOIN vv v
+    ),
+    te AS (SELECT doc_id, declared FROM b WHERE split = 'test'),
+    tt AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM b WHERE split = 'test')
+      GROUP BY doc_id, tok
+    ),
+    sc AS (
+      SELECT g.doc_id, g.declared, g.cand,
+             g.prior_micro + COALESCE(SUM(t.n *
+               CAST(round(ln((COALESCE(w.cw, 0) + 1)
+                            / CAST(g.tl + g.v AS DOUBLE)) * 1e6, 0) AS BIGINT)), 0)
+               AS score
+      FROM (SELECT te.doc_id, te.declared, lg.* FROM te CROSS JOIN langs lg) g
+      LEFT JOIN tt t ON t.doc_id = g.doc_id
+      LEFT JOIN tw w ON w.tok = t.tok AND w.declared = g.cand
+      GROUP BY g.doc_id, g.declared, g.cand, g.prior_micro
+    ),
+    mx AS (SELECT doc_id, declared, max(score) AS smax FROM sc GROUP BY doc_id, declared),
+    soft AS (
+      SELECT sc.doc_id, sc.declared, sc.cand, sc.score, mx.smax,
+             CAST(round(exp((sc.score - mx.smax) / 1e6), 12) AS DECIMAL(38,18)) AS t
+      FROM sc JOIN mx ON sc.doc_id = mx.doc_id AND sc.declared = mx.declared
+    ),
+    g AS (
+      SELECT doc_id, declared,
+             round(1.0 / CAST(sum(t) AS DOUBLE), 6) AS conf,
+             min(CASE WHEN score = smax THEN cand END) AS predicted
+      FROM soft GROUP BY doc_id, declared
+    ),
+    binned AS (
+      SELECT least(CAST(floor(conf * 10) AS INTEGER), 9) AS conf_bin, conf,
+             CASE WHEN predicted = declared THEN 1 ELSE 0 END AS ok
+      FROM g
+    ),
+    per AS (
+      SELECT conf_bin, CAST(count(*) AS BIGINT) AS n_docs,
+             round(CAST(sum(CAST(conf AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+               AS avg_confidence,
+             round(sum(ok) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+      FROM binned GROUP BY conf_bin
+    )
+    SELECT conf_bin, n_docs, avg_confidence, accuracy,
+           round(CAST(sum(CAST(round(abs(avg_confidence - accuracy), 6) AS DECIMAL(18,6))
+                          * n_docs) OVER () AS DOUBLE)
+                 / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS ece
+    FROM per
+    """,
+    doc="Reliability diagram + Expected Calibration Error (Guo et al. "
+    "2017) for the trained NB classifier: per-doc softmax confidence of "
+    "the argmax (computed from the SAME exact bigint micro-unit scores "
+    "as nb_lang_confusion via the shared nb_test_scores relation), 10 "
+    "confidence bins x (count, mean confidence, holdout accuracy), and "
+    "ECE = sum n_b*|acc_b - conf_b| / N — the audit that says whether a "
+    "learned gate's scores are thresholdable probabilities or just ranks "
+    "(NB is canonically overconfident; this measures by how much).  "
+    "Softmax terms are rounded to 12dp then decimal-summed so the "
+    "fold order can't move the 6dp confidence; the ECE window runs over "
+    "<= 10 bin rows.  operators/textops.py:nb_calibration_report.",
+)
+def nb_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.nb_calibration_report(table(spark, "documents", sf_dir))

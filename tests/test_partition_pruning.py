@@ -78,3 +78,39 @@ def test_bm25_posting_store_prunes_term_buckets(spark):
     }
     stored = {r["doc_id"]: r["score"] for r in q.collect()}
     assert stored == inline
+
+
+@pytest.mark.spark
+def test_phrase_posting_store_prunes_term_buckets(spark):
+    """Phrase search must read only the buckets its terms hash to
+    (PartitionFilters on term_bucket) and count exactly the adjacent
+    occurrences a direct text scan finds."""
+    from pyspark.sql import functions as F
+
+    from log_vector_spark.catalog import table
+    from log_vector_spark.functions.text import tokens
+    from log_vector_spark.sources import index_store
+
+    q = index_store.phrase_search_stored(spark, SF, phrase=("table", "scan"))
+    plan = plan_string(q)
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("term_bucket" in ln for ln in pf_lines), plan[:800]
+
+    docs = table(spark, "documents", SF)
+    w = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    idx = F.when(
+        F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    direct = w.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                idx,
+                lambda i: (F.element_at("w", i.cast("int")) == "table")
+                & (F.element_at("w", (i + 1).cast("int")) == "scan"),
+            )
+        )
+        .cast("bigint")
+        .alias("n"),
+    ).filter(F.col("n") >= 1)
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, direct.collect()))

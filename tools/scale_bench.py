@@ -73,6 +73,13 @@ DEFAULT_QUERIES = [
     "bm25_stored",            # pruned posting read: sublinear in buckets read
     "source_dedup_matrix",    # LSH-bounded pair attribution: ~minhash_pairs
     "embedding_geometry_report",  # one pair per vector: linear id-keyed join
+    # r5 wave-5
+    "events_cms_heavy_hitters",   # day-keyed cell aggs: linear, 256-row sketch
+    "bloom_decontaminate",        # shingle-linear probe vs broadcast bitset
+    "events_late_data_report",    # per-type arrival window: linear per type
+    "events_hll_intersection",    # filtered scan + 64-row register folds
+    "phrase_search",              # bucket-pruned postings: sparsest-term bound
+    "nb_calibration_report",      # token-keyed model join + 10-bin fold
 ]
 
 
