@@ -614,8 +614,11 @@ def phrase_search_stored(
     """
     path = ensure_phrase_store(spark, sf_dir)
     buckets = sorted({term_bucket_py(t) for t in phrase})
+    # explicit schema: an empty corpus writes a row-less store and schema
+    # inference would fail (the store.py empty-corpus rule)
     post = (
-        spark.read.parquet(os.path.join(path, "postings"))
+        spark.read.schema("pos int, term string, doc_id long, term_bucket int")
+        .parquet(os.path.join(path, "postings"))
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(list(phrase)))
     )
