@@ -178,3 +178,43 @@ def test_query_survives_empty_corpus(spark, empty_sf, name):
 
     df = m.queries()[name](spark, empty_sf)
     df.limit(20).collect()
+
+
+@pytest.fixture(scope="module")
+def empty_events_sf(spark, tmp_path_factory):
+    """events empty (0 rows, correct schema), other tables intact — the
+    quiet-stream / fresh-shard case for the log-analytics family."""
+    root = str(tmp_path_factory.mktemp("empty_events_sf"))
+    for t in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        shutil.copy(os.path.join(SF, f"{t}.parquet"), os.path.join(root, f"{t}.parquet"))
+    tmp = os.path.join(root, "_events_tmp")
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(tmp, part), os.path.join(root, "events.parquet"))
+    shutil.rmtree(tmp)
+    return root
+
+
+def _events_queries():
+    import __spark_entry__ as m
+
+    return sorted(
+        name
+        for name, sql in m.oracle_sql().items()
+        if "events" in sql and "documents" not in sql and "embeddings" not in sql
+    )
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("name", _events_queries())
+def test_query_survives_empty_events(spark, empty_events_sf, name):
+    import __spark_entry__ as m
+
+    df = m.queries()[name](spark, empty_events_sf)
+    df.limit(20).collect()  # execution, not just planning, must survive
