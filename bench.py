@@ -192,6 +192,7 @@ HEADLINE = [
     "events_hll_intersection",    # sketch algebra: register-max union + audit
     "phrase_search",              # bucket-pruned positional adjacency join
     "nb_calibration_report",      # reliability bins + ECE on exact NB scores
+    "dedup_aware_weights",        # soft dedup: CC-cluster reweighting per source
 ]
 
 

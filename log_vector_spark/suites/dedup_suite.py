@@ -1246,3 +1246,93 @@ def source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         (F.col("source_a") != F.col("source_b")).alias("cross_source"),
     )
+
+
+@register(
+    "dedup_aware_weights",
+    oracle=f"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
+    h AS (SELECT doc_id, {_MH_BASE} AS h FROM sh),
+    seeded AS (SELECT doc_id, h, unnest(range(0, 8)) AS seed FROM h),
+    sig AS (SELECT doc_id, seed,
+                   min((h * ({_MH_AS}[CAST(seed AS INTEGER) + 1]) + seed) % {_MH_P}) AS minhash
+            FROM seeded GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY 1, 2),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(v, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    cc AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v),
+    sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize FROM cc GROUP BY cluster_id),
+    base AS (SELECT doc_id, source, CAST(len({_WORDS}) AS BIGINT) AS toks FROM documents),
+    j AS (
+      SELECT b.source, b.toks, sz.csize,
+             CAST(round(b.toks / CAST(sz.csize AS DOUBLE), 6) AS DECIMAL(18,6)) AS eff
+      FROM base b JOIN cc ON b.doc_id = cc.doc_id JOIN sz ON cc.cluster_id = sz.cluster_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN csize = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_docs,
+           CAST(sum(toks) AS BIGINT) AS raw_tokens,
+           round(CAST(sum(eff) AS DOUBLE), 6) AS effective_tokens,
+           CASE WHEN sum(toks) > 0
+                THEN round(CAST(sum(eff) AS DOUBLE) / sum(toks), 6) END AS dedup_deflation
+    FROM j GROUP BY source
+    """,
+    doc="Dedup-aware sampling weights (soft dedup): instead of DROPPING "
+    "near-duplicates, each document is down-weighted by 1/|its near-dup "
+    "cluster| (clusters = connected components over the MinHash-LSH pair "
+    "set, the dedup_clusters relation), so a document mirrored 10 times "
+    "contributes one document's worth of expected training tokens no "
+    "matter which copies a sampler draws.  Per-source report: raw vs "
+    "effective (weighted) token mass and the deflation ratio — the "
+    "number that tells a mixture planner how much of a source's apparent "
+    "volume is duplication (feeds epoch_plan/domain_mixture).  Per-doc "
+    "weights are rounded 6dp then decimal-summed (fold-order-proof); "
+    "cluster sizes come from one count over the CC labels, and costs are "
+    "bounded by the LSH pair volume, never all-pairs.",
+)
+def dedup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2)
+    cc = dedup.connected_components(pairs, docs, id_col="doc_id")
+    sz = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).cast("bigint").alias("csize"))
+    from log_vector_spark.functions.text import tokens
+
+    base = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("bigint").alias("toks")
+    )
+    j = (
+        base.join(cc, "doc_id")
+        .join(sz, "cluster_id")
+        .select(
+            "source",
+            "toks",
+            "csize",
+            F.round(F.col("toks") / F.col("csize").cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias("eff"),
+        )
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("csize") == 1, 1).otherwise(0)).cast("bigint").alias("n_unique_docs"),
+        F.sum("toks").cast("bigint").alias("raw_tokens"),
+        F.round(F.sum("eff").cast("double"), 6).alias("effective_tokens"),
+        F.when(
+            F.sum("toks") > 0,
+            F.round(F.sum("eff").cast("double") / F.sum("toks"), 6),
+        ).alias("dedup_deflation"),
+    )

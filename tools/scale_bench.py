@@ -80,6 +80,7 @@ DEFAULT_QUERIES = [
     "events_hll_intersection",    # filtered scan + 64-row register folds
     "phrase_search",              # bucket-pruned postings: sparsest-term bound
     "nb_calibration_report",      # token-keyed model join + 10-bin fold
+    "dedup_aware_weights",        # CC labels + per-source fold: ~dedup_clusters
 ]
 
 
