@@ -82,3 +82,143 @@ def compact_parquet(
         [p for p, _ in parquet_file_inventory(spark, out_path)]
     )
     return plan
+
+
+# ------------------------------------------------- delta-store folding ----
+#
+# The streaming ingests (streaming/pipeline.py run_stream_*_ingest) write
+# MERGEABLE per-epoch delta partitions: HLL registers (merge = max), BM25
+# corpus stats / NB model counts (merge = sum), quantile histograms
+# (merge = sum).  State is bounded per epoch, but epoch COUNT grows
+# forever; folding old epochs into a base snapshot is the maintenance job
+# that keeps query-time folds O(base + recent).
+#
+# Crash-safe protocol (pointer swap, no reader ever sees a half-fold):
+#   1. new base = merge(current base UNION epochs <= cutoff), written to a
+#      fresh sibling directory `<path>_base_v<k>` — the live epoch dir is
+#      never rewritten;
+#   2. the 1-line meta file `<path>_base_meta.json` is replaced atomically
+#      (os.replace) to point at the new base dir + the folded-through
+#      epoch;
+#   3. folded epoch dirs and the old base dir are deleted (pure cleanup —
+#      readers resolve the meta first and filter epoch > folded_through,
+#      so a crash between 2 and 3 leaves garbage, never wrong answers;
+#      a crash between 1 and 2 leaves an unreferenced _base_v dir).
+#
+# Exactly-once interplay: a stream replaying a FOLDED epoch would
+# dynamic-overwrite a deleted partition, but readers filter it out
+# (epoch <= folded_through), so the replay is harmless; fold only epochs
+# whose stream checkpoint has committed.
+
+
+import json as _json
+import os as _os
+import shutil as _shutil
+
+
+def _delta_meta_path(path: str) -> str:
+    return path.rstrip("/") + "_base_meta.json"
+
+
+def _read_delta_meta(path: str) -> dict:
+    mp = _delta_meta_path(path)
+    if not _os.path.exists(mp):
+        return {"base_dir": None, "folded_through": None}
+    with open(mp) as fh:
+        return _json.load(fh)
+
+
+def _read_live(spark: SparkSession, path: str, meta: dict, epoch_col: str):
+    """Live epoch partitions newer than the folded-through mark, or None
+    when everything has been folded away (a dir with zero parquet files
+    cannot even infer a schema)."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    try:
+        live = spark.read.parquet(path)
+    except AnalysisException:
+        return None
+    if meta["folded_through"] is not None:
+        live = live.filter(F.col(epoch_col) > meta["folded_through"])
+    return live
+
+
+def read_delta_store(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    merge_exprs: dict[str, str],
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Folded view of a mergeable delta store: base snapshot (if any)
+    merged with every live epoch NEWER than the folded-through mark.
+    Returns one row per key group — identical to merging all raw epochs."""
+    from pyspark.sql import functions as F
+
+    meta = _read_delta_meta(path)
+    live = _read_live(spark, path, meta, epoch_col)
+    parts = None if live is None else live.select(*key_cols, *merge_exprs.keys())
+    if meta["base_dir"]:
+        base = spark.read.parquet(meta["base_dir"]).select(*key_cols, *merge_exprs.keys())
+        parts = base if parts is None else parts.unionByName(base)
+    if parts is None:
+        raise FileNotFoundError(f"delta store {path}: no live epochs and no base")
+    return parts.groupBy(*key_cols).agg(
+        *[F.expr(f"{fn}({c})").alias(c) for c, fn in merge_exprs.items()]
+    )
+
+
+def fold_delta_store(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    merge_exprs: dict[str, str],
+    keep_epochs: int = 1,
+    epoch_col: str = "epoch",
+) -> dict:
+    """Fold all but the newest `keep_epochs` live epochs into the base
+    snapshot (see protocol above).  Idempotent: re-running after success
+    is a no-op; re-running after ANY crash point completes the fold.
+    Returns {'folded_epochs': n, 'base_dir': str, 'folded_through': int}.
+    """
+    from pyspark.sql import functions as F
+
+    meta = _read_delta_meta(path)
+    live = _read_live(spark, path, meta, epoch_col)
+    if live is None:
+        return {
+            "folded_epochs": 0,
+            "base_dir": meta["base_dir"],
+            "folded_through": meta["folded_through"],
+        }
+    epochs = sorted(r[0] for r in live.select(epoch_col).distinct().collect())
+    fold = epochs[: max(0, len(epochs) - keep_epochs)]
+    if not fold:
+        return {
+            "folded_epochs": 0,
+            "base_dir": meta["base_dir"],
+            "folded_through": meta["folded_through"],
+        }
+    cutoff = max(fold)
+    parts = live.filter(F.col(epoch_col) <= cutoff).select(*key_cols, *merge_exprs.keys())
+    if meta["base_dir"]:
+        base = spark.read.parquet(meta["base_dir"]).select(*key_cols, *merge_exprs.keys())
+        parts = parts.unionByName(base)
+    merged = parts.groupBy(*key_cols).agg(
+        *[F.expr(f"{fn}({c})").alias(c) for c, fn in merge_exprs.items()]
+    )
+    version = 0 if meta["base_dir"] is None else int(meta["base_dir"].rsplit("_v", 1)[1]) + 1
+    new_base = path.rstrip("/") + f"_base_v{version}"
+    merged.write.mode("overwrite").parquet(new_base)                       # step 1
+    tmp = _delta_meta_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"base_dir": new_base, "folded_through": cutoff}, fh)
+    _os.replace(tmp, _delta_meta_path(path))                               # step 2 (atomic)
+    if meta["base_dir"] and _os.path.exists(meta["base_dir"]):             # step 3: cleanup
+        _shutil.rmtree(meta["base_dir"])
+    for e in fold:
+        d = _os.path.join(path, f"{epoch_col}={e}")
+        if _os.path.exists(d):
+            _shutil.rmtree(d)
+    return {"folded_epochs": len(fold), "base_dir": new_base, "folded_through": cutoff}
