@@ -193,6 +193,8 @@ HEADLINE = [
     "phrase_search",              # bucket-pruned positional adjacency join
     "nb_calibration_report",      # reliability bins + ECE on exact NB scores
     "dedup_aware_weights",        # soft dedup: CC-cluster reweighting per source
+    "trigram_logprob_interp",     # interpolated trigram LM quality score
+    "events_funnel3",             # 3-step funnel, shrinking user-keyed joins
 ]
 
 

@@ -1739,3 +1739,96 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_flagged"),
         F.round(F.max(F.abs(F.col("rz"))), 6).alias("max_abs_z"),
     )
+
+
+@register(
+    "events_funnel3",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup'
+      GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s1.t1 AND epoch(e.ts) - epoch(s1.t1) <= 3600
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND epoch(e.ts) - epoch(s2.t2) <= 3600
+      GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+             (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+             (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase
+    )
+    SELECT n_signup, n_click, n_purchase,
+           CASE WHEN n_signup > 0 THEN round(n_click / CAST(n_signup AS DOUBLE), 6) END
+             AS conv_click,
+           CASE WHEN n_click > 0 THEN round(n_purchase / CAST(n_click AS DOUBLE), 6) END
+             AS conv_purchase,
+           CASE WHEN n_signup > 0 THEN round(n_purchase / CAST(n_signup AS DOUBLE), 6) END
+             AS conv_overall
+    FROM c
+    """,
+    doc="Three-step funnel (signup -> click -> purchase, each step within "
+    "1 hour of the previous step's FIRST qualifying event): per-step "
+    "cohort sizes and conversion rates — the sequence-analytics extension "
+    "of events_funnel's two-step form.  Each stage is one per-user min "
+    "aggregate joined to the previous stage's anchor times (all shuffles "
+    "keyed on user_id, candidates shrink monotonically down the funnel); "
+    "the three counts meet in a 1-row broadcast combine.",
+)
+def events_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "events", sf_dir)
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.unix_timestamp("ts") - F.unix_timestamp("t1") <= 3600)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.unix_timestamp("ts") - F.unix_timestamp("t2") <= 3600)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_signup"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_click"))
+    n3 = s3.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase"))
+    c = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+    return c.select(
+        "n_signup",
+        "n_click",
+        "n_purchase",
+        F.when(
+            F.col("n_signup") > 0,
+            F.round(F.col("n_click") / F.col("n_signup").cast("double"), 6),
+        ).alias("conv_click"),
+        F.when(
+            F.col("n_click") > 0,
+            F.round(F.col("n_purchase") / F.col("n_click").cast("double"), 6),
+        ).alias("conv_purchase"),
+        F.when(
+            F.col("n_signup") > 0,
+            F.round(F.col("n_purchase") / F.col("n_signup").cast("double"), 6),
+        ).alias("conv_overall"),
+    )

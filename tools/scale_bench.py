@@ -81,6 +81,7 @@ DEFAULT_QUERIES = [
     "phrase_search",              # bucket-pruned postings: sparsest-term bound
     "nb_calibration_report",      # token-keyed model join + 10-bin fold
     "dedup_aware_weights",        # CC labels + per-source fold: ~dedup_clusters
+    "trigram_logprob_interp",     # three count aggs + ngram-keyed joins: linear
 ]
 
 
