@@ -221,3 +221,32 @@ def hll_register_rows(events: DataFrame, m: int = 64) -> DataFrame:
     hll_rho_rows — the mergeable delta unit the streaming ingest writes."""
     rho = hll_rho_rows(events, m=m)
     return rho.groupBy("event_type", "reg").agg(F.max("rho").alias("mj"))
+
+
+def cms_cell_expr(salt_col, key_col, w: int = 64):
+    """Count-Min cell index for one (salt, key): md5-based, identical to
+    the oracle-side derivation — shared by the events_cms_heavy_hitters
+    query and the streaming cell-count ingest
+    (streaming/pipeline.py:run_stream_cms_ingest)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(salt_col.cast("string"), F.lit(":"), key_col.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+
+
+def cms_cell_counts(events: DataFrame, d: int = 4, w: int = 64) -> DataFrame:
+    """Per-(salt, cell) Count-Min counts over user_id — the mergeable
+    (by ADDITION) delta unit the streaming ingest writes per epoch."""
+    salts = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("salt")
+    r = events.select("user_id", salts).select(
+        "salt", cms_cell_expr(F.col("salt"), F.col("user_id"), w).alias("cell")
+    )
+    return r.groupBy("salt", "cell").agg(F.count(F.lit(1)).cast("bigint").alias("c"))

@@ -1042,3 +1042,68 @@ def run_stream_hll_ingest(
         "folded_rows": folded.count(),
         "n_epochs": deltas.select("epoch").distinct().count(),
     }
+
+
+def run_stream_cms_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    max_files_per_trigger: int = 1,
+) -> dict:
+    """Streaming Count-Min maintenance: each event batch's (salt, cell)
+    counts land as an epoch-partitioned DELTA merged by ADDITION at query
+    time — the additive sibling of run_stream_hll_ingest (max-merge), so
+    both mergeable-sketch disciplines have a streaming write path and both
+    compact through operators/maintenance.py:fold_delta_store.
+
+    Exactly-once: epoch-keyed dynamic-overwrite partitions (a replayed
+    epoch replaces exactly its own rows — addition would double-count
+    under blind append, which is why the partition-per-epoch layout is
+    load-bearing here in a way it is not for HLL's idempotent max).
+    Per-epoch state is bounded at d*w = 256 rows regardless of events
+    carried.  Batch parity pinned in tests/test_stream_hll.py.
+
+    Returns {'delta_rows', 'folded_rows', 'n_epochs'}.
+    """
+    import os as _os
+
+    from log_vector_spark.operators.events import cms_cell_counts
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(sf_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            cms_cell_counts(batch_df)
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(_os.path.join(out_path, "cell_deltas"))
+        )
+
+    q = (
+        src.writeStream.option(
+            "checkpointLocation", _os.path.join(out_path + "_checkpoint", "")
+        )
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    deltas = spark.read.parquet(_os.path.join(out_path, "cell_deltas"))
+    folded = deltas.groupBy("salt", "cell").agg(F.sum("c").alias("c"))
+    return {
+        "delta_rows": deltas.count(),
+        "folded_rows": folded.count(),
+        "n_epochs": deltas.select("epoch").distinct().count(),
+    }

@@ -1551,18 +1551,7 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     salts = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("salt")
 
     def cms_cell(salt_col, key_col):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(salt_col.cast("string"), F.lit(":"), key_col.cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 64
-        ).alias("cell")
+        return ev.cms_cell_expr(salt_col, key_col, w=64).alias("cell")
 
     r = e.select(F.date_trunc("day", "ts").alias("day"), "user_id", salts).select(
         "day", "user_id", "salt", cms_cell(F.col("salt"), F.col("user_id"))

@@ -54,3 +54,28 @@ def test_stream_hll_replay_is_idempotent(spark, tmp_path):
     shutil.rmtree(out + "_checkpoint")
     second = run_stream_hll_ingest(spark, SF, out)
     assert first == second
+
+
+@pytest.mark.spark
+def test_stream_cms_ingest_batch_parity_and_fold(spark, tmp_path):
+    """Additive sketch ingest: folded streamed cell counts == single-pass
+    batch counts, both raw and after fold_delta_store compaction."""
+    from log_vector_spark.catalog import table
+    from log_vector_spark.operators.events import cms_cell_counts
+    from log_vector_spark.operators.maintenance import fold_delta_store, read_delta_store
+    from log_vector_spark.streaming.pipeline import run_stream_cms_ingest
+
+    out = str(tmp_path / "cstore")
+    stats = run_stream_cms_ingest(spark, SF, out)
+    assert stats["n_epochs"] >= 1
+    assert stats["folded_rows"] <= 4 * 64
+
+    batch = sorted(
+        map(tuple, cms_cell_counts(table(spark, "events", SF)).collect())
+    )
+    deltas = os.path.join(out, "cell_deltas")
+    args = dict(key_cols=["salt", "cell"], merge_exprs={"c": "sum"})
+    assert sorted(map(tuple, read_delta_store(spark, deltas, **args).collect())) == batch
+
+    fold_delta_store(spark, deltas, keep_epochs=0, **args)
+    assert sorted(map(tuple, read_delta_store(spark, deltas, **args).collect())) == batch
