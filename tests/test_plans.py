@@ -451,3 +451,32 @@ def test_graph_stored_matches_inline(spark):
     stored = m.queries()["knn_graph_stored"](spark, SF)
     inline = m.queries()["knn_graph"](spark, SF)
     assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, inline.collect()))
+
+
+@pytest.mark.spark
+def test_bloom_probe_is_broadcast_join_no_shingle_shuffle(spark):
+    """bloom_decontaminate's scale contract: the train-side probe joins a
+    broadcast bitset (O(m) rows), so no SortMergeJoin ever keys on the
+    shingle/pos column — the only sort-merge work allowed is the exact
+    AUDIT join, and the bitset side must be a broadcast."""
+    import __spark_entry__ as m
+
+    df = m.queries()["bloom_decontaminate"](spark, SF)
+    plan = plan_string(df)
+    assert has_broadcast_join(df)
+    # the probe join on `pos` must not be a shuffle join
+    for ln in plan.splitlines():
+        if "SortMergeJoin" in ln and "pos" in ln:
+            raise AssertionError(f"bitset probe shuffled: {ln}")
+
+
+@pytest.mark.spark
+def test_cms_probe_joins_broadcast_sketch(spark):
+    """events_cms_heavy_hitters: the merged sketch (<= 256 rows) and the
+    direct audit sketch are broadcast to the top-k probe, and the exact
+    top-10 plans as distributed top-k (no global sort)."""
+    import __spark_entry__ as m
+
+    df = m.queries()["events_cms_heavy_hitters"](spark, SF)
+    assert has_broadcast_join(df)
+    assert has_take_ordered(df)
