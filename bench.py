@@ -195,6 +195,8 @@ HEADLINE = [
     "dedup_aware_weights",        # soft dedup: CC-cluster reweighting per source
     "trigram_logprob_interp",     # interpolated trigram LM quality score
     "events_funnel3",             # 3-step funnel, shrinking user-keyed joins
+    "encoding_quality_gate",      # zero-shuffle scan-stage mojibake gate
+    "interleaved_shuffle",        # provable run-bound training order audit
 ]
 
 

@@ -695,3 +695,141 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.epoch_plan(table(spark, "documents", sf_dir))
+
+
+@register(
+    "encoding_quality_gate",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(text,
+                    '[^\x01-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS n_control,
+             CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT)
+               AS n_replacement,
+             CAST(length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS BIGINT)
+               AS n_non_ascii
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_control, n_replacement,
+           CASE WHEN n_chars > 0 THEN round(n_non_ascii / CAST(n_chars AS DOUBLE), 6)
+                ELSE 0.0 END AS non_ascii_ratio,
+           n_control = 0 AND n_replacement = 0
+             AND (CASE WHEN n_chars > 0
+                       THEN round(n_non_ascii / CAST(n_chars AS DOUBLE), 6)
+                       ELSE 0.0 END) <= 0.3 AS enc_pass
+    FROM m
+    """,
+    doc="Encoding/mojibake quality gate (the CCNet/RefinedWeb cleanup "
+    "class the decode ladder feeds): per-doc counts of C0 control "
+    "characters (newline/tab/CR excluded), U+FFFD replacement characters "
+    "(the tell of a wrong decode), and the non-ASCII ratio, gated at "
+    "control = replacement = 0 and non-ASCII <= 30%.  Pure scan-stage "
+    "regex counting (JVM codegen, no UDF, no shuffle at all before the "
+    "sink) — the cheapest gate in the funnel, which is why production "
+    "pipelines run it FIRST.  Replacement chars are counted by literal "
+    "chr(65533) removal, not regex, so the two engines cannot disagree "
+    "on escape syntax.",
+)
+def encoding_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = table(spark, "documents", sf_dir)
+    n_chars = F.length("text").cast("bigint")
+    n_control = F.length(
+        F.regexp_replace(F.col("text"), r"[^\x01-\x08\x0B\x0C\x0E-\x1F]", "")
+    ).cast("bigint")
+    n_replacement = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("�"), F.lit("")))
+    ).cast("bigint")
+    n_non_ascii = F.length(
+        F.regexp_replace(F.col("text"), r"[\x00-\x7F]", "")
+    ).cast("bigint")
+    ratio = F.when(
+        n_chars > 0, F.round(n_non_ascii / n_chars.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_control.alias("n_control"),
+        n_replacement.alias("n_replacement"),
+        ratio.alias("non_ascii_ratio"),
+        ((n_control == 0) & (n_replacement == 0) & (ratio <= 0.3)).alias("enc_pass"),
+    )
+
+
+@register(
+    "interleaved_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, hk,
+             row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rnk
+      FROM h
+    ),
+    o AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY rnk ORDER BY hk, doc_id) AS pos,
+             count(*) OVER (PARTITION BY rnk) AS n
+      FROM r
+    ),
+    blk AS (
+      SELECT rnk,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             min(CASE WHEN pos = 1 THEN source END) AS first_source,
+             min(CASE WHEN pos = n THEN source END) AS last_source
+      FROM o GROUP BY rnk
+    )
+    SELECT b.rnk AS rank, b.n_docs, b.n_sources, b.first_source, b.last_source,
+           coalesce(b.last_source = nb.first_source, false) AS boundary_collision
+    FROM blk b LEFT JOIN blk nb ON nb.rnk = b.rnk + 1
+    """,
+    doc="Deterministic interleaved training order: every doc gets a "
+    "within-source rank by id-hash, and the global epoch order is "
+    "(rank, hash) — so each rank block holds AT MOST ONE doc per source, "
+    "a same-source run can only straddle a block boundary, and the "
+    "worst-case run length is provably 2 without any global shuffle or "
+    "global window (the property a naive ORDER BY random() needs a full "
+    "sort to approximate).  A shard writer materializes the order with "
+    "repartitionByRange on (rank, hash); this query audits the blocks — "
+    "sizes, source coverage, and the boundary collisions that produce "
+    "those length-2 runs.  All windows are keyed by source or rank; the "
+    "block relation is bounded by max per-source cardinality.",
+)
+def interleaved_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    docs = table(spark, "documents", sf_dir)
+    h = docs.select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("hk")
+    )
+    ws = Window.partitionBy("source").orderBy("hk", "doc_id")
+    r = h.withColumn("rnk", F.row_number().over(ws))
+    wr = Window.partitionBy("rnk").orderBy("hk", "doc_id")
+    wn = Window.partitionBy("rnk")
+    o = r.withColumn("pos", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    blk = o.groupBy("rnk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.min(F.when(F.col("pos") == 1, F.col("source"))).alias("first_source"),
+        F.min(F.when(F.col("pos") == F.col("n"), F.col("source"))).alias("last_source"),
+    )
+    nb = blk.select((F.col("rnk") - 1).alias("rnk"), F.col("first_source").alias("nfs"))
+    return (
+        blk.join(nb, "rnk", "left")
+        .select(
+            F.col("rnk").alias("rank"),
+            "n_docs",
+            "n_sources",
+            "first_source",
+            "last_source",
+            F.coalesce(F.col("last_source") == F.col("nfs"), F.lit(False)).alias(
+                "boundary_collision"
+            ),
+        )
+    )
