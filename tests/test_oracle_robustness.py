@@ -40,6 +40,12 @@ QUERIES = [
     "perplexity_gate",
     "ivf_kmeans_recall_at10",
     "pq_kmeans_recall_at10",
+    # r5 wave-5: exp/log through the decimal-sum discipline, sketch integers
+    "nb_calibration_report",
+    "trigram_logprob_interp",
+    "events_cms_heavy_hitters",
+    "events_hll_intersection",
+    "bloom_decontaminate",
 ]
 
 
