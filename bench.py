@@ -197,6 +197,8 @@ HEADLINE = [
     "events_funnel3",             # 3-step funnel, shrinking user-keyed joins
     "encoding_quality_gate",      # zero-shuffle scan-stage mojibake gate
     "interleaved_shuffle",        # provable run-bound training order audit
+    "events_seasonality_profile", # dow x hour activity matrix + shares
+    "source_quality_trend",       # closed-form quality slope per source
 ]
 
 

@@ -833,3 +833,96 @@ def interleaved_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "source_quality_trend",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS words,
+             text
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source,
+             CASE WHEN len(words) > 0 THEN
+               round((len(list_filter(words, t -> t IN ('the', 'a', 'of', 'to', 'and')))
+                      / CAST(len(words) AS DOUBLE)) * 0.5
+                     + least(len(words), 100) / 100.0 * 0.5, 6)
+             END AS quality
+      FROM w
+    ),
+    x AS (
+      SELECT source, quality,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS i
+      FROM q WHERE quality IS NOT NULL
+    ),
+    s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(i) AS BIGINT) AS sx,
+             CAST(sum(i * i) AS BIGINT) AS sxx,
+             CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sy,
+             CAST(sum(i * CAST(quality AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sxy
+      FROM x GROUP BY source
+    )
+    SELECT source, n,
+           round(CAST(sy AS DOUBLE) / n, 6) AS mean_quality,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN round((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                           / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN round((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                           / CAST(n * sxx - sx * sx AS DOUBLE), 6) END < 0 AS degrading
+    FROM s
+    """,
+    doc="Per-source quality TREND: least-squares slope of the text-quality "
+    "score over ingestion order (doc_id rank within source) — the drift "
+    "monitor that catches a source going stale or a scraper starting to "
+    "emit junk, before the mean moves enough for a threshold gate to "
+    "notice.  The slope is closed-form from five sums; x-sums are exact "
+    "BIGINTs, y-sums are 6dp-decimal-exact, and only the final "
+    "numerator/denominator division runs in double — fold-order-proof.  "
+    "One rank window per source + one linear agg; zero-token docs are "
+    "excluded (their quality is NULL, the text_quality contract).",
+)
+def source_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    from log_vector_spark.operators import textops
+
+    docs = table(spark, "documents", sf_dir)
+    q = textops.text_quality(docs, carry_cols=("source",)).select(
+        "doc_id", "source", "quality"
+    )
+    x = q.filter(F.col("quality").isNotNull()).withColumn(
+        "i",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .cast("bigint"),
+    )
+    s = x.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("i").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("i")).cast("bigint").alias("sxx"),
+        F.sum(F.col("quality").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sy"),
+        F.sum(F.col("i") * F.col("quality").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den > 0,
+        F.round(
+            (F.col("n") * F.col("sxy").cast("double") - F.col("sx") * F.col("sy").cast("double"))
+            / den.cast("double"),
+            6,
+        ),
+    )
+    return s.select(
+        "source",
+        "n",
+        F.round(F.col("sy").cast("double") / F.col("n"), 6).alias("mean_quality"),
+        slope.alias("slope"),
+        (slope < 0).alias("degrading"),
+    )

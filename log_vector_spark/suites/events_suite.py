@@ -1821,3 +1821,45 @@ def events_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_purchase") / F.col("n_signup").cast("double"), 6),
         ).alias("conv_overall"),
     )
+
+
+@register(
+    "events_seasonality_profile",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow, CAST(hour(ts) AS INTEGER) AS hod, event_type
+      FROM events
+    ),
+    c AS (
+      SELECT dow, hod, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY dow, hod, event_type
+    ),
+    t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY event_type)
+    SELECT c.dow, c.hod, c.event_type, c.n,
+           round(c.n / CAST(t.total AS DOUBLE), 6) AS share
+    FROM c JOIN t USING (event_type)
+    """,
+    doc="Seasonality profile: the (day-of-week x hour-of-day) activity "
+    "matrix per event type with each cell's share of the type's total — "
+    "the baseline a seasonal-naive forecaster or anomaly detector reads "
+    "before trusting a spike (pairs with events_hourly_anomaly's trailing "
+    "z and events_forecast_backtest).  One linear hash agg to a <= "
+    "7*24*|types| relation; the share join is against a |types|-row "
+    "broadcast.  Spark dayofweek == DuckDB dayofweek + 1 handled by "
+    "deriving both from the same definition (1=Sunday).",
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "events", sf_dir)
+    b = e.select(
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+        "event_type",
+    )
+    c = b.groupBy("dow", "hod", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = c.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("total"))
+    return c.join(F.broadcast(t), "event_type").select(
+        "dow", "hod", "event_type", "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
+    )
