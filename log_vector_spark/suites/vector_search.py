@@ -318,18 +318,21 @@ _INT4_DQ = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
                  / (sqrt(list_reduce(list_transform(u, x -> x * x), (acc, x) -> acc + x))
                     * sqrt(list_reduce(list_transform({_Q}::DOUBLE[], x -> x * x),
                            (acc, x) -> acc + x))), 6) AS score
-    FROM dq WHERE list_reduce(list_transform(u, x -> abs(x)), (acc, x) -> greatest(acc, x)) > 0
+    FROM dq JOIN s USING (vec_id) WHERE s.scale > 0
     ORDER BY score DESC, vec_id ASC LIMIT 5
     """,
     doc="k-NN over the int4 nibble-packed store form (scale = max|x|/7, "
     "codes in [-7,7], two codes per stored byte — sources/store.py:"
     "quantize_int4_for_store): the Spark side scores through the REAL "
-    "packed bytes (unpack -> rescale -> cosine), while the oracle "
-    "computes codes directly, so any packing defect surfaces as a value "
-    "mismatch.  The rung between int8 (4x, near-exact) and binary (16x, "
-    "prefilter-only): 8x on the code column, direct ranking without a "
-    "rescore pass.  Zero vectors (the embed-error sentinel) are excluded "
-    "from scoring, same as knn_quantized.",
+    "packed bytes (index-wise unpack -> rescale -> cosine), while the "
+    "oracle computes codes directly, so any packing defect surfaces as a "
+    "value mismatch.  The rung between int8 (4x, near-exact) and binary "
+    "(16x, prefilter-only): 8x on the code column, direct ranking without "
+    "a rescore pass.  Zero vectors (the embed-error sentinel) are "
+    "excluded from scoring, same as knn_quantized.  Perf note: the unpack "
+    "is BY INDEX (scalar ops per element) — the flatten(transform(b -> "
+    "array(hi, lo))) form allocated nested arrays inside an interpreted "
+    "HOF re-evaluated per consumer and measured ~40x slower at sf0.1.",
 )
 def knn_int4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.functions.vector import cosine_similarity, literal_vector
@@ -341,12 +344,11 @@ def knn_int4(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, "embeddings", sf_dir)
     stored = quantize_int4_for_store(emb)
     u = stored.withColumn("u", dequantize_int4_embedding())
-    nz = u.filter(
-        F.aggregate(
-            F.transform(F.col("u"), lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x)
-        )
-        > 0
-    )
+    # zero-vector exclusion via the stored scale (scale > 0 <=> some |x| > 0
+    # <=> the max code is 7): equivalent to max|u| > 0 without re-evaluating
+    # the unpack expression inside a third nested HOF, which drove the
+    # optimizer into a multi-minute simplification spiral at any sf
+    nz = u.filter(F.col("embedding_scale4") > 0)
     scored = nz.select(
         "vec_id",
         F.round(cosine_similarity(F.col("u"), literal_vector(QVEC)), 6).alias("score"),
