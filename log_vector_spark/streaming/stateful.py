@@ -118,3 +118,98 @@ def run_sessionize_stream(spark, sf_dir: str) -> DataFrame:
 import itertools  # noqa: E402
 
 _counter = itertools.count()
+
+
+# --------------------------------------------------------------------------
+# Stateful heavy hitters: Misra-Gries summary per event_type.
+#
+# State per key is a BOUNDED summary (<= CAPACITY counters + one global
+# decrement total D), merged per micro-batch with the batch's exact counts
+# (Misra-Gries summaries are mergeable: add counts, then subtract the
+# (CAPACITY+1)-th largest and drop non-positive — Agarwal et al., "Mergeable
+# Summaries").  Guarantee carried in the output: for every key,
+# est <= true <= est + decrement_total, so the summary is an UNDERestimate
+# with a bounded, observable error — the dual of the CMS query's
+# overestimate.  With CAPACITY >= distinct keys the summary is exact
+# (decrement_total = 0), which is what the batch-parity test pins.
+#
+# Contrast sessionize_stream above (per-user micro-state): here the state is
+# per GROUP and bounded by CAPACITY, not by the key population — the shape
+# for monitoring unbounded-cardinality keys at 100 TB/day.
+
+HH_CAPACITY = 512
+
+HH_OUTPUT_SCHEMA = (
+    "event_type string, user_id long, est_count long, decrement_total long, "
+    "batch_seq long"
+)
+HH_STATE_SCHEMA = "users array<long>, counts array<long>, d long, seq long"
+
+
+def _heavy_hitters_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (etype,) = key
+    if state.exists:
+        users, counts, d, seq = state.get
+        summary = dict(zip(users, counts))
+    else:
+        summary, d, seq = {}, 0, 0
+
+    chunks = [pdf["user_id"] for pdf in pdfs]
+    if chunks:
+        vc = pd.concat(chunks).value_counts()  # exact within the batch
+        for u, c in vc.items():
+            u = int(u)
+            summary[u] = summary.get(u, 0) + int(c)
+        if len(summary) > HH_CAPACITY:
+            # subtract the (CAPACITY+1)-th largest count, drop non-positive;
+            # ties broken by user_id so re-runs agree
+            order = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+            thr = order[HH_CAPACITY][1]
+            summary = {u: c - thr for u, c in order if c - thr > 0}
+            d += thr
+    seq += 1
+    state.update((list(summary.keys()), list(summary.values()), d, seq))
+
+    out = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+    yield pd.DataFrame(
+        {
+            "event_type": [etype] * len(out),
+            "user_id": [u for u, _ in out],
+            "est_count": [c for _, c in out],
+            "decrement_total": [d] * len(out),
+            "batch_seq": [seq] * len(out),
+        }
+    )
+
+
+def heavy_hitters_stream(events: DataFrame) -> DataFrame:
+    """events (streaming) -> per-batch Misra-Gries summaries per type."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _heavy_hitters_fn,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_heavy_hitters_stream(spark, sf_dir: str) -> DataFrame:
+    """Drive the stateful heavy-hitter monitor; returns every batch's
+    emitted summary (filter to max batch_seq per type for the final one)."""
+    from log_vector_spark.streaming.pipeline import stream_events
+
+    name = f"stateful_hh_{next(_counter)}"
+    q = (
+        heavy_hitters_stream(stream_events(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
