@@ -104,3 +104,65 @@ def set_model_approval(model_name: str, approved: bool, env_file: str = ".env") 
     with open(env_file, "w", encoding="utf-8") as f:
         f.writelines(filtered)
     os.environ[key] = value
+
+
+def prompt_user_consent(
+    model_name: str,
+    input_fn=input,
+    print_fn=print,
+) -> bool:
+    """Interactive y/N consent flow (reference trust_manager.py:122-155):
+    security warning banner, strict y/yes vs n/no/empty parsing with a
+    re-prompt on anything else, Ctrl-C -> deny.
+
+    DRIVER-SIDE ONLY, and only when a terminal is actually attached — the
+    non-interactive engine path stays get_trust_setting's default-deny
+    (C4); this loop exists for the operator-at-a-keyboard case the
+    reference serves.  `input_fn`/`print_fn` are injectable for tests.
+    """
+    bar = "=" * 60
+    print_fn(f"\n{bar}")
+    print_fn("SECURITY WARNING: Remote Code Execution")
+    print_fn(bar)
+    print_fn(f"Model: {model_name}")
+    print_fn("")
+    print_fn("This model may require 'trust_remote_code=True' which allows")
+    print_fn("the model to execute arbitrary code during loading.")
+    print_fn("Your choice will be saved for this model.")
+    print_fn(bar)
+    while True:
+        try:
+            response = input_fn("Allow remote code execution for this model? [y/N]: ")
+        except (KeyboardInterrupt, EOFError):
+            print_fn("\nOperation cancelled.")
+            return False
+        r = response.strip().lower()
+        if r in ("y", "yes"):
+            return True
+        if r in ("n", "no", ""):
+            return False
+        print_fn("Please enter 'y' for yes or 'n' for no.")
+
+
+def get_trust_setting_interactive(
+    model_name: str,
+    env_file: str = ".env",
+    input_fn=input,
+    print_fn=print,
+) -> bool:
+    """C4 with the reference's interactive fallback: explicit setting wins;
+    otherwise safe models pass; otherwise prompt (persisting the answer via
+    set_model_approval) when stdin is a TTY, default-deny when it is not."""
+    import sys
+
+    key = model_trust_key(model_name)
+    if os.environ.get(key) is not None:
+        return get_trust_setting(model_name)
+    if not model_needs_trust(model_name):
+        return True
+    if input_fn is input and not sys.stdin.isatty():
+        return False
+    approved = prompt_user_consent(model_name, input_fn=input_fn, print_fn=print_fn)
+    set_model_approval(model_name, approved, env_file=env_file)
+    os.environ[key] = "true" if approved else "false"
+    return approved

@@ -100,3 +100,49 @@ def test_trust_cli_surface(tmp_path, capsys):
         ["--check", "sentence-transformers/all-MiniLM-L6-v2", "--env-file", env], out=out
     ) == 0
     assert "needs trust: False" in out.getvalue()
+
+
+def test_prompt_consent_parsing_and_cancel():
+    from log_vector_spark.operators.trust import prompt_user_consent
+
+    lines: list[str] = []
+    # strict parsing: junk re-prompts, then yes
+    answers = iter(["maybe", "YES"])
+    assert prompt_user_consent("m", input_fn=lambda _: next(answers), print_fn=lines.append)
+    assert any("SECURITY WARNING" in ln for ln in lines)
+    assert any("'y' for yes" in ln for ln in lines)
+    # empty answer = the reference's default deny
+    assert not prompt_user_consent("m", input_fn=lambda _: "", print_fn=lines.append)
+    # Ctrl-C -> deny
+
+    def interrupt(_):
+        raise KeyboardInterrupt
+
+    assert not prompt_user_consent("m", input_fn=interrupt, print_fn=lines.append)
+
+
+def test_interactive_trust_prompts_once_and_persists(tmp_path, monkeypatch):
+    from log_vector_spark.operators import trust
+
+    monkeypatch.chdir(tmp_path)
+    model = "suspicious/custom-model"
+    key = trust.model_trust_key(model)
+    monkeypatch.delenv(key, raising=False)
+    calls = []
+
+    def fake_input(prompt):
+        calls.append(prompt)
+        return "y"
+
+    env_file = str(tmp_path / ".env")
+    ok = trust.get_trust_setting_interactive(
+        model, env_file=env_file, input_fn=fake_input, print_fn=lambda *_: None
+    )
+    assert ok and len(calls) == 1
+    # persisted: second call answers from env without prompting
+    ok2 = trust.get_trust_setting_interactive(
+        model, env_file=env_file, input_fn=fake_input, print_fn=lambda *_: None
+    )
+    assert ok2 and len(calls) == 1
+    assert key + "=true" in open(env_file).read()
+    monkeypatch.delenv(key, raising=False)

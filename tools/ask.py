@@ -68,6 +68,16 @@ def make_query_fn(spark, store_path: str, generator=None) -> Callable[[str], str
     return query
 
 
+def _styles(out) -> dict[str, str]:
+    """Minimal ANSI styling when `out` is a real terminal (the reference
+    renders through rich, ask.py:318; this engine keeps the same visual
+    hierarchy — bold headers, dim metadata — with zero dependencies and
+    plain text everywhere a pipe or log file is listening)."""
+    if getattr(out, "isatty", lambda: False)():
+        return {"bold": "\x1b[1m", "dim": "\x1b[2m", "cyan": "\x1b[36m", "off": "\x1b[0m"}
+    return {"bold": "", "dim": "", "cyan": "", "off": ""}
+
+
 def repl(
     lines: Iterable[str],
     query_fn: Callable[[str], str],
@@ -79,6 +89,7 @@ def repl(
     Yields (question, answer) pairs for every answered question."""
     from log_vector_spark.operators.rag import write_qa_markdown
 
+    st = _styles(out)
     for raw in lines:
         question = raw.strip()
         if not question:
@@ -88,7 +99,7 @@ def repl(
         ans = query_fn(question)
         if log_path:
             write_qa_markdown(question, ans, log_path)
-        print(f"\nAnswer:\n{ans}\n", file=out)
+        print(f"\n{st['bold']}{st['cyan']}Answer:{st['off']}\n{ans}\n", file=out)
         yield question, ans
 
 
