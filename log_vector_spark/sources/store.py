@@ -244,3 +244,72 @@ def dequantize_int4_embedding(
         F.size(codes) > 0,
         F.transform(F.sequence(F.lit(1), F.size(codes) * 2), decode),
     ).otherwise(F.array().cast("array<double>"))
+
+
+# ----------------------------------------------------- versioned store ----
+#
+# `write_chunks(mode="overwrite")` deletes-and-recreates in place (the
+# reference's semantics) — fine single-writer/single-reader, but on an
+# object store a concurrent reader mid-scan sees files vanish.  The
+# versioned form gives SNAPSHOT ISOLATION with the same pointer-swap
+# protocol as operators/maintenance.py's delta folding: write a complete
+# new version directory, atomically repoint a 1-line meta file, clean up
+# old versions past a retention count.  Readers resolve the pointer first,
+# so they always scan one complete, immutable version; a crash leaves an
+# unreferenced _v directory, never a torn table.
+
+import json as _json
+
+
+def _versions_meta_path(path: str) -> str:
+    return os.path.join(path, "_current.json")
+
+
+def write_chunks_versioned(
+    chunks: DataFrame,
+    path: str,
+    partition_col: str | None = "source",
+    keep_versions: int = 2,
+) -> str:
+    """Write a new immutable store version and atomically repoint readers.
+
+    Returns the new version directory.  Old versions beyond `keep_versions`
+    are removed AFTER the pointer swap (pure cleanup — a reader that
+    resolved the pointer before the swap may still be scanning the previous
+    version, which is why at least 2 are retained by default)."""
+    import shutil as _shutil
+
+    os.makedirs(path, exist_ok=True)
+    mp = _versions_meta_path(path)
+    cur = None
+    if os.path.exists(mp):
+        with open(mp) as fh:
+            cur = _json.load(fh)
+    version = 0 if cur is None else cur["version"] + 1
+    vdir = os.path.join(path, f"chunks_v{version}")
+    writer = chunks.write.mode("overwrite")
+    if partition_col and partition_col in chunks.columns:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(vdir)                                       # step 1: full new version
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"version": version, "dir": vdir}, fh)
+    os.replace(tmp, mp)                                        # step 2: atomic swap
+    live = {f"chunks_v{v}" for v in range(max(0, version - keep_versions + 1), version + 1)}
+    for d in os.listdir(path):                                 # step 3: retention cleanup
+        if d.startswith("chunks_v") and d not in live:
+            _shutil.rmtree(os.path.join(path, d))
+    return vdir
+
+
+def read_chunks_snapshot(spark: SparkSession, path: str, version: int | None = None):
+    """Read the current (or a pinned historical) store version.  Falls back
+    to the legacy in-place `chunks/` layout when no pointer exists, so the
+    two write forms interoperate."""
+    mp = _versions_meta_path(path)
+    if version is not None:
+        return spark.read.parquet(os.path.join(path, f"chunks_v{version}"))
+    if os.path.exists(mp):
+        with open(mp) as fh:
+            return spark.read.parquet(_json.load(fh)["dir"])
+    return read_chunks(spark, path)
