@@ -82,6 +82,8 @@ DEFAULT_QUERIES = [
     "nb_calibration_report",      # token-keyed model join + 10-bin fold
     "dedup_aware_weights",        # CC labels + per-source fold: ~dedup_clusters
     "trigram_logprob_interp",     # three count aggs + ngram-keyed joins: linear
+    "encoding_quality_gate",      # zero-shuffle regex scan: byte-linear
+    "knn_int4",                   # packed-code scan: linear at 1/6.4 the bytes
 ]
 
 
