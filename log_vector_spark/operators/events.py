@@ -250,3 +250,28 @@ def cms_cell_counts(events: DataFrame, d: int = 4, w: int = 64) -> DataFrame:
         "salt", cms_cell_expr(F.col("salt"), F.col("user_id"), w).alias("cell")
     )
     return r.groupBy("salt", "cell").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+
+def fixed_bin_histogram(
+    events: DataFrame,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Per-group fixed-edge histogram rows (bin, c) — the streaming form of
+    the quantile sketch: edges are CONFIGURED, not data-derived, because
+    epoch deltas can only merge by addition when every epoch bins against
+    the same edges (the suite's events_quantile_sketch derives edges from
+    the global min/max, which a stream cannot know).  Values outside
+    [lo, hi) clamp into the edge bins, so mass is never silently dropped.
+    """
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    bin_col = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        events.select(*group_cols, bin_col.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )

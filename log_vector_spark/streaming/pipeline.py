@@ -1107,3 +1107,63 @@ def run_stream_cms_ingest(
         "folded_rows": folded.count(),
         "n_epochs": deltas.select("epoch").distinct().count(),
     }
+
+
+def run_stream_quantile_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    max_files_per_trigger: int = 1,
+) -> dict:
+    """Streaming quantile-sketch maintenance: per-epoch fixed-edge histogram
+    deltas merged by bin-count ADDITION — the third mergeable-sketch write
+    path (HLL = max, CMS = sum over hash cells, this = sum over value
+    bins), all compacting through fold_delta_store.  Edges are configured,
+    not data-derived: that is the one semantic concession streaming
+    requires (the batch query derives edges from the global min/max a
+    stream can never know), and it is the production trade every streaming
+    histogram makes.  Exactly-once epoch partitions as in the CMS ingest
+    (sum-merge makes the layout load-bearing).
+    """
+    import os as _os
+
+    from log_vector_spark.operators.events import fixed_bin_histogram
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(sf_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            fixed_bin_histogram(batch_df)
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(_os.path.join(out_path, "bin_deltas"))
+        )
+
+    q = (
+        src.writeStream.option(
+            "checkpointLocation", _os.path.join(out_path + "_checkpoint", "")
+        )
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    deltas = spark.read.parquet(_os.path.join(out_path, "bin_deltas"))
+    folded = deltas.groupBy("event_type", "bin").agg(F.sum("c").alias("c"))
+    return {
+        "delta_rows": deltas.count(),
+        "folded_rows": folded.count(),
+        "n_epochs": deltas.select("epoch").distinct().count(),
+    }

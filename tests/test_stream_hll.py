@@ -79,3 +79,31 @@ def test_stream_cms_ingest_batch_parity_and_fold(spark, tmp_path):
 
     fold_delta_store(spark, deltas, keep_epochs=0, **args)
     assert sorted(map(tuple, read_delta_store(spark, deltas, **args).collect())) == batch
+
+
+@pytest.mark.spark
+def test_stream_quantile_ingest_batch_parity_and_fold(spark, tmp_path):
+    """Fixed-edge histogram ingest: folded streamed bin counts == the
+    single-pass batch histogram, raw and after compaction, and the clamp
+    keeps total mass == event count."""
+    from pyspark.sql import functions as F
+
+    from log_vector_spark.catalog import table
+    from log_vector_spark.operators.events import fixed_bin_histogram
+    from log_vector_spark.operators.maintenance import fold_delta_store, read_delta_store
+    from log_vector_spark.streaming.pipeline import run_stream_quantile_ingest
+
+    out = str(tmp_path / "qstore")
+    stats = run_stream_quantile_ingest(spark, SF, out)
+    assert stats["folded_rows"] > 0
+
+    ev = table(spark, "events", SF)
+    batch = sorted(map(tuple, fixed_bin_histogram(ev).collect()))
+    deltas = os.path.join(out, "bin_deltas")
+    args = dict(key_cols=["event_type", "bin"], merge_exprs={"c": "sum"})
+    assert sorted(map(tuple, read_delta_store(spark, deltas, **args).collect())) == batch
+
+    fold_delta_store(spark, deltas, keep_epochs=0, **args)
+    folded = read_delta_store(spark, deltas, **args)
+    assert sorted(map(tuple, folded.collect())) == batch
+    assert folded.agg(F.sum("c")).collect()[0][0] == ev.count()
