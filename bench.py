@@ -199,6 +199,7 @@ HEADLINE = [
     "interleaved_shuffle",        # provable run-bound training order audit
     "events_seasonality_profile", # dow x hour activity matrix + shares
     "source_quality_trend",       # closed-form quality slope per source
+    "events_histogram_fixed",     # configured-edge histogram (stream twin)
 ]
 
 

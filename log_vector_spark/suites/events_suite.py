@@ -1863,3 +1863,25 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow", "hod", "event_type", "n",
         F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
     )
+
+
+@register(
+    "events_histogram_fixed",
+    oracle="""
+    SELECT event_type,
+           least(greatest(CAST(floor((value - 0.0) / 8.0) AS INTEGER), 0), 63) AS bin,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events
+    GROUP BY event_type, least(greatest(CAST(floor((value - 0.0) / 8.0) AS INTEGER), 0), 63)
+    """,
+    doc="Fixed-edge value histogram (64 bins over the CONFIGURED [0, 512) "
+    "domain, out-of-range clamped into the edge bins) — the exact "
+    "transform run_stream_quantile_ingest writes per epoch, registered as "
+    "its own oracle row so the streaming sketch's bin math is "
+    "hash-checked, not just parity-tested.  Contrast "
+    "events_quantile_sketch, whose edges are data-derived (global "
+    "min/max) — the form a stream cannot compute.  One linear hash agg "
+    "to a <= 64 x |types| relation.",
+)
+def events_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.fixed_bin_histogram(table(spark, "events", sf_dir))
