@@ -200,6 +200,7 @@ HEADLINE = [
     "events_seasonality_profile", # dow x hour activity matrix + shares
     "source_quality_trend",       # closed-form quality slope per source
     "events_histogram_fixed",     # configured-edge histogram (stream twin)
+    "lsh_candidate_pr_eval",      # blocker P/R vs complete exact truth
 ]
 
 
