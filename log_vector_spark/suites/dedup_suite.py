@@ -1374,10 +1374,15 @@ def dedup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(minhash_estimator_eval audits the ESTIMATOR's error; this audits "
     "the BLOCKER's retrieval).  Truth is complete, not candidate-biased: "
     "a pair with Jaccard >= 0.5 must share a shingle, so the global "
-    "shingle equi-join enumerates every qualifying pair — candidate "
-    "volume scales with actual overlap, never all-pairs.  Low precision "
-    "is EXPECTED (bands are a recall device; the verify join restores "
-    "precision); recall is the number that must stay high.",
+    "shingle equi-join enumerates every qualifying pair.  COST CAVEAT: "
+    "completeness means NO blocking on the truth side, and on natural "
+    "text shared-shingle pair volume grows much faster than true-pair "
+    "volume — this is an EVAL you run on a stratified sample (or accept "
+    "a frequency-capped, slightly recall-optimistic truth), never a "
+    "per-ingest gate; the measured decade ratio documents the trade.  "
+    "Low precision is EXPECTED (bands are a recall device; the verify "
+    "join restores precision); recall is the number that must stay "
+    "high.",
 )
 def lsh_candidate_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.functions.text import shingles_from_words, tokens
