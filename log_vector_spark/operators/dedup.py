@@ -198,22 +198,23 @@ def minhash_band_pairs(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_band: bool = False,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     band_key = md5 of the band's minhashes in seed order; the candidate join
     is an equi-join on (band, band_key) — the classic sub-quadratic LSH
-    candidate generation.
+    candidate generation.  `keep_band=True` returns (band, id_a, id_b)
+    rows (one per contributing band) for band-sweep evals like
+    lsh_band_recall_curve.
     """
     bands = _minhash_bands(docs, n_hashes, rows_per_band, shingle_n, id_col, text_col)
     a = bands.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a"))
     b = bands.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("id_b"))
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = a.join(b, ["band", "band_key"]).filter(F.col("id_a") < F.col("id_b"))
+    if keep_band:
+        return pairs.select("band", "id_a", "id_b").distinct()
+    return pairs.select("id_a", "id_b").distinct()
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

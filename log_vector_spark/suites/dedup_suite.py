@@ -1431,3 +1431,116 @@ def lsh_candidate_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / F.col("n_truth").cast("double"), 6),
         ).alias("recall_at_t"),
     )
+
+
+@register(
+    "lsh_band_recall_curve",
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM common
+      JOIN cnt ca ON ca.doc_id = common.id_a
+      JOIN cnt cb ON cb.doc_id = common.id_b
+      WHERE round(c * 1.0 / (ca.n_sh + cb.n_sh - c), 6) >= 0.5
+    ),
+    bpairs AS (
+      SELECT DISTINCT a.band, a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    ks AS (SELECT unnest([1, 2, 3, 4]) AS n_bands),
+    cand AS (
+      SELECT k.n_bands, p.id_a, p.id_b
+      FROM ks k JOIN bpairs p ON p.band < k.n_bands
+      GROUP BY k.n_bands, p.id_a, p.id_b
+    ),
+    m AS (
+      SELECT c.n_bands,
+             CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM cand c LEFT JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+      GROUP BY c.n_bands
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+    SELECT m.n_bands, m.n_candidates, m.n_hits, nt.n_truth,
+           CASE WHEN nt.n_truth > 0
+                THEN round(m.n_hits / CAST(nt.n_truth AS DOUBLE), 6) END AS recall_at_t
+    FROM m CROSS JOIN nt ORDER BY m.n_bands
+    """,
+    doc="LSH recall curve over the number of bands USED (prefix subsets "
+    "1..4 of the 4x2 banding) against the same complete exact-Jaccard "
+    "truth as lsh_candidate_pr_eval — the empirical S-curve behind the "
+    "band-count knob: each added band can only ADD candidates, so recall "
+    "is monotone in n_bands and the curve shows what each extra band "
+    "buys (and costs, in candidates).  One banded pair enumeration "
+    "reused across all four curve points (the ivf_recall_curve "
+    "discipline: sweep configs in ONE plan, never one job per point).  "
+    "Same truth-side cost caveat as lsh_candidate_pr_eval: an eval for "
+    "samples, not a per-ingest gate.",
+)
+def lsh_band_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.functions.text import shingles_from_words, tokens
+
+    docs = table(spark, "documents", sf_dir)
+    bpairs = dedup.minhash_band_pairs(
+        docs, n_hashes=8, rows_per_band=2, keep_band=True
+    ).select("band", "id_a", "id_b")
+    words = docs.select("doc_id", tokens(F.col("text")).alias("words"))
+    sh = words.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_from_words(F.col("words"), 3))).alias("shingle"),
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    truth = (
+        common.join(cnt.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(cnt.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .filter(
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double"), 6)
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    ks = spark.range(1, 5).select(F.col("id").cast("int").alias("n_bands"))
+    cand = (
+        ks.join(F.broadcast(bpairs).hint("broadcast"), F.col("band") < F.col("n_bands"))
+        .select("n_bands", "id_a", "id_b")
+        .distinct()
+    )
+    m = (
+        cand.join(truth.withColumn("t", F.lit(1)), ["id_a", "id_b"], "left")
+        .groupBy("n_bands")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.when(F.col("t").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_hits"),
+        )
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    return (
+        m.crossJoin(F.broadcast(nt))
+        .select(
+            "n_bands",
+            "n_candidates",
+            "n_hits",
+            "n_truth",
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.col("n_hits") / F.col("n_truth").cast("double"), 6),
+            ).alias("recall_at_t"),
+        )
+        .orderBy("n_bands")
+    )
