@@ -909,9 +909,17 @@ def epoch_plan(
     headroom = F.col("cap_tokens") - F.col("final1")
     sh = F.sum(headroom).over(w2)
     leftover = (F.col("budget_tokens") - F.sum("final1").over(w2)).cast("bigint")
+    # clamp the proportional share to this domain's own headroom: when
+    # budget_multiplier > max_epochs, leftover exceeds total headroom and
+    # the unclamped add would push final_epochs past the cap — the excess
+    # budget stays UNALLOCATED (the documented one-pass contract), the cap
+    # is never violated
     add = F.when(
         (sh > 0) & (leftover > 0),
-        F.round((leftover * headroom).cast("double") / sh.cast("double"), 6),
+        F.least(
+            F.round((leftover * headroom).cast("double") / sh.cast("double"), 6),
+            headroom.cast("double"),
+        ),
     ).otherwise(F.lit(0.0))
     final_tokens = F.round(F.col("final1") + add, 6)
     out = step1.withColumn("final_tokens", final_tokens)

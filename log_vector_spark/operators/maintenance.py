@@ -215,10 +215,27 @@ def fold_delta_store(
     with open(tmp, "w") as fh:
         _json.dump({"base_dir": new_base, "folded_through": cutoff}, fh)
     _os.replace(tmp, _delta_meta_path(path))                               # step 2 (atomic)
-    if meta["base_dir"] and _os.path.exists(meta["base_dir"]):             # step 3: cleanup
-        _shutil.rmtree(meta["base_dir"])
-    for e in fold:
-        d = _os.path.join(path, f"{epoch_col}={e}")
-        if _os.path.exists(d):
-            _shutil.rmtree(d)
+    # step 3: DEFERRED cleanup — retain the immediately-previous base dir
+    # and the just-folded epoch dirs for ONE fold cycle (delete version
+    # k-1 only when writing k+1), so a reader that resolved the PREVIOUS
+    # meta and is mid-scan never has its files vanish — the same
+    # retention rationale as write_chunks_versioned's keep_versions>=2.
+    # Retained-but-folded epoch dirs are harmless to every reader:
+    # _read_live filters epoch > folded_through, so they are partition-
+    # pruned out; re-running fold is still idempotent.
+    if version >= 2:
+        stale_base = path.rstrip("/") + f"_base_v{version - 2}"
+        if _os.path.exists(stale_base):
+            _shutil.rmtree(stale_base)
+    if meta["folded_through"] is not None and _os.path.isdir(path):
+        prefix = f"{epoch_col}="
+        for name in _os.listdir(path):                                     # epoch dirs
+            if not name.startswith(prefix):                                # retained by the
+                continue                                                   # PREVIOUS fold
+            try:
+                e = int(name[len(prefix):])
+            except ValueError:
+                continue
+            if e <= meta["folded_through"]:
+                _shutil.rmtree(_os.path.join(path, name))
     return {"folded_epochs": len(fold), "base_dir": new_base, "folded_through": cutoff}

@@ -65,9 +65,12 @@ def write_jsonl(
         "n_rows": None,  # filled by validate pass below (cheap: parquet-side count)
     }
     # count AFTER the write from the written data so the manifest certifies
-    # the artifact, not the plan
+    # the artifact, not the plan.  The read-back reuses the writer's schema:
+    # schema inference over an EMPTY export fails (spark.read.json cannot
+    # infer from zero data files), which would abort after the data write
+    # and strand a manifest-less directory that read_jsonl then rejects.
     spark = df.sparkSession
-    n = spark.read.json(os.path.join(path, "data")).count()
+    n = spark.read.schema(df.schema).json(os.path.join(path, "data")).count()
     manifest["n_rows"] = n
     with open(os.path.join(path, MANIFEST_NAME), "w", encoding="utf-8") as f:
         json.dump(manifest, f)
@@ -99,6 +102,9 @@ _SHARD_SCHEMA = T.StructType(
 )
 
 
+WDS_MANIFEST_NAME = "_webdataset_manifest.json"
+
+
 def write_webdataset(
     df: DataFrame,
     path: str,
@@ -109,8 +115,23 @@ def write_webdataset(
 ) -> DataFrame:
     """WebDataset-style tar shards: each sample is ``{key}.txt`` (payload)
     plus ``{key}.json`` (metadata) inside a ``.tar``; samples in one Arrow
-    batch share a shard.  Returns the shard MANIFEST DataFrame — collect
-    it (bounded: one row per shard) or write it next to the shards.
+    batch share a shard.  Runs the export job EAGERLY, persists a shard
+    manifest sidecar, and returns the manifest as a (small, one row per
+    shard) DataFrame.
+
+    Retry/speculation safety — the side-effecting write happens inside a
+    ``mapInPandas`` kernel, outside Spark's file-commit protocol, so the
+    kernel supplies its own idempotence:
+
+    * shard names are DETERMINISTIC — ``shard-{partitionId}-{batchIdx}``
+      from ``TaskContext`` — so a task retry, a speculative duplicate, or
+      a re-run of the same export overwrites the same file via the
+      tmp+rename atomic publish instead of accreting ``uuid4`` orphans;
+    * the job runs exactly once here (the manifest rows are collected —
+      bounded — and re-created as a local DataFrame), so a second action
+      on the returned manifest does NOT re-fire the write;
+    * ``read_webdataset`` reads only manifest-listed shards, so even a
+      shard orphaned by a crashed earlier export is never read back.
 
     Keys are zero-padded so in-tar member order is lexicographic — the
     WebDataset sequential-read contract."""
@@ -121,7 +142,11 @@ def write_webdataset(
         src = src.repartition(n_shards)
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        for batch_idx, pdf in enumerate(batches):
             if not len(pdf):
                 continue
             buf = io.BytesIO()
@@ -139,16 +164,42 @@ def write_webdataset(
                         info.mtime = 0  # deterministic shards
                         tar.addfile(info, io.BytesIO(data))
             data = buf.getvalue()
-            shard = os.path.join(path, f"shard-{uuid.uuid4().hex}.tar")
-            tmp = shard + ".inprogress"
+            shard = os.path.join(path, f"shard-{pid:06d}-{batch_idx:04d}.tar")
+            # tmp name carries a uuid so concurrent attempt twins never
+            # interleave writes into one fd; the RENAME target is the
+            # deterministic name, so last-publish-wins with no duplicates
+            tmp = f"{shard}.{uuid.uuid4().hex}.inprogress"
             with open(tmp, "wb") as f:
                 f.write(data)
-            os.rename(tmp, shard)  # atomic publish per shard
+            os.replace(tmp, shard)  # atomic publish per shard
             yield pd.DataFrame(
                 {"shard_path": [shard], "n_samples": [len(pdf)], "n_bytes": [len(data)]}
             )
 
-    return src.mapInPandas(pack, _SHARD_SCHEMA)
+    rows = src.mapInPandas(pack, _SHARD_SCHEMA).collect()  # bounded: 1/shard
+    manifest = {
+        "format": "webdataset",
+        "shards": sorted(
+            (
+                {
+                    "shard_path": r["shard_path"],
+                    "n_samples": r["n_samples"],
+                    "n_bytes": r["n_bytes"],
+                }
+                for r in rows
+            ),
+            key=lambda s: s["shard_path"],
+        ),
+        "n_samples": int(sum(r["n_samples"] for r in rows)),
+    }
+    tmp = os.path.join(path, WDS_MANIFEST_NAME + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, WDS_MANIFEST_NAME))
+    spark = df.sparkSession
+    return spark.createDataFrame(rows, _SHARD_SCHEMA) if rows else spark.createDataFrame(
+        [], _SHARD_SCHEMA
+    )
 
 
 _SAMPLE_SCHEMA = T.StructType(
@@ -163,14 +214,26 @@ _SAMPLE_SCHEMA = T.StructType(
 
 def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     """Scan WebDataset tar shards back into (key, text, meta_json) rows:
-    binaryFile scan over ``*.tar`` (so shard discovery, predicate pushdown
-    on path/size, and split planning are Spark-native) + a stdlib
-    tar-parse mapInPandas.  Each tar is one scan row — shards are the
-    parallelism unit, the WebDataset streaming contract."""
+    binaryFile scan over the MANIFEST-LISTED shards (so shard discovery,
+    predicate pushdown on path/size, and split planning are Spark-native)
+    + a stdlib tar-parse mapInPandas.  Each tar is one scan row — shards
+    are the parallelism unit, the WebDataset streaming contract.
+
+    Reads only shards recorded in the export manifest (hard-fail if it is
+    missing — same contract as read_jsonl / store.read_manifest): a tar
+    orphaned by a crashed earlier export or left by a task attempt is
+    never read back as duplicate samples."""
+    mpath = os.path.join(path, WDS_MANIFEST_NAME)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(f"WebDataset export manifest missing: {mpath}")
+    with open(mpath, encoding="utf-8") as f:
+        manifest = json.load(f)
+    shard_paths = [s["shard_path"] for s in manifest["shards"]]
+    if not shard_paths:
+        return spark.createDataFrame([], _SAMPLE_SCHEMA)
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.tar")
-        .load(path)
+        .load(shard_paths)
         .select("path", "content")
     )
 

@@ -182,11 +182,14 @@ def quantize_int4_for_store(chunks: DataFrame, vec_col: str = "embedding") -> Da
     Symmetric per-vector quantization at 4 bits: scale = max|x|/7, code =
     floor(x/scale + 0.5) in [-7, 7].  Packing is REAL, not notional:
     byte_j = (code_{2j}+8)*16 + (code_{2j+1}+8) - 128 stays in tinyint
-    range, so the stored column is array<tinyint> of HALF the dimension
-    count; `dequantize_int4_embedding` reverses it exactly (pack/unpack
-    is pure integer arithmetic — the oracle computes codes directly and
-    any packing defect shows up as a value mismatch).  Zero vectors keep
-    scale 0 / all-zero bytes, the embed-error sentinel contract of
+    range, so the stored column is array<tinyint> of CEIL(dim/2) bytes;
+    odd dimensions pad the final low nibble with code 0 and the true
+    dimension is carried in `embedding_dim4`, which
+    `dequantize_int4_embedding` slices back to — so the round-trip is
+    exact for ANY dim, not just even ones (pack/unpack is pure integer
+    arithmetic — the oracle computes codes directly and any packing
+    defect shows up as a value mismatch).  Zero vectors keep scale 0 /
+    all-zero bytes, the embed-error sentinel contract of
     quantize_for_store.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -200,36 +203,48 @@ def quantize_int4_for_store(chunks: DataFrame, vec_col: str = "embedding") -> Da
         F.col("_scale") > 0, F.transform(v, code)
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
     out = out.withColumn("_codes", codes)
-    # guard sequence's descending-on-empty footgun (0-dim vectors)
+    # ceil(dim/2) bytes; guard sequence's descending-on-empty footgun
+    # (0-dim vectors).  For odd dims the final byte's low nibble is a
+    # code-0 pad (out-of-range element_at is coalesced, never evaluated
+    # past the array).
     half = F.when(
-        F.size("_codes") >= 2,
-        F.sequence(F.lit(0), (F.size("_codes") / F.lit(2)).cast("int") - 1),
+        F.size("_codes") >= 1,
+        F.sequence(F.lit(0), F.ceil(F.size("_codes") / F.lit(2)).cast("int") - 1),
     ).otherwise(F.array().cast("array<int>"))
+    lo = lambda j: F.when(  # noqa: E731
+        (j * 2 + 2) <= F.size("_codes"),
+        F.element_at(F.col("_codes"), (j * 2 + 2).cast("int")),
+    ).otherwise(F.lit(0))
     packed = F.transform(
         half,
         lambda j: (
             (F.element_at(F.col("_codes"), (j * 2 + 1).cast("int")) + 8) * 16
-            + (F.element_at(F.col("_codes"), (j * 2 + 2).cast("int")) + 8)
+            + (lo(j) + 8)
             - 128
         ).cast("tinyint"),
     )
     return (
         out.withColumn("embedding_q4", packed)
+        .withColumn("embedding_dim4", F.size("_codes").cast("int"))
         .withColumnRenamed("_scale", "embedding_scale4")
         .drop("_codes", vec_col)
     )
 
 
 def dequantize_int4_embedding(
-    codes_col: str = "embedding_q4", scale_col: str = "embedding_scale4"
+    codes_col: str = "embedding_q4",
+    scale_col: str = "embedding_scale4",
+    dim_col: str | None = "embedding_dim4",
 ):
     """Packed nibbles + scale -> array<double>, unpacked BY INDEX: element
     i of the output reads byte ceil(i/2) and takes the hi nibble for odd i,
-    lo for even.  The obvious flatten(transform(b -> array(hi, lo))) form
-    allocates a 2-element array per byte inside an interpreted HOF and is
-    re-evaluated once per consumer expression — measured ~40x slower at
-    sf0.1 in knn_int4; the index form is scalar arithmetic per element
-    with zero intermediate arrays."""
+    lo for even, then sliced to the stored true dimension (``dim_col``) so
+    an odd-dim vector's pad nibble never reappears.  The obvious
+    flatten(transform(b -> array(hi, lo))) form allocates a 2-element
+    array per byte inside an interpreted HOF and is re-evaluated once per
+    consumer expression — measured ~40x slower at sf0.1 in knn_int4; the
+    index form is scalar arithmetic per element with zero intermediate
+    arrays."""
     codes = F.col(codes_col)
 
     def decode(i):
@@ -240,10 +255,12 @@ def dequantize_int4_embedding(
             F.when(i % 2 == 1, hi).otherwise(lo).cast("double") * F.col(scale_col)
         )
 
-    return F.when(
-        F.size(codes) > 0,
-        F.transform(F.sequence(F.lit(1), F.size(codes) * 2), decode),
-    ).otherwise(F.array().cast("array<double>"))
+    unpacked = F.transform(F.sequence(F.lit(1), F.size(codes) * 2), decode)
+    if dim_col is not None:
+        unpacked = F.slice(unpacked, F.lit(1), F.col(dim_col))
+    return F.when(F.size(codes) > 0, unpacked).otherwise(
+        F.array().cast("array<double>")
+    )
 
 
 # ----------------------------------------------------- versioned store ----

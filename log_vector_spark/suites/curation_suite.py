@@ -669,8 +669,10 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     s4 AS (
       SELECT *,
              round(final1 + CASE WHEN sh > 0 AND leftover > 0
-                   THEN round(CAST(leftover * (cap_tokens - final1) AS DOUBLE)
-                              / CAST(sh AS DOUBLE), 6)
+                   THEN least(
+                        round(CAST(leftover * (cap_tokens - final1) AS DOUBLE)
+                              / CAST(sh AS DOUBLE), 6),
+                        CAST(cap_tokens - final1 AS DOUBLE))
                    ELSE 0.0 END, 6) AS final_tokens
       FROM s3
     )

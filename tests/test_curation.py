@@ -181,3 +181,40 @@ def test_temperature_mixture_closed_form(spark):
     assert out["small"].effective_epochs > 1.0  # up-sampled by repetition
     assert out["big"].effective_epochs < 1.0
     assert out["small"].planned_tokens + out["big"].planned_tokens <= 500
+
+
+def test_epoch_plan_never_exceeds_max_epochs(spark):
+    """budget_multiplier > max_epochs: leftover exceeds total headroom,
+    and the per-domain redistribution must be CLAMPED to headroom — the
+    max_epochs cap holds and the excess budget stays unallocated (the
+    documented one-pass contract; ADVICE r5)."""
+    from pyspark.sql import Row
+
+    from log_vector_spark.operators.curation import epoch_plan
+
+    rows = []
+    for i in range(10):
+        rows.append(Row(doc_id=i, source="a", text=" ".join(["w"] * 10)))
+    for i in range(10, 20):
+        rows.append(Row(doc_id=i, source="b", text=" ".join(["w"] * 40)))
+    out = {
+        r.domain: r
+        for r in epoch_plan(
+            spark.createDataFrame(rows), budget_multiplier=8, max_epochs=4
+        ).collect()
+    }
+    # every domain capped at exactly 4 epochs; residue unallocated
+    for d in ("a", "b"):
+        assert out[d].final_epochs <= 4.0 + 1e-6
+        assert out[d].final_tokens <= 4 * out[d].domain_tokens + 1e-6
+    allocated = sum(out[d].final_tokens for d in ("a", "b"))
+    budget = out["a"].budget_tokens
+    assert budget == 8 * 500
+    assert allocated == 4 * 500  # fully capped corpus: 4x data, rest residue
+
+    # the default parameters (2x budget, cap 4) are unaffected by the clamp
+    out2 = {
+        r.domain: r
+        for r in epoch_plan(spark.createDataFrame(rows)).collect()
+    }
+    assert sum(out2[d].final_tokens for d in ("a", "b")) == 2 * 500

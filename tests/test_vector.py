@@ -234,3 +234,46 @@ def test_int4_pack_unpack_exact_roundtrip(spark):
         | F.exists(F.zip_with("u", "u_ref", lambda a, b: a != b), lambda x: x)
     )
     assert bad.count() == 0
+
+
+@pytest.mark.spark
+def test_int4_odd_dimension_roundtrip(spark):
+    """Odd dims pack ceil(dim/2) bytes with a code-0 pad nibble and carry
+    the true dim in embedding_dim4; the round-trip restores EXACTLY dim
+    values — no silently dropped last component (ADVICE r5)."""
+    from pyspark.sql import functions as F
+
+    from log_vector_spark.sources.store import (
+        dequantize_int4_embedding,
+        quantize_int4_for_store,
+    )
+
+    rows = [
+        (1, [7.0, -7.0, 3.5]),             # dim 3
+        (2, [1.0]),                        # dim 1
+        (3, [0.5, -0.25, 0.125, 1.0, -1.0]),  # dim 5
+        (4, [2.0, 4.0]),                   # even control
+        (5, [0.0, 0.0, 0.0]),              # zero sentinel, odd dim
+        (6, []),                           # empty
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    stored = quantize_int4_for_store(emb)
+    got = {
+        r["vec_id"]: (r["n_packed"], r["dim"], r["u"])
+        for r in stored.select(
+            "vec_id",
+            F.size("embedding_q4").alias("n_packed"),
+            F.col("embedding_dim4").alias("dim"),
+            dequantize_int4_embedding().alias("u"),
+        ).collect()
+    }
+    import math
+
+    for vec_id, vec in rows:
+        n_packed, dim, u = got[vec_id]
+        assert n_packed == math.ceil(len(vec) / 2)
+        assert dim == len(vec)
+        assert len(u) == len(vec)  # pad nibble never reappears
+        s = max((abs(x) for x in vec), default=0.0) / 7.0
+        expect = [math.floor(x / s + 0.5) * s if s > 0 else 0.0 for x in vec]
+        assert all(abs(a - b) < 1e-12 for a, b in zip(u, expect))
