@@ -7,13 +7,18 @@ Semantics (matching operators/events.sessionize, 30-min gap):
   OPEN session (start, last_ts, n_events);
 * when a new event lands more than `gap` after the open session's last
   event, the open session is emitted as CLOSED and a new one starts;
-* the final open session per user stays in state until more data (or, in a
-  production deployment, an event-time timeout flushes it — the test drives
-  a finite file and checks closed sessions against the batch operator).
+* with a watermark set (the default production path), each update arms an
+  EVENT-TIME TIMEOUT at ``last_ts + gap``: when the watermark passes it the
+  open session is FLUSHED (emitted + state removed) even though the user
+  sent no further events — so idle users' sessions drain instead of being
+  held forever, and per-user state is freed.  ``watermark=None`` keeps the
+  open session in state (finite-replay/backfill mode, where late data may
+  still extend it).
 
-State is one tiny struct per user — bounded by the user population, not the
-event volume, which is what makes this viable on an unbounded 100 TB/day
-stream where the batch window approach cannot run.
+State is one tiny struct per user — bounded by the ACTIVE user population
+(timeouts evict idle users), not the event volume, which is what makes this
+viable on an unbounded 100 TB/day stream where the batch window approach
+cannot run.
 """
 
 from __future__ import annotations
@@ -34,10 +39,35 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "start_us long, last_us long, n long"
 
 
+def _emit_sessions(closed: list[tuple]) -> pd.DataFrame:
+    out = pd.DataFrame(
+        closed, columns=["user_id", "start_us", "end_us", "n_events", "duration_secs"]
+    )
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"],
+            "session_start": pd.to_datetime(out["start_us"], unit="us"),
+            "session_end": pd.to_datetime(out["end_us"], unit="us"),
+            "n_events": out["n_events"],
+            "duration_secs": out["duration_secs"],
+        }
+    )
+
+
 def _session_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+
+    if state.hasTimedOut:
+        # watermark passed last_ts + gap with no new events: the open
+        # session can never be extended by in-watermark data — flush it
+        # and FREE the per-user state (idle-user eviction)
+        start_us, last_us, n = state.get
+        state.remove()
+        dur = last_us // 1_000_000 - start_us // 1_000_000
+        yield _emit_sessions([(user_id, start_us, last_us, n, dur)])
+        return
 
     if state.exists:
         start_us, last_us, n = state.get
@@ -67,42 +97,54 @@ def _session_fn(
 
     if start_us is not None:
         state.update((start_us, last_us, n))
+        # arm the event-time flush: fire when the watermark passes
+        # last_ts + gap (timeouts are only delivered under
+        # EventTimeTimeout, i.e. when the stream has a watermark; the
+        # call is a no-op guard otherwise).  Spark rejects a timeout at
+        #-or-before the current watermark, so clamp just past it — the
+        # session is already un-extendable and flushes on the next batch.
+        target_ms = last_us // 1000 + SESSION_GAP_SECONDS * 1000 + 1
+        try:
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(target_ms, wm + 1))
+        except Exception:
+            pass  # NoTimeout mode: no watermark, timestamps cannot be armed
 
     if closed:
-        out = pd.DataFrame(
-            closed, columns=["user_id", "start_us", "end_us", "n_events", "duration_secs"]
-        )
-        yield pd.DataFrame(
-            {
-                "user_id": out["user_id"],
-                "session_start": pd.to_datetime(out["start_us"], unit="us"),
-                "session_end": pd.to_datetime(out["end_us"], unit="us"),
-                "n_events": out["n_events"],
-                "duration_secs": out["duration_secs"],
-            }
-        )
+        yield _emit_sessions(closed)
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
-    """events (streaming, with ts timestamp + user_id) -> closed sessions."""
+def sessionize_stream(events: DataFrame, watermark: str | None = "30 minutes") -> DataFrame:
+    """events (streaming, with ts timestamp + user_id) -> closed sessions.
+
+    With ``watermark`` (production default) idle users' open sessions are
+    flushed once the watermark passes ``last_ts + gap`` and their state is
+    evicted; ``watermark=None`` holds open sessions in state forever
+    (finite-replay mode — a later backfill may still extend them)."""
+    timeout = GroupStateTimeout.NoTimeout
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return events.groupBy("user_id").applyInPandasWithState(
         _session_fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
-def run_sessionize_stream(spark, sf_dir: str) -> DataFrame:
-    """Drive the stateful sessionizer over the events table synchronously."""
-    import itertools
-
+def run_sessionize_stream(
+    spark, sf_dir: str, watermark: str | None = "30 minutes"
+) -> DataFrame:
+    """Drive the stateful sessionizer over the events table synchronously.
+    processAllAvailable also runs the no-data batch Spark triggers when the
+    watermark advances, so idle-user flushes land in the result."""
     from log_vector_spark.streaming.pipeline import stream_events
 
     name = f"stateful_sessions_{next(_counter)}"
     q = (
-        sessionize_stream(stream_events(spark, sf_dir))
+        sessionize_stream(stream_events(spark, sf_dir), watermark=watermark)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
@@ -135,28 +177,61 @@ _counter = itertools.count()
 #
 # Contrast sessionize_stream above (per-user micro-state): here the state is
 # per GROUP and bounded by CAPACITY, not by the key population — the shape
-# for monitoring unbounded-cardinality keys at 100 TB/day.
+# for monitoring unbounded-cardinality keys at 100 TB/day.  With a watermark
+# (production default) a key that stays idle past HH_IDLE_SECONDS gets an
+# EVENT-TIME TIMEOUT: its summary is emitted one final time (batch_seq
+# incremented, so the "max seq per type" selector still lands on it) and the
+# state is removed — dead keys don't hold their CAPACITY counters forever.
 
 HH_CAPACITY = 512
+HH_IDLE_SECONDS = 3600
 
 HH_OUTPUT_SCHEMA = (
     "event_type string, user_id long, est_count long, decrement_total long, "
     "batch_seq long"
 )
-HH_STATE_SCHEMA = "users array<long>, counts array<long>, d long, seq long"
+HH_STATE_SCHEMA = "users array<long>, counts array<long>, d long, seq long, last_ms long"
+
+
+def _hh_emit(etype, summary: dict, d: int, seq: int) -> pd.DataFrame:
+    out = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pd.DataFrame(
+        {
+            "event_type": [etype] * len(out),
+            "user_id": [u for u, _ in out],
+            "est_count": [c for _, c in out],
+            "decrement_total": [d] * len(out),
+            "batch_seq": [seq] * len(out),
+        }
+    )
 
 
 def _heavy_hitters_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (etype,) = key
+
+    if state.hasTimedOut:
+        # idle-key eviction: final summary, then free the counters
+        users, counts, d, seq, _last_ms = state.get
+        state.remove()
+        yield _hh_emit(etype, dict(zip(users, counts)), d, seq + 1)
+        return
+
     if state.exists:
-        users, counts, d, seq = state.get
+        users, counts, d, seq, last_ms = state.get
         summary = dict(zip(users, counts))
     else:
-        summary, d, seq = {}, 0, 0
+        summary, d, seq, last_ms = {}, 0, 0, 0
 
-    chunks = [pdf["user_id"] for pdf in pdfs]
+    chunks = []
+    for pdf in pdfs:
+        chunks.append(pdf["user_id"])
+        if len(pdf):
+            batch_max_ms = int(
+                pdf["ts"].astype("datetime64[us]").astype("int64").max() // 1000
+            )
+            last_ms = max(last_ms, batch_max_ms)
     if chunks:
         vc = pd.concat(chunks).value_counts()  # exact within the batch
         for u, c in vc.items():
@@ -170,39 +245,43 @@ def _heavy_hitters_fn(
             summary = {u: c - thr for u, c in order if c - thr > 0}
             d += thr
     seq += 1
-    state.update((list(summary.keys()), list(summary.values()), d, seq))
+    state.update((list(summary.keys()), list(summary.values()), d, seq, last_ms))
+    try:
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ms + HH_IDLE_SECONDS * 1000 + 1, wm + 1))
+    except Exception:
+        pass  # NoTimeout mode: no watermark, timestamps cannot be armed
 
-    out = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
-    yield pd.DataFrame(
-        {
-            "event_type": [etype] * len(out),
-            "user_id": [u for u, _ in out],
-            "est_count": [c for _, c in out],
-            "decrement_total": [d] * len(out),
-            "batch_seq": [seq] * len(out),
-        }
-    )
+    yield _hh_emit(etype, summary, d, seq)
 
 
-def heavy_hitters_stream(events: DataFrame) -> DataFrame:
-    """events (streaming) -> per-batch Misra-Gries summaries per type."""
+def heavy_hitters_stream(events: DataFrame, watermark: str | None = "30 minutes") -> DataFrame:
+    """events (streaming) -> per-batch Misra-Gries summaries per type.
+    With ``watermark`` (production default) idle keys are evicted via
+    event-time timeout after HH_IDLE_SECONDS, emitting one final summary."""
+    timeout = GroupStateTimeout.NoTimeout
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return events.groupBy("event_type").applyInPandasWithState(
         _heavy_hitters_fn,
         outputStructType=HH_OUTPUT_SCHEMA,
         stateStructType=HH_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
-def run_heavy_hitters_stream(spark, sf_dir: str) -> DataFrame:
+def run_heavy_hitters_stream(
+    spark, sf_dir: str, watermark: str | None = "30 minutes"
+) -> DataFrame:
     """Drive the stateful heavy-hitter monitor; returns every batch's
     emitted summary (filter to max batch_seq per type for the final one)."""
     from log_vector_spark.streaming.pipeline import stream_events
 
     name = f"stateful_hh_{next(_counter)}"
     q = (
-        heavy_hitters_stream(stream_events(spark, sf_dir))
+        heavy_hitters_stream(stream_events(spark, sf_dir), watermark=watermark)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(name)

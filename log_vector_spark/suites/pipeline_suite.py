@@ -314,10 +314,13 @@ def stream_window_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_sessionize_stateful",
     oracle=None,  # custom stateful streaming op — the contract's rows-only case
-    doc="Incremental gap-sessionization via applyInPandasWithState: per-user "
-    "open-session state across micro-batches, closed sessions emitted in "
-    "append mode; state is O(users), not O(events) — the unbounded-stream "
-    "form of events_sessionize (pytest-checked against the batch operator).",
+    doc="Incremental gap-sessionization via applyInPandasWithState with an "
+    "EVENT-TIME TIMEOUT (withWatermark + EventTimeTimeout): closed sessions "
+    "emit in append mode, and idle users' open sessions FLUSH (and their "
+    "state is evicted) once the watermark passes last_ts + gap — so state "
+    "is O(active users), not O(events), and never held forever on an "
+    "unbounded stream.  Pytest-checked against the batch operator on "
+    "closed + flushed sessions, including an idle-user flush case.",
 )
 def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.streaming.stateful import run_sessionize_stream
