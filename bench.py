@@ -200,7 +200,7 @@ HEADLINE = [
     "events_seasonality_profile", # dow x hour activity matrix + shares
     "source_quality_trend",       # closed-form quality slope per source
     "events_histogram_fixed",     # configured-edge histogram (stream twin)
-    "lsh_candidate_pr_eval",      # blocker P/R vs complete exact truth
+    "lsh_candidate_pr_eval_sampled",  # blocker P/R vs sampled exact truth
     "lsh_band_recall_curve",      # band-count S-curve in one plan
 ]
 

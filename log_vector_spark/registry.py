@@ -28,12 +28,20 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Opt-in AUDITS: correct but deliberately expensive diagnostics (e.g. the
+# complete-truth LSH blocker eval, whose truth side is near-quadratic by
+# construction).  Not part of queries()/oracle_sql(), so neither the
+# correctness driver nor bench runs them per-round; run them explicitly via
+# audits() on a sample when you need the exhaustive number.
+AUDITS: dict[str, Query] = {}
 
-def register(name: str, oracle: str | None = None, doc: str = ""):
+
+def register(name: str, oracle: str | None = None, doc: str = "", audit: bool = False):
     def deco(fn: QueryFn) -> QueryFn:
-        if name in REGISTRY:
+        target = AUDITS if audit else REGISTRY
+        if name in REGISTRY or name in AUDITS:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name, fn, oracle, doc)
+        target[name] = Query(name, fn, oracle, doc)
         return fn
 
     return deco
@@ -62,3 +70,9 @@ def queries() -> dict[str, QueryFn]:
 def oracle_sql() -> dict[str, str]:
     load_all_suites()
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+def audits() -> dict[str, QueryFn]:
+    """Opt-in expensive diagnostics — run explicitly, never per-round."""
+    load_all_suites()
+    return {name: q.fn for name, q in AUDITS.items()}

@@ -1340,6 +1340,7 @@ def dedup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lsh_candidate_pr_eval",
+    audit=True,
     oracle=f"""
     WITH {_PAIRS_CTE},
     cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
@@ -1382,12 +1383,126 @@ def dedup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-ingest gate; the measured decade ratio documents the trade.  "
     "Low precision is EXPECTED (bands are a recall device; the verify "
     "join restores precision); recall is the number that must stay "
-    "high.",
+    "high.  OPT-IN AUDIT since r6: the registered per-round form is "
+    "lsh_candidate_pr_eval_sampled (the docstring's own stratified-"
+    "sample mitigation, made the default); run this complete form "
+    "explicitly via registry.audits() when the exhaustive number is "
+    "worth the near-quadratic truth join.",
 )
 def lsh_candidate_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.functions.text import shingles_from_words, tokens
 
     docs = table(spark, "documents", sf_dir)
+    cand = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2).select("id_a", "id_b")
+    words = docs.select("doc_id", tokens(F.col("text")).alias("words"))
+    sh = words.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_from_words(F.col("words"), 3))).alias("shingle"),
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    truth = (
+        common.join(cnt.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(cnt.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .filter(
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double"), 6)
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    nh = cand.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    m = nc.crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nh))
+    return m.select(
+        "n_candidates",
+        "n_truth",
+        "n_hits",
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(F.col("n_hits") / F.col("n_candidates").cast("double"), 6),
+        ).alias("precision_at_t"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_hits") / F.col("n_truth").cast("double"), 6),
+        ).alias("recall_at_t"),
+    )
+
+
+# Deterministic 25% document sample for the registered blocker eval: docs
+# whose md5(doc_id) hex starts with 0-3.  Hash sampling is proportionally
+# stratified by source in expectation (every stratum is hashed uniformly),
+# deterministic (both engines compute the same md5), and — the point —
+# QUADRATIC on the truth side: 25% of docs is ~6% of the shared-shingle
+# pair volume, so the eval prices like a sample, not like the corpus.
+_DOC_SAMPLE_PRED = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')"
+
+_PAIRS_CTE_SAMPLED = (
+    "sdocs AS (SELECT * FROM documents WHERE " + _DOC_SAMPLE_PRED + "),\n    "
+    + _PAIRS_CTE.replace("FROM documents", "FROM sdocs")
+)
+
+
+@register(
+    "lsh_candidate_pr_eval_sampled",
+    oracle=f"""
+    WITH {_PAIRS_CTE_SAMPLED},
+    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM common
+      JOIN cnt ca ON ca.doc_id = common.id_a
+      JOIN cnt cb ON cb.doc_id = common.id_b
+      WHERE round(c * 1.0 / (ca.n_sh + cb.n_sh - c), 6) >= 0.5
+    ),
+    m AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_candidates,
+        (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+        (SELECT CAST(count(*) AS BIGINT)
+         FROM pairs JOIN truth USING (id_a, id_b)) AS n_hits
+    )
+    SELECT n_candidates, n_truth, n_hits,
+           CASE WHEN n_candidates > 0
+                THEN round(n_hits / CAST(n_candidates AS DOUBLE), 6) END AS precision_at_t,
+           CASE WHEN n_truth > 0
+                THEN round(n_hits / CAST(n_truth AS DOUBLE), 6) END AS recall_at_t
+    FROM m
+    """,
+    doc="Precision/recall of the MinHash-LSH candidate generator against "
+    "exact-Jaccard ground truth at threshold 0.5, on a DETERMINISTIC 25% "
+    "hash sample of the corpus (md5(doc_id) prefix 0-3) — the registered, "
+    "per-round form of the blocker eval.  Within the sample the truth is "
+    "still COMPLETE (every qualifying sampled pair shares a shingle and "
+    "is enumerated), so the P/R numbers are unbiased estimates of the "
+    "corpus blocker quality; the truth-side shared-shingle join runs on "
+    "~6% of the corpus pair volume, which is what makes this runnable "
+    "per-ingest at 100 TB where the complete form "
+    "(lsh_candidate_pr_eval, now an opt-in audit) is eval-only.  Hash "
+    "sampling is proportionally stratified by source in expectation and "
+    "replays identically in both engines.",
+)
+def lsh_candidate_pr_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.functions.text import shingles_from_words, tokens
+
+    docs = table(spark, "documents", sf_dir).filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    )
     cand = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2).select("id_a", "id_b")
     words = docs.select("doc_id", tokens(F.col("text")).alias("words"))
     sh = words.select(

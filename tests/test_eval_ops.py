@@ -141,3 +141,25 @@ def test_ranking_eval_zero_hits_row_present(spark):
     assert set(rows) == {0, 7}
     for r in rows.values():
         assert (r.n_hits, r.recall, r.mrr, r.ndcg) == (0, 0.0, 0.0, 0.0)
+
+
+def test_lsh_blocker_eval_sampled_is_registered_complete_is_audit(spark):
+    """r6 demotion: the per-round registry carries the SAMPLED blocker
+    eval; the complete-truth form is an opt-in audit.  The sampled form's
+    numbers are consistent (hits <= truth, hits <= candidates) and its
+    sample is a strict subset of the corpus."""
+    from log_vector_spark import registry
+
+    q = registry.queries()
+    a = registry.audits()
+    assert "lsh_candidate_pr_eval_sampled" in q
+    assert "lsh_candidate_pr_eval" not in q
+    assert "lsh_candidate_pr_eval" in a
+    assert "lsh_candidate_pr_eval_sampled" in registry.oracle_sql()
+
+    sf = "/root/testdata/sf0.001"
+    row = q["lsh_candidate_pr_eval_sampled"](spark, sf).collect()[0]
+    assert row["n_hits"] <= row["n_truth"]
+    assert row["n_hits"] <= row["n_candidates"]
+    if row["n_truth"] > 0:
+        assert 0.0 <= row["recall_at_t"] <= 1.0
