@@ -715,6 +715,8 @@ def adaptive_quality_gate(
     lo_p: float = 0.1,
     hi_p: float = 0.9,
     rep_p: float = 0.9,
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-language ADAPTIVE quality thresholds (the FineWeb recipe, public:
     thresholds are percentiles of the corpus's own feature distribution per
@@ -730,10 +732,26 @@ def adaptive_quality_gate(
     Scale: one explode -> (doc, token) hash agg -> per-doc agg, all linear
     with map-side combine; the percentile aggregate runs per language over
     the tiny per-doc feature relation (one row per doc, 3 numbers), and
-    the threshold table (one row per language) is broadcast back.  Exact
-    ``percentile`` (not approx) is deliberate: the per-lang sort state is
-    |docs in lang| scalars — at 100 TB swap in ``approx_percentile`` with
-    a documented accuracy knob if even that is too wide.
+    the threshold table (one row per language) is broadcast back.
+
+    ``approx=False`` (the oracle-paired default) uses exact ``percentile``
+    — the per-lang sort state is |docs in lang| scalars, fine to ~10^9
+    docs/lang.  ``approx=True`` is the 100 TB form: ``percentile_approx``
+    with a Greenwald-Khanna summary of constant size (``approx_accuracy``
+    knob; error bound is rank-epsilon = 1/accuracy, i.e. the returned
+    threshold is some value whose rank is within N/accuracy of the target
+    rank — at the default 10,000 that is +-0.01% of each language's doc
+    count, far tighter than the 10/90 gate needs).  Two sources of
+    disagreement vs the exact gate, both pinned by test_curation: (1) GK
+    rank error — zero whenever accuracy >= group size, +-1/accuracy of
+    rank otherwise; (2) threshold SEMANTICS — ``percentile`` interpolates
+    between adjacent order statistics while ``percentile_approx`` returns
+    an actual data element, so on heavily TIED integer features (token
+    counts in a narrow band) the docs sitting exactly on a boundary value
+    can flip.  On wide/continuous feature distributions agreement is
+    ~100% (pinned >=99%); on the narrow-band fixture corpus it is pinned
+    >=97%, with every disagreement on a boundary tie where keep/drop is
+    epsilon-arbitrary by construction.
     """
     tok = docs.select(
         F.col(id_col), F.col(lang_col), F.explode(tokens(F.col(text_col))).alias("t")
@@ -749,11 +767,19 @@ def adaptive_quality_gate(
         "n_words",
         F.round(F.col("top_cnt") / F.col("n_words"), 6).alias("top_share"),
     )
-    thr = feats.groupBy(lang_col).agg(
-        F.round(F.percentile("n_words", lo_p), 6).alias("w_lo"),
-        F.round(F.percentile("n_words", hi_p), 6).alias("w_hi"),
-        F.round(F.percentile("top_share", rep_p), 6).alias("ts_hi"),
-    )
+    if approx:
+        acc = F.lit(approx_accuracy)
+        thr = feats.groupBy(lang_col).agg(
+            F.round(F.percentile_approx("n_words", lo_p, acc).cast("double"), 6).alias("w_lo"),
+            F.round(F.percentile_approx("n_words", hi_p, acc).cast("double"), 6).alias("w_hi"),
+            F.round(F.percentile_approx("top_share", rep_p, acc), 6).alias("ts_hi"),
+        )
+    else:
+        thr = feats.groupBy(lang_col).agg(
+            F.round(F.percentile("n_words", lo_p), 6).alias("w_lo"),
+            F.round(F.percentile("n_words", hi_p), 6).alias("w_hi"),
+            F.round(F.percentile("top_share", rep_p), 6).alias("ts_hi"),
+        )
     out = (
         docs.select(id_col, lang_col)
         .join(feats.drop(lang_col), id_col, "left")

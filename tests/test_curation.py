@@ -218,3 +218,55 @@ def test_epoch_plan_never_exceeds_max_epochs(spark):
         for r in epoch_plan(spark.createDataFrame(rows)).collect()
     }
     assert sum(out2[d].final_tokens for d in ("a", "b")) == 2 * 500
+
+
+def test_adaptive_quality_gate_approx_matches_exact(spark):
+    """approx=True (percentile_approx, the 100 TB form; VERDICT r5 item 5).
+
+    On a wide feature distribution (synthetic corpus, token counts spread
+    over 10..~1500) agreement is >=99%.  On the narrow-band fixture corpus
+    (token counts mostly 15..100, heavily tied) agreement is >=97% and
+    every disagreement sits exactly ON a threshold boundary value — the
+    interpolated-vs-element threshold semantics, not sketch error
+    (accuracy 10000 >= group size makes the GK summary rank-exact here)."""
+    from log_vector_spark.catalog import table
+    from log_vector_spark.operators.curation import adaptive_quality_gate
+
+    # wide-distribution fixture: deterministic lengths, 2 langs
+    rows = [
+        Row(doc_id=i, lang=("en" if i % 2 else "de"),
+            text=" ".join(f"w{j % (7 + i % 13)}" for j in range(10 + (i * 37) % 1500)))
+        for i in range(600)
+    ]
+    wide = spark.createDataFrame(rows)
+    e = {r["doc_id"]: r["keep"] for r in adaptive_quality_gate(wide).collect()}
+    a = {r["doc_id"]: r["keep"] for r in adaptive_quality_gate(wide, approx=True).collect()}
+    assert set(e) == set(a)
+    assert sum(1 for k in e if e[k] == a[k]) / len(e) >= 0.99
+
+    # narrow-band real fixture: looser bound, flips only on boundary ties
+    docs = table(spark, "documents", "/root/testdata/sf0.001")
+    exact = adaptive_quality_gate(docs)
+    approx = adaptive_quality_gate(docs, approx=True)
+    assert exact.columns == approx.columns
+    em = {r["doc_id"]: r for r in exact.collect()}
+    am = {r["doc_id"]: r for r in approx.collect()}
+    agree = sum(1 for k in em if em[k]["keep"] == am[k]["keep"])
+    assert agree / len(em) >= 0.97
+    for k in em:
+        if em[k]["keep"] != am[k]["keep"]:
+            r_e, r_a = em[k], am[k]
+            on_boundary = (
+                r_a["n_words"] in (r_a["w_lo"], r_a["w_hi"])
+                or r_a["top_share"] == r_a["ts_hi"]
+                or r_e["n_words"] in (r_e["w_lo"], r_e["w_hi"])
+                or r_e["top_share"] == r_e["ts_hi"]
+                # exact thresholds interpolate BETWEEN the tied boundary
+                # value and its neighbor: the doc sits within one unit /
+                # one share step of a threshold
+                or abs(r_e["n_words"] - r_e["w_lo"]) < 1
+                or abs(r_e["n_words"] - r_e["w_hi"]) < 1
+                or (r_e["top_share"] is not None
+                    and abs(r_e["top_share"] - r_e["ts_hi"]) < 0.005)
+            )
+            assert on_boundary, (k, dict(r_e.asDict()), dict(r_a.asDict()))
