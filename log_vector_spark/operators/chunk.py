@@ -172,3 +172,119 @@ def chunk_documents_overlap(
             F.col("c.chunk").alias("chunk"),
         )
     )
+
+
+# --------------------------------------------------------- token budgets --
+
+
+def chunk_greedy_lines_by_cost(lines: list[tuple[str, int]], budget: int) -> list[tuple[str, int]]:
+    """Pure-Python kernel: greedy line-aligned packing by an arbitrary
+    per-line COST (the reference's exact greedy-reset semantics,
+    reference index.py:296-319, with cost replacing len(line)+1): flush
+    when adding a line would exceed the budget and the current chunk is
+    non-empty; a single line whose cost alone exceeds the budget becomes
+    its own oversized chunk.  Returns [(chunk_text, chunk_cost)]."""
+    chunks: list[tuple[str, int]] = []
+    current: list[str] = []
+    size = 0
+    for line, cost in lines:
+        if size + cost > budget and current:
+            chunks.append(("\n".join(current), size))
+            current = [line]
+            size = cost
+        else:
+            current.append(line)
+            size += cost
+    if current:
+        chunks.append(("\n".join(current), size))
+    return chunks
+
+
+_TOKEN_CHUNK_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("chunk", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+)
+
+
+def chunk_documents_tokens(
+    docs: DataFrame,
+    pieces: DataFrame,
+    token_budget: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budgeted greedy line-aligned chunking: the reference's greedy
+    semantics with the packing unit measured in TOKENIZER PIECES instead of
+    characters — what a training pipeline needs when chunks feed a model
+    with a context budget (the reference ships tiktoken in
+    requirements.txt:4 but never uses it; this closes that implied intent
+    with the engine's own deterministic BPE).
+
+    ``pieces`` is the (word, n_pieces) relation from
+    textops.learn_bpe_pieces — a |vocab|-row broadcast.  A line's cost is
+    the sum of its words' piece counts (0 for blank lines; words outside
+    the vocabulary cost their character count, the worst-case
+    byte-fallback a real tokenizer would pay).  Packing: whole lines,
+    flush on budget overflow, oversized single line = its own chunk —
+    chunk boundaries never split a line, so '\\n'-joining the chunks
+    reproduces the document byte-for-byte (the losslessness property).
+
+    Plan shape: lines posexplode (corpus-linear) -> word explode ->
+    broadcast piece join -> two hash aggs (line cost, then per-doc ordered
+    line list, bounded by doc size) -> ONE Arrow-batched pandas_udf doing
+    the inherently-sequential per-doc fold -> posexplode.  No shuffle
+    keyed on anything finer than (doc, line); the only Python is the fold.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    )
+    words = lines.select(
+        id_col,
+        "line_idx",
+        F.explode(F.filter(F.split(F.col("line"), " "), lambda w: w != "")).alias("word"),
+    )
+    costs = (
+        words.join(F.broadcast(pieces), "word", "left")
+        .withColumn(
+            "w_cost", F.coalesce(F.col("n_pieces"), F.length("word")).cast("long")
+        )
+        .groupBy(id_col, "line_idx")
+        .agg(F.sum("w_cost").alias("cost"))
+    )
+    lc = lines.join(costs, [id_col, "line_idx"], "left").select(
+        id_col,
+        F.struct(
+            F.col("line_idx").alias("idx"),
+            F.col("line").alias("line"),
+            F.coalesce("cost", F.lit(0)).cast("long").alias("cost"),
+        ).alias("lc"),
+    )
+    per_doc = lc.groupBy(id_col).agg(F.sort_array(F.collect_list("lc")).alias("lcs"))
+
+    @F.pandas_udf(_TOKEN_CHUNK_SCHEMA)
+    def fold_udf(lcs: pd.Series) -> pd.Series:
+        def fold(entries):
+            pairs = [(e["line"], int(e["cost"])) for e in entries]
+            return chunk_greedy_lines_by_cost(pairs, token_budget)
+
+        return lcs.map(fold)
+
+    arr = per_doc.select(id_col, fold_udf("lcs").alias("chunks")).withColumn(
+        "total_chunks", F.size("chunks")
+    )
+    return arr.select(
+        F.col(id_col),
+        "total_chunks",
+        F.posexplode("chunks").alias("chunk_index", "c"),
+    ).select(
+        id_col,
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        "total_chunks",
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk").alias("chunk"),
+    )

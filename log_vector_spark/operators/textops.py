@@ -455,3 +455,81 @@ def nb_calibration_report(
         6,
     )
     return per.select("conf_bin", "n_docs", "avg_confidence", "accuracy", ece.alias("ece"))
+
+
+# ------------------------------------------------------------- BPE train --
+#
+# Canonical left-to-right BPE merge application (the suites' bpe_merges /
+# bpe_fertility kernel, hoisted here in r6 so the token-budgeted chunker can
+# reuse the SAME tokenizer): greedy fold over the symbol array — whenever
+# the last emitted symbol is the pair's first element and the incoming
+# symbol its second, replace the last emitted symbol with the merged token.
+# pa/pb/pm are precomputed columns (expressions inside HOF lambdas
+# re-evaluate per element).
+
+BPE_MERGE_APPLY = (
+    "concat(' ', array_join(aggregate("
+    "split(trim(seq), ' '), cast(array() as array<string>), "
+    "(acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = pa AND x = pb "
+    "THEN concat(slice(acc, 1, size(acc) - 1), array(pm)) "
+    "ELSE concat(acc, array(x)) END), ' '), ' ')"
+)
+
+
+def learn_bpe_pieces(
+    docs: DataFrame, rounds: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Train `rounds` BPE merges on the corpus vocabulary and return the
+    resulting per-word piece count: (word, n_pieces) — |vocab| rows, the
+    broadcastable relation every token-budget decision joins against
+    (bpe_fertility's segmentation, reusable; the deterministic tie-break
+    (freq desc, pair asc) makes the whole artifact SQL-replayable).
+
+    Scale: pair counting shuffles the VOCAB relation, never the corpus —
+    the corpus is touched once for word frequencies; each round's argmax
+    broadcasts one row.
+    """
+    toks = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    # localCheckpoint the |vocab|-row seed: every merge round re-reads it,
+    # so the corpus explode+agg runs ONCE (the bpe_merges plan lesson)
+    seqs = vocab.select(
+        F.col("tok").alias("word"),
+        "freq",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.expr("transform(sequence(1, length(tok)), i -> substr(tok, i, 1))"), " "
+            ),
+            F.lit(" "),
+        ).alias("seq"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        pairs = F.when(
+            F.size(F.split(F.trim(F.col("seq")), " ")) >= 2,
+            F.expr(
+                "transform(sequence(1, size(split(trim(seq), ' ')) - 1),"
+                " i -> element_at(split(trim(seq), ' '), i) || ' ' ||"
+                " element_at(split(trim(seq), ' '), i + 1))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            seqs.select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("f"))
+            .orderBy(F.desc("f"), F.asc("pair"))
+            .limit(1)
+        )
+        seqs = (
+            seqs.crossJoin(F.broadcast(best.select("pair")))
+            .withColumn("pa", F.expr("element_at(split(pair, ' '), 1)"))
+            .withColumn("pb", F.expr("element_at(split(pair, ' '), 2)"))
+            .withColumn("pm", F.expr("replace(pair, ' ', '')"))
+            .select("word", "freq", F.expr(BPE_MERGE_APPLY).alias("seq"))
+        )
+    return seqs.select(
+        "word",
+        F.size(F.split(F.trim(F.col("seq")), " ")).cast("int").alias("n_pieces"),
+    )

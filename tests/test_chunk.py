@@ -103,3 +103,103 @@ def test_chunk_overlap_closed_form(spark):
     assert rows[2].chunk == "t8 t9 t10 t11"
     # consecutive chunks share window - stride = 1 token
     assert rows[0].chunk.split()[-1] == rows[1].chunk.split()[0]
+
+
+# ------------------------------------------------- token-budgeted chunker --
+
+_WORDS_ST = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=8), min_size=1, max_size=12
+)
+
+
+@given(
+    lines=st.lists(
+        st.tuples(st.text(alphabet="abc xyz", max_size=30), st.integers(0, 40)),
+        min_size=0,
+        max_size=30,
+    ),
+    budget=st.integers(1, 50),
+)
+@settings(max_examples=300, deadline=None)
+def test_greedy_cost_fold_properties(lines, budget):
+    """The cost-fold kernel keeps the reference greedy invariants for ANY
+    per-line cost assignment: losslessness ('\\n'-join reproduces input),
+    budget bound except single oversized lines, greedy tightness (a chunk
+    never starts a line that would have fit in its predecessor)."""
+    from log_vector_spark.operators.chunk import chunk_greedy_lines_by_cost
+
+    # embedded newlines in generated text would break line identity
+    lines = [(ln.replace("\n", " "), c) for ln, c in lines]
+    chunks = chunk_greedy_lines_by_cost(lines, budget)
+
+    if not lines:
+        assert chunks == []
+        return
+    # losslessness
+    assert "\n".join(c for c, _ in chunks) == "\n".join(ln for ln, _ in lines)
+    # reported cost = sum of member line costs; over-budget => single line
+    it = iter(lines)
+    for chunk_text, chunk_cost in chunks:
+        members = chunk_text.split("\n")
+        costs = []
+        for m in members:
+            ln, c = next(it)
+            assert ln == m
+            costs.append(c)
+        assert chunk_cost == sum(costs)
+        if chunk_cost > budget:
+            assert len(members) == 1  # oversized single line only
+    # greedy tightness: every flush was forced — the next chunk's first
+    # line would have overflowed the budget had it stayed
+    idx = 0
+    for chunk_text, chunk_cost in chunks[:-1]:
+        n = len(chunk_text.split("\n"))
+        nxt_cost = lines[idx + n][1]
+        assert chunk_cost + nxt_cost > budget
+        idx += n
+
+
+@pytest.mark.spark
+def test_chunk_documents_tokens_end_to_end(spark):
+    """Distributed token chunker == local kernel per doc, with BPE piece
+    costs; '\\n'-join losslessness on multi-line synthetic docs."""
+    from pyspark.sql import Row
+
+    from log_vector_spark.operators.chunk import (
+        chunk_documents_tokens,
+        chunk_greedy_lines_by_cost,
+    )
+    from log_vector_spark.operators.textops import learn_bpe_pieces
+
+    docs_rows = [
+        Row(doc_id=0, text="aa bb aa\ncc dd\n\naa aa aa aa aa aa aa aa\nbb"),
+        Row(doc_id=1, text="zz"),
+        Row(doc_id=2, text="aa bb cc dd ee ff gg hh ii jj\nkk ll"),
+    ]
+    docs = spark.createDataFrame(docs_rows)
+    pieces_df = learn_bpe_pieces(docs, rounds=3)
+    pieces = {r["word"]: r["n_pieces"] for r in pieces_df.collect()}
+    budget = 6
+
+    got = chunk_documents_tokens(docs, pieces_df, token_budget=budget).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d in docs_rows:
+        rows = sorted(by_doc[d.doc_id], key=lambda r: r["chunk_index"])
+        # losslessness
+        assert "\n".join(r["chunk"] for r in rows) == d.text
+        assert all(r["total_chunks"] == len(rows) for r in rows)
+        # parity with the local kernel using the same piece costs
+        def cost(line):
+            return sum(
+                pieces.get(w, len(w)) for w in line.split(" ") if w != ""
+            )
+        want = chunk_greedy_lines_by_cost(
+            [(ln, cost(ln)) for ln in d.text.split("\n")], budget
+        )
+        assert [(r["chunk"], r["n_tokens"]) for r in rows] == want
+        # budget bound except oversized single line
+        for r in rows:
+            if r["n_tokens"] > budget:
+                assert "\n" not in r["chunk"]
