@@ -1,19 +1,41 @@
 #!/usr/bin/env python
-"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS].
+"""Benchmark harness: the FULL query registry (default) at
+$SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf string>}
+ONE artifact, two views (VERDICT r5 item 8):
+
+* stdout — per-query detail line, then a compact summary as the LAST line
+  (the driver captures only the final ~2000 chars, so the last line is
+  always a complete short JSON object);
+* ``BENCH_detail.json`` at the repo root — the complete per-query record,
+  written atomically, regardless of stdout truncation.
+
+Per-query record (VERDICT r5 item 6 — self-diagnosing):
+  {"wall": <min-wall sec>, "cpu": <JVM cpu sec of the min-wall run>,
+   "runs": [every wall], "cpus": [every cpu], "throttled": bool}
+``cpu`` is the whole-JVM utime+stime delta from /proc (local mode = one
+JVM; queries run serially, so the delta IS the query's executor+driver
+CPU).  ``throttled`` is set when the reps disagree by >2x wall while the
+CPU cost stayed flat (<=1.5x) — wall inflation without extra work is the
+shared-host stall signature, distinguishable in-artifact from a genuinely
+slow plan (which costs proportional CPU).  min() is recorded either way.
 
 Methodology:
 * session + catalog warmup excluded (cold JVM start is ~30-50s in this
   container and says nothing about operator cost);
 * each query runs its FULL plan to completion through the noop sink
   (no driver collect bottleneck, no result materialization skew);
-* per-query wall time is a single run after one untimed warmup of the
-  Spark runtime (not of the query), matching how the reference reports
-  per-run wall time (reference index.py:564-580).
+* first execution of a fresh plan pays one-off codegen JIT (measured
+  3-10x on HOF-heavy plans), so every query gets >=2 runs and the min —
+  the steady-state cost a resident engine pays — is recorded, matching
+  how the reference reports per-run wall time (reference
+  index.py:564-580).
+
+Scope: the FULL registry (every queries() entry) per VERDICT r5 item 1;
+``--headline`` restores the historical curated subset for quick local
+iteration, ``--only a,b`` runs an explicit list.  Opt-in audits
+(registry.audits(), e.g. the complete-truth LSH eval) are excluded by
+design — they are documented as eval-only.
 """
 
 from __future__ import annotations
@@ -26,6 +48,35 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
+
+
+def _jvm_pid() -> int | None:
+    """The py4j-launched JVM: a 'java' child of this process (local mode
+    has exactly one).  None if not found (cpu columns become null)."""
+    me = os.getpid()
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as fh:
+                s = fh.read()
+            comm = s[s.index("(") + 1 : s.rindex(")")]
+            ppid = int(s[s.rindex(")") + 2 :].split()[1])
+            if ppid == me and "java" in comm:
+                return int(p)
+        except (OSError, ValueError):
+            continue
+    return None
+
+
+def _cpu_seconds(pid: int) -> float:
+    """utime+stime of the JVM process in seconds (whole-process: all
+    executor threads + GC — exactly the work a query costs in local mode)."""
+    with open(f"/proc/{pid}/stat") as fh:
+        s = fh.read()
+    rest = s[s.rindex(")") + 2 :].split()
+    return (int(rest[11]) + int(rest[12])) / os.sysconf("SC_CLK_TCK")
 
 # Headline set: one per operator family, weighted toward scan/shuffle-heavy
 # shapes that dominate at 100 TB.
@@ -371,27 +422,31 @@ def main() -> None:
     ap.add_argument(
         "--only",
         default=None,
-        help="comma-separated subset of HEADLINE to run (isolated re-bench "
-        "of drift outliers; the driver always runs the full set)",
+        help="comma-separated subset to run (isolated re-bench of drift "
+        "outliers)",
+    )
+    ap.add_argument(
+        "--headline",
+        action="store_true",
+        help="run the historical curated HEADLINE subset instead of the "
+        "full registry",
     )
     args = ap.parse_args()
-    names = [n for n in args.only.split(",") if n] if args.only else HEADLINE
+    qs = entrymod.queries()
+    if args.only:
+        names = [n for n in args.only.split(",") if n]
+    elif args.headline:
+        names = HEADLINE
+    else:
+        names = list(qs)  # FULL registry, registration order
 
     spark = get_spark("bench")
-    qs = entrymod.queries()
 
     # runtime warmup (JIT, codegen caches, parquet footer reads)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    jvm = _jvm_pid()
 
-    # Each query runs twice; we record the min.  First execution of a fresh
-    # plan pays one-off JIT compilation of its codegen'd stages (measured
-    # 3-10x on HOF-heavy plans in this container); the second run is the
-    # steady-state cost a resident engine pays per query.
-    # The container's CPU allocation is shared and throttles unpredictably
-    # (BASELINE.md measurement caveat): when the two runs disagree by >2x,
-    # a third run disambiguates a transient stall from a genuinely slow
-    # plan.  min() is recorded either way.
-    results: dict[str, float] = {}
+    results: dict[str, dict] = {}
     for name in names:
         fn = qs[name]
         # baselines were measured at sf0.1 — meaningless at other SFs
@@ -400,41 +455,78 @@ def main() -> None:
             if SF_DIR.rstrip("/").endswith("sf0.1")
             else float("inf")
         )
-        runs = []
+        runs: list[float] = []
+        cpus: list[float | None] = []
         for attempt in range(3):
+            c0 = _cpu_seconds(jvm) if jvm else None
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
+            cpus.append(round(_cpu_seconds(jvm) - c0, 3) if jvm else None)
+            # stop early when the reps agree and nothing looks stalled vs
+            # the clean-window baseline; a >2x disagreement (or >2x the
+            # baseline) buys one disambiguation run
             if attempt >= 1 and max(runs) <= 2 * min(runs) and min(runs) <= 2 * base:
                 break
-        results[name] = round(min(runs), 3)
-        print(f"# {name}: {[round(r, 2) for r in runs]}", file=sys.stderr, flush=True)
+        i_min = runs.index(min(runs))
+        wall_spread = max(runs) / max(min(runs), 1e-9)
+        cpu_ok = all(c is not None for c in cpus)
+        cpu_spread = (
+            max(c for c in cpus) / max(min(c for c in cpus), 1e-9) if cpu_ok else None
+        )
+        # stall signature: wall inflated >2x across reps while the work
+        # (CPU) stayed flat — a genuinely bimodal plan would cost
+        # proportional CPU on its slow run
+        throttled = bool(wall_spread > 2 and (cpu_spread is None or cpu_spread <= 1.5))
+        results[name] = {
+            "wall": round(min(runs), 3),
+            "cpu": cpus[i_min],
+            "runs": [round(r, 3) for r in runs],
+            "cpus": cpus,
+            "throttled": throttled,
+        }
+        print(
+            f"# {name}: walls={[round(r, 2) for r in runs]} cpus={cpus}"
+            f"{' THROTTLED' if throttled else ''}",
+            file=sys.stderr,
+            flush=True,
+        )
 
-    total = round(sum(results.values()), 3)
-    sf = SF_DIR.rstrip("/").split("/")[-1].replace("sf", "")
-    # Full per-query dict first, compact summary LAST: the driver captures only
-    # the final ~2000 chars of stdout, and a 90+-entry queries dict pushed the
-    # parseable JSON out of that window in r3 (BENCH_r03.json parsed=null).
-    # The last line is always a complete, short JSON object.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds_detail",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": float(sf),
-            }
-        ),
-        flush=True,
+    total = round(sum(r["wall"] for r in results.values()), 3)
+    cpu_total = (
+        round(sum(r["cpu"] for r in results.values() if r["cpu"] is not None), 3)
     )
+    n_throttled = sum(1 for r in results.values() if r["throttled"])
+    sf = SF_DIR.rstrip("/").split("/")[-1].replace("sf", "")
+    detail = {
+        "metric": "suite_seconds_detail",
+        "value": total,
+        "unit": "sec",
+        "cpu_total": cpu_total,
+        "n_throttled": n_throttled,
+        "queries": results,
+        "sf": float(sf),
+        "set": "only" if args.only else ("headline" if args.headline else "full"),
+    }
+    # complete artifact on disk (atomic), immune to stdout truncation
+    tmp = DETAIL_PATH + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(detail, fh)
+    os.replace(tmp, DETAIL_PATH)
+    # stdout: detail first, compact summary LAST (the driver captures only
+    # the final ~2000 chars; the last line is always complete, short JSON)
+    print(json.dumps(detail), flush=True)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
+                "cpu_total": cpu_total,
                 "n_queries": len(results),
+                "n_throttled": n_throttled,
+                "queries_wall_min": {},  # see BENCH_detail.json for per-query
+                "detail_file": "BENCH_detail.json",
                 "sf": float(sf),
             }
         ),

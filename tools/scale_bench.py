@@ -84,6 +84,15 @@ DEFAULT_QUERIES = [
     "trigram_logprob_interp",     # three count aggs + ngram-keyed joins: linear
     "encoding_quality_gate",      # zero-shuffle regex scan: byte-linear
     "knn_int4",                   # packed-code scan: linear at 1/6.4 the bytes
+    # r6 wave (VERDICT r5 item 4: the two r5 ops missing decade rows, plus
+    # the two new r6 registry entries)
+    "lsh_band_recall_curve",      # complete-truth eval: near-quadratic BY
+                                  # CONSTRUCTION (documented eval-only)
+    "events_histogram_fixed",     # fixed-edge bins: linear, bounded sketch
+    "lsh_candidate_pr_eval_sampled",  # sampled truth: ~quadratic in SAMPLE,
+                                  # i.e. corpus-quadratic x frac^2 — the
+                                  # per-ingest form
+    "chunk_tokens",               # BPE train (vocab-sized) + line fold: linear
 ]
 
 
