@@ -409,6 +409,137 @@ BASELINE_SEC = {
     "image_ahash_bmp": 0.89,
     "chunk_overlap": 0.38,
     "temperature_mixture": 0.48,
+
+    # r6: full-registry baselines (clean window, BASELINE.md r6 section)
+    "adaptive_quality_gate": 0.74,
+    "bigram_topk": 0.44,
+    "binary_compression_report": 1.49,
+    "binary_recall_at10": 1.20,
+    "bloom_decontaminate": 1.64,
+    "bm25_stored": 0.59,
+    "chunk_fixed": 0.22,
+    "chunk_tokens": 1.96,
+    "cluster_keywords": 2.89,
+    "cluster_silhouette": 6.13,
+    "corpus_stats": 0.19,
+    "customer_analytic_windows": 0.24,
+    "customer_rank_window": 0.70,
+    "customer_rfm_segments": 0.56,
+    "customer_semi_anti": 0.33,
+    "data_quality_checks": 0.73,
+    "dataset_split_counts": 0.18,
+    "dedup_aware_weights": 3.10,
+    "dedup_cluster_survivors": 3.27,
+    "dedup_clusters_star": 3.73,
+    "dedup_exact": 0.29,
+    "dedup_fingerprint": 0.32,
+    "dedup_minhash_estimate": 1.64,
+    "dedup_minhash_signatures": 0.91,
+    "dedup_semantic_verified": 2.43,
+    "dedup_simhash_pairs": 1.81,
+    "doc_array_ops": 0.27,
+    "doc_embedding_pool": 1.97,
+    "doc_knn_pooled": 2.22,
+    "doc_string_ops": 0.15,
+    "domain_mixture": 0.28,
+    "embed_map": 0.25,
+    "embedding_alignment_uniformity": 3.48,
+    "embedding_geometry_report": 1.35,
+    "embedding_projection": 0.68,
+    "encoding_quality_gate": 0.49,
+    "epoch_plan": 0.42,
+    "events_approx_stats": 9.75,
+    "events_click_attribution": 0.33,
+    "events_cms_heavy_hitters": 1.29,
+    "events_dau_wau": 0.37,
+    "events_error_bursts": 0.46,
+    "events_error_rate": 0.29,
+    "events_funnel": 0.47,
+    "events_funnel3": 0.62,
+    "events_histogram_fixed": 0.20,
+    "events_hll_distinct": 0.79,
+    "events_hll_intersection": 0.57,
+    "events_hourly_anomaly": 0.35,
+    "events_key_skew": 0.30,
+    "events_late_data_report": 0.37,
+    "events_locf": 0.43,
+    "events_mad_outliers": 0.92,
+    "events_mode_value": 0.28,
+    "events_props_metrics": 0.51,
+    "events_quantile_sketch": 1.37,
+    "events_salted_sum": 0.25,
+    "events_seasonality_profile": 0.39,
+    "events_top_error_users": 0.39,
+    "events_trailing_hour_range": 0.36,
+    "events_transitions": 0.42,
+    "events_value_quantiles": 0.42,
+    "events_variant_props": 0.44,
+    "events_weekly_retention": 0.35,
+    "image_dup_groups": 0.98,
+    "image_neardup_pairs": 1.24,
+    "image_stats_bmp": 0.84,
+    "int4_compression_report": 2.53,
+    "interleaved_shuffle": 0.40,
+    "ivfpq_refined_recall_at10": 2.50,
+    "knn_int4": 1.17,
+    "knn_ivfpq_refined": 2.93,
+    "knn_radius": 0.80,
+    "knn_topk_filtered": 0.40,
+    "label_centroids": 0.20,
+    "lang_id": 0.77,
+    "line_dedup_clean": 1.36,
+    "lineitem_cube": 1.09,
+    "lineitem_unpivot_totals": 1.40,
+    "lsh_band_recall_curve": 5.05,
+    "lsh_candidate_pr_eval_sampled": 1.68,
+    "multimodal_features": 0.36,
+    "multimodal_frames": 0.28,
+    "multimodal_meta": 0.13,
+    "multimodal_thumbs": 0.29,
+    "nation_high_balance_full_join": 0.33,
+    "nb_calibration_report": 2.04,
+    "nb_lang_confusion": 1.60,
+    "orders_date_ops": 0.23,
+    "orders_pivot": 0.21,
+    "orders_rollup": 0.55,
+    "pack_next_fit": 0.50,
+    "parts_brand_max_price": 0.23,
+    "parts_setops": 0.47,
+    "phrase_search": 0.23,
+    "pmi_top_pairs": 0.92,
+    "quality_funnel": 0.47,
+    "rag_context": 0.50,
+    "repetition_score": 0.53,
+    "sample_systematic": 0.10,
+    "sample_weighted": 0.15,
+    "source_dedup_matrix": 1.34,
+    "source_quality_trend": 0.67,
+    "source_quota_sample": 0.18,
+    "stratified_sample": 0.19,
+    "stream_sessionize_stateful": 3.22,
+    "stream_window_15m": 1.22,
+    "text_fingerprint": 0.18,
+    "text_stats": 0.36,
+    "token_histogram": 0.33,
+    "token_stats": 0.68,
+    "top_parts_revenue": 1.54,
+    "tpch_q10_returns": 0.84,
+    "tpch_q11_important_parts": 1.12,
+    "tpch_q12_late_shipments": 0.83,
+    "tpch_q14_promo_share": 0.66,
+    "tpch_q15_top_supplier": 0.92,
+    "tpch_q16_supplier_cnt": 0.64,
+    "tpch_q18_big_orders": 1.46,
+    "tpch_q19_disjunctive": 0.63,
+    "tpch_q20_promotion_suppliers": 0.72,
+    "tpch_q4_exists": 0.47,
+    "tpch_q6_revenue": 0.25,
+    "tpch_q8_market_share": 1.34,
+    "tpch_q9_product_profit": 0.72,
+    "trigram_logprob_interp": 2.05,
+    "triplet_mining": 1.70,
+    "vector_norms": 0.36,
+    "winnow_density_report": 6.03,
 }
 
 
