@@ -448,7 +448,7 @@ BASELINE_SEC = {
     "embedding_projection": 0.68,
     "encoding_quality_gate": 0.49,
     "epoch_plan": 0.42,
-    "events_approx_stats": 9.75,
+    "events_approx_stats": 1.76,  # r6 split-agg fix (was 9.75 combined)
     "events_click_attribution": 0.33,
     "events_cms_heavy_hitters": 1.29,
     "events_dau_wau": 0.37,

@@ -248,16 +248,26 @@ def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
-    agg = ev.groupBy("event_type").agg(
+    # The exact aggregates and the sketches are SPLIT into two groupBys
+    # joined on the 10-row result: countDistinct in the same agg as the
+    # sketches forces an Expand (the distinct rewrite) that runs every row
+    # through the heavy typed buffers (16k-register HLL at rsd=0.01 + KLL
+    # summaries) TWICE in an object-hash aggregate — measured 8.6s combined
+    # vs 0.75s split at sf0.1 (11x).  Two linear scans beat one doubled
+    # object-agg pass.
+    exact = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
-        # rsd=0.01: the default 0.05 means the 5%-relative-error audit sits at
-        # ~1 sigma and legitimately fails once cardinality leaves the exact
-        # sparse regime (measured 6.7% at sf0.1); at rsd=0.01 the audit is a
-        # 5-sigma bound (measured max 0.47% at sf0.1)
+    )
+    # rsd=0.01: the default 0.05 means the 5%-relative-error audit sits at
+    # ~1 sigma and legitimately fails once cardinality leaves the exact
+    # sparse regime (measured 6.7% at sf0.1); at rsd=0.01 the audit is a
+    # 5-sigma bound (measured max 0.47% at sf0.1)
+    sketches = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("_approx_users"),
         F.percentile_approx("value", 0.5).alias("_approx_p50"),
     )
+    agg = exact.join(sketches, "event_type")
     # rank audit for the approx median: fraction of values strictly below it
     # must sit at/below 0.5 + eps and fraction at-or-below at/above 0.5 - eps
     # (the defining property of a median, loosened by the sketch's rank
