@@ -109,6 +109,14 @@ def kmeans_fit(
     for _ in range(iters - 1):
         c = _update(assigned)
         assigned = _assign(v, c, id_col, dim)
+    # NOTE (r6): checkpointing each round's k-row centroid relation
+    # (the bpe_merges iterative-plan idiom) was tried and REVERTED — the
+    # eager materialization re-fires per plan build and measured 2-10x
+    # SLOWER end-to-end (94s worst case on cluster_silhouette vs 6s
+    # lineage-recompute) because every consumer action re-pays the
+    # checkpoint jobs while the pure-lineage form lets Catalyst fuse the
+    # rounds into one job.  At iters=2 the recompute costs one extra
+    # assignment scan per branch; revisit only if iters grows.
     return assigned, c
 
 
