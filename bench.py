@@ -49,6 +49,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
+# Wall budget for the whole suite (seconds).  The full registry in a clean
+# window costs ~8-12 min; a heavy host-throttle phase can inflate that
+# several-fold.  Past the budget every remaining query runs ONE rep
+# (recorded with "degraded": true) so the artifact still covers the whole
+# registry instead of the run being killed mid-suite.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2700"))
 
 
 def _jvm_pid() -> int | None:
@@ -578,6 +584,7 @@ def main() -> None:
     jvm = _jvm_pid()
 
     results: dict[str, dict] = {}
+    suite_t0 = time.time()
     for name in names:
         fn = qs[name]
         # baselines were measured at sf0.1 — meaningless at other SFs
@@ -588,7 +595,8 @@ def main() -> None:
         )
         runs: list[float] = []
         cpus: list[float | None] = []
-        for attempt in range(3):
+        degraded = time.time() - suite_t0 > BUDGET_S
+        for attempt in range(1 if degraded else 3):
             c0 = _cpu_seconds(jvm) if jvm else None
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -615,6 +623,7 @@ def main() -> None:
             "runs": [round(r, 3) for r in runs],
             "cpus": cpus,
             "throttled": throttled,
+            **({"degraded": True} if degraded else {}),
         }
         print(
             f"# {name}: walls={[round(r, 2) for r in runs]} cpus={cpus}"
