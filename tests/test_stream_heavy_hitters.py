@@ -60,3 +60,56 @@ def test_heavy_hitters_underestimate_guarantee_tight_capacity(spark, monkeypatch
         | (F.col("n") > F.col("est_count") + F.col("decrement_total"))
     )
     assert bad.count() == 0
+
+
+@pytest.mark.spark
+def test_heavy_hitters_idle_key_evicts_with_final_summary(spark, tmp_path):
+    """r6 event-time timeout: a key idle past HH_IDLE_SECONDS emits one
+    FINAL summary (batch_seq incremented, same counts) once another key's
+    events advance the watermark — so the 'max batch_seq' selector still
+    lands on complete numbers after eviction."""
+    import datetime
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log_vector_spark.streaming import stateful
+
+    t0 = datetime.datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        (0, t0, 1, "click"),
+        (1, t0 + datetime.timedelta(minutes=1), 1, "click"),
+        (2, t0 + datetime.timedelta(minutes=2), 2, "click"),
+        # 'view' lands 6h later: watermark -> 14:30, clicks idle > 1h
+        (3, t0 + datetime.timedelta(hours=6), 3, "view"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), os.path.join(str(tmp_path), "events.parquet"))
+
+    out = stateful.run_heavy_hitters_stream(spark, str(tmp_path))
+    clicks = sorted(
+        out.filter("event_type = 'click'").collect(),
+        key=lambda r: (r["batch_seq"], r["user_id"]),
+    )
+    seqs = sorted({r["batch_seq"] for r in clicks})
+    assert len(seqs) == 2, f"expected data batch + eviction emission, got {seqs}"
+    per_seq = {
+        s: {(r["user_id"], r["est_count"]) for r in clicks if r["batch_seq"] == s}
+        for s in seqs
+    }
+    # final (eviction) summary repeats the complete counts
+    assert per_seq[seqs[0]] == per_seq[seqs[1]] == {(1, 2), (2, 1)}
+    # 'view' arrived last and stays un-evicted (watermark never passed it)
+    vseqs = {r["batch_seq"] for r in out.filter("event_type = 'view'").collect()}
+    assert len(vseqs) == 1
