@@ -259,6 +259,7 @@ HEADLINE = [
     "events_histogram_fixed",     # configured-edge histogram (stream twin)
     "lsh_candidate_pr_eval_sampled",  # blocker P/R vs sampled exact truth
     "lsh_band_recall_curve",      # band-count S-curve in one plan
+    "matryoshka_recall_curve",    # prefix-dim truncation recall ladder
 ]
 
 
@@ -498,6 +499,7 @@ BASELINE_SEC = {
     "lineitem_unpivot_totals": 1.40,
     "lsh_band_recall_curve": 5.05,
     "lsh_candidate_pr_eval_sampled": 1.68,
+    "matryoshka_recall_curve": 1.98,  # r6 addition (measured ~1.9x-drift window)
     "multimodal_features": 0.36,
     "multimodal_frames": 0.28,
     "multimodal_meta": 0.13,

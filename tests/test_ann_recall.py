@@ -256,3 +256,23 @@ def test_kmeans_codebook_recall_not_worse_than_stride(spark):
     st = {r.query_id: r.recall for r in qs["pq_recall_at10"](spark, sf).collect()}
     assert set(km) == set(st) and len(km) == 5
     assert sum(km.values()) >= sum(st.values()), (km, st)
+
+
+def test_matryoshka_recall_curve_contract(spark):
+    """Full-width point IS the exact ranking (recall 1.0); truncation can
+    only lose recall; bytes_ratio prices the truncation."""
+    from log_vector_spark.registry import queries
+
+    rows = {
+        r["n_dims"]: r
+        for r in queries()["matryoshka_recall_curve"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {8, 16, 32, 64}
+    assert rows[64]["recall_at10_mean"] == 1.0
+    assert rows[64]["bytes_ratio"] == 1.0
+    assert rows[8]["bytes_ratio"] == 0.125
+    for d in (8, 16, 32):
+        assert 0.0 <= rows[d]["recall_at10_mean"] <= 1.0
+    assert rows[8]["recall_at10_mean"] <= rows[64]["recall_at10_mean"]
