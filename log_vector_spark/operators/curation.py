@@ -970,3 +970,76 @@ def epoch_plan(
         .otherwise(F.lit(0.0))
         .alias("final_share"),
     )
+
+
+def temperature_sweep_plan(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature sweep: temperature_mixture_plan at FOUR alphas
+    (0.25 / 0.5 / 0.75 / 1.0) in ONE plan — the knob-tuning view a mixture
+    designer reads before fixing alpha (the ivf_recall_curve sweep
+    discipline applied to mixture planning: a 4-row alpha relation
+    cross-joins the bounded per-domain aggregate; never one job per
+    point).
+
+    The four alphas are exactly the IEEE-expressible ladder: n^0.25 =
+    sqrt(sqrt(n)), n^0.5 = sqrt(n), n^0.75 = sqrt(n)*sqrt(sqrt(n)),
+    n^1 = n — every weight is built from correctly-rounded sqrt and one
+    final product, so both engines produce bit-identical doubles and the
+    6dp compare can never ride a pow() ULP (the reason the single-alpha
+    plan pinned alpha = 0.5).
+
+    Scale: one linear group-by-domain shuffle; everything after runs over
+    |domains| x 4 rows.  Windows partition by alpha.
+    """
+    spark = docs.sparkSession
+    per = (
+        docs.select(
+            F.col(domain_col).alias("domain"), tokens(F.col(text_col)).alias("w")
+        )
+        .select("domain", F.size("w").cast("int").alias("nt"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("domain_tokens"),
+        )
+    )
+    al = spark.createDataFrame([(0.25,), (0.5,), (0.75,), (1.0,)], "alpha double")
+    n = F.col("domain_tokens").cast("double")
+    weight = (
+        F.when(F.col("alpha") == 0.25, F.sqrt(F.sqrt(n)))
+        .when(F.col("alpha") == 0.5, F.sqrt(n))
+        .when(F.col("alpha") == 0.75, F.sqrt(n) * F.sqrt(F.sqrt(n)))
+        .otherwise(n)
+    )
+    sc = per.crossJoin(F.broadcast(al)).withColumn(
+        "s9", F.round(weight, 9).cast("decimal(28,12)")
+    )
+    w_a = Window.partitionBy("alpha")
+    total_tokens = F.sum("domain_tokens").over(w_a)
+    total_s = F.sum("s9").over(w_a)
+    nz = total_s.cast("double") > 0
+    temp_share = F.when(
+        nz, F.round(F.col("s9").cast("double") / total_s.cast("double"), 6)
+    )
+    planned = F.when(nz, F.floor(total_tokens * temp_share)).cast("bigint")
+    return sc.select(
+        "alpha",
+        "domain",
+        "n_docs",
+        "domain_tokens",
+        F.when(
+            total_tokens > 0,
+            F.round(
+                F.col("domain_tokens").cast("double") / total_tokens.cast("double"), 6
+            ),
+        ).alias("current_share"),
+        temp_share.alias("temp_share"),
+        planned.alias("planned_tokens"),
+        F.when(
+            F.col("domain_tokens") > 0,
+            F.round(planned.cast("double") / F.col("domain_tokens"), 6),
+        ).alias("effective_epochs"),
+    )

@@ -928,3 +928,53 @@ def source_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         (slope < 0).alias("degrading"),
     )
+
+
+@register(
+    "temperature_sweep",
+    oracle=f"""
+    WITH per AS (
+      SELECT source AS domain, count(*) AS n_docs,
+             CAST(sum(len({_WORDS})) AS BIGINT) AS domain_tokens
+      FROM documents GROUP BY source
+    ),
+    al AS (SELECT unnest([0.25, 0.5, 0.75, 1.0]) AS alpha),
+    sc AS (
+      SELECT per.*, al.alpha,
+             CAST(round(CASE
+               WHEN al.alpha = 0.25 THEN sqrt(sqrt(CAST(domain_tokens AS DOUBLE)))
+               WHEN al.alpha = 0.5  THEN sqrt(CAST(domain_tokens AS DOUBLE))
+               WHEN al.alpha = 0.75 THEN sqrt(CAST(domain_tokens AS DOUBLE))
+                                         * sqrt(sqrt(CAST(domain_tokens AS DOUBLE)))
+               ELSE CAST(domain_tokens AS DOUBLE) END, 9) AS DECIMAL(28,12)) AS s9
+      FROM per CROSS JOIN al
+    )
+    SELECT alpha, domain, n_docs, domain_tokens,
+           round(CAST(domain_tokens AS DOUBLE)
+                 / CAST(sum(domain_tokens) OVER (PARTITION BY alpha) AS DOUBLE), 6)
+             AS current_share,
+           round(CAST(s9 AS DOUBLE)
+                 / CAST(sum(s9) OVER (PARTITION BY alpha) AS DOUBLE), 6) AS temp_share,
+           CAST(floor(sum(domain_tokens) OVER (PARTITION BY alpha)
+                      * round(CAST(s9 AS DOUBLE)
+                              / CAST(sum(s9) OVER (PARTITION BY alpha) AS DOUBLE), 6))
+                AS BIGINT) AS planned_tokens,
+           round(CAST(CAST(floor(sum(domain_tokens) OVER (PARTITION BY alpha)
+                      * round(CAST(s9 AS DOUBLE)
+                              / CAST(sum(s9) OVER (PARTITION BY alpha) AS DOUBLE), 6))
+                AS BIGINT) AS DOUBLE) / domain_tokens, 6) AS effective_epochs
+    FROM sc
+    """,
+    doc="Temperature-mixture SWEEP: the single-alpha plan at four alphas "
+    "(0.25/0.5/0.75/1.0) in ONE plan — the knob-tuning view a mixture "
+    "designer reads before fixing alpha (the ivf_recall_curve sweep "
+    "discipline applied to planning; never one job per point).  The four "
+    "alphas are exactly the IEEE-expressible ladder (sqrt compositions + "
+    "identity), so every weight is bit-identical across engines and the "
+    "6dp compare never rides a pow() ULP — the same determinism argument "
+    "that pinned the single-alpha plan at 0.5.  One linear group-by-"
+    "domain shuffle; all windows over |domains| x 4 rows.  "
+    "operators/curation.py:temperature_sweep_plan.",
+)
+def temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.temperature_sweep_plan(table(spark, "documents", sf_dir))
