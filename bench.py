@@ -261,6 +261,7 @@ HEADLINE = [
     "lsh_band_recall_curve",      # band-count S-curve in one plan
     "matryoshka_recall_curve",    # prefix-dim truncation recall ladder
     "temperature_sweep",          # 4-alpha mixture sweep in one plan
+    "bitext_mining_margin",       # IVF-blocked margin bitext mining
 ]
 
 
@@ -502,6 +503,7 @@ BASELINE_SEC = {
     "lsh_candidate_pr_eval_sampled": 1.68,
     "matryoshka_recall_curve": 1.98,  # r6 addition (measured ~1.9x-drift window)
     "temperature_sweep": 1.05,        # r6 addition (same window)
+    "bitext_mining_margin": 2.46,     # r6 addition (same drifted window)
     "multimodal_features": 0.36,
     "multimodal_frames": 0.28,
     "multimodal_meta": 0.13,

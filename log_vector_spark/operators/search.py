@@ -759,3 +759,113 @@ def ranking_eval(
         F.round(F.coalesce("mrr_raw", F.lit(0.0)), 6).alias("mrr"),
         F.round(F.coalesce("dcg", F.lit(0.0)) / F.lit(idcg), 6).alias("ndcg"),
     )
+
+
+def bitext_margin_pairs(
+    vectors: DataFrame,
+    langs: DataFrame,
+    lang_x: str = "en",
+    lang_y: str = "de",
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_salts: int = SALT_FACTOR,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2018, public): mine
+    aligned cross-lingual document pairs from two languages' embeddings —
+    the parallel-corpus construction step (LASER/CCMatrix recipe) a
+    multilingual pretraining pipeline runs over a crawled corpus.
+
+    score(x, y) = cos(x, y) / ((avg_topk(x) + avg_topk(y)) / 2): the RATIO
+    margin normalizes away hubness (a vector that is close to everything
+    scores high raw cosine against everything; dividing by its own top-k
+    average cancels that), and a pair is emitted only when it is the
+    MUTUAL best by margin in both directions with margin >= threshold.
+
+    Candidate generation is IVF-blocked (the similarity_join discipline —
+    never all-pairs): both languages' vectors assign to the same
+    sqrt-stride centroid lists and only within-list cross-lingual pairs
+    are scored, so the top-k averages are ANN-shortlist averages — exactly
+    how production margin mining computes them (FAISS shortlists).  The
+    cross-lingual join is salted like blocked_pairs (skew-proof).  Top-k
+    averages are decimal-exact sums of 6dp cosines (fold-order-proof);
+    margins round at the boundary, ties break on the partner id.
+    """
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(
+        vectors, make_centroids(vectors, vec_id=id_col, vec_col=vec_col), id_col, vec_col
+    ).select(id_col, vec_col, "list_id")
+    withlang = assigned.join(
+        langs.select(F.col("doc_id").alias(id_col), "lang"), id_col
+    )
+    unit = withlang.select(
+        "list_id", "lang", F.col(id_col), l2_normalize(F.col(vec_col)).alias("_unit")
+    )
+    x = unit.filter(F.col("lang") == lang_x).select(
+        "list_id",
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)).cast("int").alias("salt"),
+        F.col(id_col).alias("id_x"),
+        F.col("_unit").alias("ux"),
+    )
+    y = unit.filter(F.col("lang") == lang_y).select(
+        "list_id",
+        F.explode(F.array(*[F.lit(s) for s in range(n_salts)])).alias("salt"),
+        F.col(id_col).alias("id_y"),
+        F.col("_unit").alias("uy"),
+    )
+    cand = (
+        x.join(y, ["list_id", "salt"])
+        .select(
+            "id_x",
+            "id_y",
+            F.round(dot_product(F.col("ux"), F.col("uy")), SCORE_DP).alias("c"),
+        )
+    )
+    wx = Window.partitionBy("id_x").orderBy(F.desc("c"), F.asc("id_y"))
+    wy = Window.partitionBy("id_y").orderBy(F.desc("c"), F.asc("id_x"))
+    ax = (
+        cand.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= k)
+        .groupBy("id_x")
+        .agg(
+            F.round(
+                F.sum(F.col("c").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                SCORE_DP,
+            ).alias("ax")
+        )
+    )
+    ay = (
+        cand.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= k)
+        .groupBy("id_y")
+        .agg(
+            F.round(
+                F.sum(F.col("c").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                SCORE_DP,
+            ).alias("ay")
+        )
+    )
+    m = (
+        cand.join(ax, "id_x")
+        .join(ay, "id_y")
+        .withColumn(
+            "margin",
+            F.when(
+                (F.col("ax") + F.col("ay")) != 0,
+                F.round(F.col("c") / ((F.col("ax") + F.col("ay")) / 2), SCORE_DP),
+            ),
+        )
+        .filter(F.col("margin").isNotNull())
+    )
+    wbx = Window.partitionBy("id_x").orderBy(F.desc("margin"), F.asc("id_y"))
+    wby = Window.partitionBy("id_y").orderBy(F.desc("margin"), F.asc("id_x"))
+    return (
+        m.withColumn("bx", F.row_number().over(wbx))
+        .withColumn("by", F.row_number().over(wby))
+        .filter((F.col("bx") == 1) & (F.col("by") == 1) & (F.col("margin") >= threshold))
+        .select("id_x", "id_y", F.col("c").alias("cos_xy"), "margin")
+    )

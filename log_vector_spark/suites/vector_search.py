@@ -2816,3 +2816,83 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_dims")
     )
+
+
+@register(
+    "bitext_mining_margin",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS list_id, embedding AS centroid
+      FROM embeddings,
+           (SELECT greatest(16, CAST(floor(sqrt(count(*)) / 4 + 0.5) AS BIGINT)) AS s
+            FROM embeddings) st
+      WHERE vec_id % st.s = 0
+    ), assigned AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_cos('e.embedding', 'c.centroid')}, 6) DESC, c.list_id ASC
+               ) AS crank
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE crank = 1
+    ), u AS (
+      SELECT a.list_id, e.vec_id, d.lang,
+             list_transform(embedding::DOUBLE[], x -> x /
+               sqrt(list_reduce(list_transform(embedding::DOUBLE[], y -> y * y),
+                                (acc, v) -> acc + v))) AS unit
+      FROM embeddings e
+      JOIN assigned a USING (vec_id)
+      JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    cand AS (
+      SELECT x.vec_id AS id_x, y.vec_id AS id_y,
+             round(list_dot_product(x.unit, y.unit), 6) AS c
+      FROM u x JOIN u y ON x.list_id = y.list_id
+      WHERE x.lang = 'en' AND y.lang = 'de'
+    ),
+    ax AS (
+      SELECT id_x, round(CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(*), 6) AS ax
+      FROM (SELECT *, row_number() OVER (PARTITION BY id_x
+              ORDER BY c DESC, id_y ASC) AS rn FROM cand)
+      WHERE rn <= 4 GROUP BY id_x
+    ),
+    ay AS (
+      SELECT id_y, round(CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(*), 6) AS ay
+      FROM (SELECT *, row_number() OVER (PARTITION BY id_y
+              ORDER BY c DESC, id_x ASC) AS rn FROM cand)
+      WHERE rn <= 4 GROUP BY id_y
+    ),
+    m AS (
+      SELECT cand.id_x, cand.id_y, cand.c,
+             CASE WHEN ax.ax + ay.ay <> 0
+                  THEN round(cand.c / ((ax.ax + ay.ay) / 2), 6) END AS margin
+      FROM cand JOIN ax USING (id_x) JOIN ay USING (id_y)
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY id_x ORDER BY margin DESC, id_y ASC) AS bx,
+             row_number() OVER (PARTITION BY id_y ORDER BY margin DESC, id_x ASC) AS byy
+      FROM m WHERE margin IS NOT NULL
+    )
+    SELECT id_x, id_y, c AS cos_xy, margin
+    FROM r WHERE bx = 1 AND byy = 1 AND margin >= 1.0
+    """,
+    doc="Margin-based bitext mining (Artetxe & Schwenk 2018 ratio margin, "
+    "the LASER/CCMatrix parallel-corpus recipe): mutual-best cross-lingual "
+    "document pairs (en -> de) scored by cos / mean of the two directions' "
+    "top-4 shortlist averages — the hubness-normalized criterion that "
+    "plain cosine thresholds get wrong.  Candidates are IVF-blocked (the "
+    "similarity_join discipline; within-list cross-lingual pairs only, "
+    "salted join), so the shortlist averages are ANN-shortlist averages "
+    "exactly as production FAISS mining computes them, and the pair "
+    "volume stays ~N^1.5 at corpus scale.  Top-k averages decimal-summed "
+    "over 6dp cosines; margins rounded at the boundary; mutual-best ties "
+    "break on partner id.  operators/search.py:bitext_margin_pairs.",
+)
+def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    docs = table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return search.bitext_margin_pairs(emb, docs)

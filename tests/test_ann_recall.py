@@ -276,3 +276,27 @@ def test_matryoshka_recall_curve_contract(spark):
     for d in (8, 16, 32):
         assert 0.0 <= rows[d]["recall_at10_mean"] <= 1.0
     assert rows[8]["recall_at10_mean"] <= rows[64]["recall_at10_mean"]
+
+
+def test_bitext_mining_mutual_best_is_a_matching(spark):
+    """Mutual-best pairs form a partial matching: every en doc and every
+    de doc appears in at most one mined pair; margins >= 1.0; ids come
+    from the right languages."""
+    from pyspark.sql import functions as F
+
+    from log_vector_spark.catalog import table
+    from log_vector_spark.registry import queries
+
+    sf = "/root/testdata/sf0.01"
+    rows = queries()["bitext_mining_margin"](spark, sf).collect()
+    assert len(rows) > 0
+    xs = [r["id_x"] for r in rows]
+    ys = [r["id_y"] for r in rows]
+    assert len(xs) == len(set(xs)) and len(ys) == len(set(ys))
+    assert all(r["margin"] >= 1.0 for r in rows)
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in table(spark, "documents", sf).select("doc_id", "lang").collect()
+    }
+    assert all(langs[x] == "en" for x in xs)
+    assert all(langs[y] == "de" for y in ys)
