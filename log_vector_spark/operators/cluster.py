@@ -289,26 +289,42 @@ def cluster_silhouette(
     so every reported number is fold-order-proof.  Degenerate vectors
     sitting exactly on two centroids (a = b = 0) score 0 by convention.
     """
-    assigned, cents = kmeans_fit(vectors, k, iters, id_col, vec_col, dim)
-    others = F.broadcast(
-        cents.select(F.col("cid").alias("ocid"), F.col("e").alias("ce"))
+    # ONE crossJoin against the FINAL centroids gives every per-vector
+    # centroid distance, and both silhouette terms fall out of its sorted
+    # per-vector distance list: a = smallest rounded distance (ties to
+    # lowest cid — exactly the assignment's argmin), b = the SECOND
+    # smallest (all cids are distinct per vector, so the second entry IS
+    # the min over other clusters).  Replaces the kmeans_fit +
+    # re-score-against-others form: one k-way distance scan instead of
+    # two and no double-branch Lloyd recompute.  Interleaved A/B at sf0.1
+    # measured the two forms EQUAL in wall time (the broadcast-crossJoin
+    # distance folds dominate, and Catalyst reuses most of the old form's
+    # chain) — kept for the simpler single-branch plan, not for speed.
+    v = vectors.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("e")
     )
-    scored = (
-        assigned.crossJoin(others)
-        .filter(F.col("ocid") != F.col("cid"))
-        .withColumn("od", F.round(_l2(F.col("e"), F.col("ce"), dim), 6))
+    seed_w = Window.orderBy(id_col)
+    c = (
+        v.orderBy(id_col)
+        .limit(k)
+        .select((F.row_number().over(seed_w) - 1).alias("cid"), "e")
     )
-    # key includes the per-vector constants (cid, d) so no first()/max()
-    # non-determinism sneaks in; shuffle carries one row per vector after
-    # the map-side partial min.
-    per_vec = scored.groupBy(id_col, "cid", "d").agg(F.min("od").alias("b"))
-    s = F.when(F.greatest(F.col("d"), F.col("b")) == 0, F.lit(0.0)).otherwise(
-        F.round(
-            (F.col("b") - F.col("d")) / F.greatest(F.col("d"), F.col("b")), 6
-        )
+    for _ in range(iters - 1):
+        c = _update(_assign(v, c, id_col, dim))
+    scored = v.crossJoin(
+        F.broadcast(c.select(F.col("cid").alias("ocid"), F.col("e").alias("ce")))
+    ).withColumn("od", F.round(_l2(F.col("e"), F.col("ce"), dim), 6))
+    per_vec = scored.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("od", "ocid"))).alias("ds")
+    )
+    a_d = F.col("ds")[0]["od"]
+    own = F.col("ds")[0]["ocid"]
+    b_d = F.col("ds")[1]["od"]
+    s = F.when(F.greatest(a_d, b_d) == 0, F.lit(0.0)).otherwise(
+        F.round((b_d - a_d) / F.greatest(a_d, b_d), 6)
     )
     return (
-        per_vec.withColumn("s", s)
+        per_vec.select(own.alias("cid"), s.alias("s"))
         .groupBy(F.col("cid").cast("int").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
