@@ -800,9 +800,18 @@ def bitext_margin_pairs(
     withlang = assigned.join(
         langs.select(F.col("doc_id").alias(id_col), "lang"), id_col
     )
+    # unit feeds BOTH language branches, and cand (built from it) feeds
+    # THREE consumers (the pair base + the two top-k average aggregates):
+    # without this lazy checkpoint the IVF-assignment chain re-executes
+    # ~6x (measured 73.7s vs 12.6s for one assignment pass at the 10x
+    # replica — the banded-frame idiom from substring_dup_spans).  The
+    # checkpoint sits on UNIT, not cand: cand's recomputes over the
+    # materialized unit are cheap (bounded within-list pair volume), and
+    # checkpointing the join plan itself measured 40s of DRIVER-side
+    # planning at the replica scale.
     unit = withlang.select(
         "list_id", "lang", F.col(id_col), l2_normalize(F.col(vec_col)).alias("_unit")
-    )
+    ).localCheckpoint(eager=False)
     x = unit.filter(F.col("lang") == lang_x).select(
         "list_id",
         F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)).cast("int").alias("salt"),
