@@ -263,6 +263,7 @@ HEADLINE = [
     "matryoshka_recall_curve",    # prefix-dim truncation recall ladder
     "temperature_sweep",          # 4-alpha mixture sweep in one plan
     "bitext_mining_margin",       # IVF-blocked margin bitext mining
+    "jl_projection_recall",       # random-projection dim-reduction rung
 ]
 
 
@@ -505,6 +506,7 @@ BASELINE_SEC = {
     "matryoshka_recall_curve": 1.98,  # r6 addition (measured ~1.9x-drift window)
     "temperature_sweep": 1.05,        # r6 addition (same window)
     "bitext_mining_margin": 2.46,     # r6 addition (same drifted window)
+    "jl_projection_recall": 3.54,     # r6 addition (same drifted window)
     "multimodal_features": 0.36,
     "multimodal_frames": 0.28,
     "multimodal_meta": 0.13,

@@ -2896,3 +2896,161 @@ def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, "embeddings", sf_dir)
     docs = table(spark, "documents", sf_dir).select("doc_id", "lang")
     return search.bitext_margin_pairs(emb, docs)
+
+
+def _jl_signs(d_out: int = 16, d_in: int = 64) -> list[list[int]]:
+    """Deterministic +-1 JL projection matrix: sign(j, i) from the first
+    md5 byte of 'jl:{j}:{i}' — reproducible in any engine, embedded as a
+    literal in BOTH the Spark expression and the DuckDB oracle."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"jl:{j}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+_JL_S = _jl_signs()
+_JL_SQL = (
+    "[" + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in _JL_S) + "]"
+)
+
+
+@register(
+    "jl_projection_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT {_JL_SQL}::DOUBLE[][] AS m),
+    p AS (
+      SELECT vec_id,
+             list_transform(range(1, 17),
+               j -> list_reduce(list_transform(range(1, 65),
+                      i -> v[i] * m[j][i]), (a, b) -> a + b)) AS y
+      FROM e CROSS JOIN s
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    pq AS (SELECT vec_id AS query_id, y AS qy FROM p WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_cos('e.v', 'q.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM e CROSS JOIN q
+      ) WHERE rn <= 10
+    ),
+    dims AS (SELECT unnest([8, 16]) AS d),
+    approx AS (
+      SELECT d, query_id, vec_id FROM (
+        SELECT dims.d, pq.query_id, p.vec_id,
+               row_number() OVER (PARTITION BY dims.d, pq.query_id
+                 ORDER BY round({_cos('(p.y[1:dims.d])', '(pq.qy[1:dims.d])')}, 6)
+                          DESC, p.vec_id ASC) AS rn
+        FROM dims CROSS JOIN p CROSS JOIN pq
+        WHERE list_reduce(list_transform(p.y[1:dims.d], x -> x * x),
+                          (a, b) -> a + b) > 0
+          AND list_reduce(list_transform(pq.qy[1:dims.d], x -> x * x),
+                          (a, b) -> a + b) > 0
+      ) WHERE rn <= 10
+    ),
+    rec AS (
+      SELECT a.d, a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM approx a JOIN exact USING (query_id, vec_id)
+      GROUP BY a.d, a.query_id
+    ),
+    per AS (
+      SELECT dims.d, q.query_id, coalesce(rec.n_hits, 0) / 10.0 AS r
+      FROM dims CROSS JOIN q
+      LEFT JOIN rec ON rec.d = dims.d AND rec.query_id = q.query_id
+    )
+    SELECT CAST(d AS INTEGER) AS n_dims,
+           round(CAST(d AS DOUBLE) / 64, 6) AS bytes_ratio,
+           round(avg(r), 6) AS recall_at10_mean
+    FROM per GROUP BY d ORDER BY d
+    """,
+    doc="Johnson-Lindenstrauss random-projection recall rung: recall@10 of "
+    "cosine ranking in a +-1-sign projected space (d = 8 and 16, the "
+    "16-dim projection's prefix IS the 8-dim one, so both points reuse "
+    "one projection pass) against the full-dim exact top-10 — the "
+    "dimension-reduction rung that works on embeddings NOT trained with "
+    "matryoshka losses, completing the ladder beside "
+    "matryoshka_recall_curve (prefix truncation), int8/int4/PQ/binary.  "
+    "The sign matrix is a deterministic md5-derived literal embedded "
+    "identically in both engines; the projection is 16 scan-stage folds "
+    "per vector (no shuffle), and the curve sweeps in ONE plan.  Same "
+    "eval pricing as the other recall evals: run on a query sample at "
+    "scale; the projection itself is the write-time artifact.",
+)
+def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, "embeddings", sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(s)) for s in _JL_S[j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for j in range(16)
+        ]
+    )
+    p = emb.select("vec_id", proj.alias("y"))
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = search.knn_batch_topk(emb, qdf, k=10).select("query_id", "vec_id")
+    pq_ = p.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("y").alias("qy")
+    )
+    dims = spark.createDataFrame([(8,), (16,)], "d int")
+    ev = F.slice(F.col("y"), 1, F.col("d"))
+    qsv = F.slice(F.col("qy"), 1, F.col("d"))
+    dot = F.aggregate(
+        F.zip_with(ev, qsv, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n2e = F.aggregate(ev, F.lit(0.0), lambda acc, x: acc + x * x)
+    n2q = F.aggregate(qsv, F.lit(0.0), lambda acc, x: acc + x * x)
+    scored = (
+        dims.crossJoin(p)
+        .crossJoin(F.broadcast(pq_))
+        .withColumn("_n2e", n2e)
+        .withColumn("_n2q", n2q)
+        .filter((F.col("_n2e") > 0) & (F.col("_n2q") > 0))
+        .withColumn(
+            "score", F.round(dot / (F.sqrt(F.col("_n2e")) * F.sqrt(F.col("_n2q"))), 6)
+        )
+    )
+    w = Window.partitionBy("d", "query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    approx = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("d", "query_id", "vec_id")
+    )
+    rec = (
+        approx.join(exact, ["query_id", "vec_id"])
+        .groupBy("d", "query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    per = (
+        dims.crossJoin(qdf.select("query_id"))
+        .join(rec, ["d", "query_id"], "left")
+        .select("d", (F.coalesce("n_hits", F.lit(0)) / 10.0).alias("r"))
+    )
+    return (
+        per.groupBy("d")
+        .agg(F.round(F.avg("r"), 6).alias("recall_at10_mean"))
+        .select(
+            F.col("d").cast("int").alias("n_dims"),
+            F.round(F.col("d").cast("double") / 64, 6).alias("bytes_ratio"),
+            "recall_at10_mean",
+        )
+        .orderBy("n_dims")
+    )
