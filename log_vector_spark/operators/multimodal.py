@@ -723,3 +723,125 @@ def image_neardup_pairs(
         .where(F.col("hamming") <= threshold)
         .select("id_a", "id_b", "hamming", "n_a", "n_b")
     )
+
+
+# --- image-text alignment gate (the LAION/CLIP-score curation core) ---------
+#
+# Every multimodal pretraining pipeline gates (image, caption) pairs on a
+# cross-modal alignment score — CLIP cosine in production (Schuhmann et al.,
+# LAION-400M/5B, public).  The deterministic stand-in keeps the exact
+# structure: an image encoder over the OPAQUE BINARY column (mapInPandas,
+# Arrow batches — where a vision tower would run) and a caption encoder into
+# the SAME feature space, cosine per pair, percentile gate.  The encoders
+# are md5 token-hash histograms, so on the ASCII corpus (content =
+# utf8(text)) the whole thing is SQL-replayable and the registered query is
+# oracle-paired — the same discipline as byte_histogram_features above.
+
+
+def token_hash_features(media: DataFrame, bins: int = 64) -> DataFrame:
+    """Vision-tower stand-in: binary content -> L2-normalized token-hash
+    histogram (array<double>[bins]).
+
+    Tokens are the content's whitespace-split byte runs; bin =
+    int(md5(token)[:8], 16) % bins — the repo's SQL-replayable hash idiom
+    (dedup.py minhash), so DuckDB can rebuild the identical histogram from
+    characters.  Real plumbing (Arrow batch shape, schema, per-batch numpy
+    fold); deterministic fake features.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def embed(raw) -> list[float]:
+            hist = np.zeros(bins, dtype=np.float64)
+            for tok in bytes(raw).split():
+                hist[int(hashlib.md5(tok).hexdigest()[:8], 16) % bins] += 1.0
+            nrm = np.linalg.norm(hist)
+            return (hist / (nrm or 1.0)).tolist()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "features": [embed(raw) for raw in pdf["content"]],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(extract, out_schema)
+
+
+def caption_alignment_scores(
+    media: DataFrame,
+    captions: DataFrame,
+    caption_col: str = "caption",
+    id_col: str = "media_id",
+    bins: int = 64,
+) -> DataFrame:
+    """Cross-modal alignment score per (image, caption) pair ->
+    (id_col, score) with score = cos(image features, caption features).
+
+    The caption side never leaves the JVM: tokens -> md5 bins -> sparse
+    (id, bin, cnt) counts, then one equi-join against the dense image
+    vectors and a grouped dot product — cosine without materializing a
+    dense caption vector.  Shuffles: one groupBy on (id, bin), one join on
+    id, one groupBy on id — all on the pair key, no skew (ids unique).
+    """
+    img = token_hash_features(media, bins=bins)
+    cap = (
+        captions.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(caption_col), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            id_col,
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % F.lit(bins)
+            ).alias("bin"),
+        )
+        .groupBy(id_col, "bin")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    j = cap.join(img, cap[id_col] == img["media_id"], "inner")
+    # image vectors are unit-norm already; caption norm folds in the same agg
+    return (
+        j.groupBy(cap[id_col].alias(id_col))
+        .agg(
+            F.round(
+                F.sum(F.col("cnt") * F.element_at("features", (F.col("bin") + 1).cast("int")))
+                / F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))),
+                6,
+            ).alias("score")
+        )
+    )
+
+
+def caption_alignment_gate(
+    scores: DataFrame, drop_fraction: float = 0.25, id_col: str = "media_id"
+) -> DataFrame:
+    """Percentile gate over alignment scores: drop the worst
+    ``drop_fraction`` of pairs by (score, id) rank.
+
+    Rank-based rather than value-thresholded so the boundary is
+    float-parity-proof (a value threshold interpolated by two engines can
+    flip rows at the exact boundary).  The global window is fine at the
+    registered SF; at 100 TB compute the cut as an approx_percentile
+    threshold broadcast against the pairs (the approx quality-gate
+    discipline, suites/extras_suite.py) instead of a single-partition
+    rank.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score"), F.col(id_col))
+    return (
+        scores.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= drop_fraction)
+        .drop("pr")
+    )

@@ -1576,3 +1576,73 @@ def doc_knn_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ops.knn_topk(
         dv, fixed_query_vector(64), k=5, id_col="doc_id", vec_col="v"
     )
+
+
+@register(
+    "caption_alignment_gate",
+    # The image encoder (token-hash histogram over the binary content,
+    # mapInPandas) is SQL-replayable on the ASCII corpus because content =
+    # utf8(text): DuckDB rebuilds the identical histogram from characters
+    # with the repo's md5-bin idiom.  Score rounds to 6dp BEFORE the
+    # rank-based gate in both engines, so the boundary cannot float-flip.
+    oracle=r"""
+    WITH img_tok AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bin
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    img AS (
+      SELECT doc_id, bin, CAST(count(*) AS DOUBLE) AS c
+      FROM img_tok GROUP BY 1, 2
+    ),
+    img_n AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM img GROUP BY 1),
+    cap_tok AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bin
+      FROM (SELECT doc_id,
+                   unnest(list_slice(string_split_regex(text, '\s+'), 1, 12)) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    cap AS (
+      SELECT doc_id, bin, CAST(count(*) AS DOUBLE) AS c
+      FROM cap_tok GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cap.doc_id,
+             round(sum(cap.c * img.c / img_n.nrm) / sqrt(sum(cap.c * cap.c)), 6) AS score
+      FROM cap
+      JOIN img USING (doc_id, bin)
+      JOIN img_n ON cap.doc_id = img_n.doc_id
+      GROUP BY 1
+    )
+    SELECT doc_id AS media_id, score
+    FROM (SELECT doc_id, score,
+                 percent_rank() OVER (ORDER BY score, doc_id) AS pr
+          FROM scored)
+    WHERE pr >= 0.25
+    """,
+    doc="Image-text alignment gate (VERDICT r6 item 6) — the LAION-style "
+    "CLIP-score filter a multimodal pipeline gates (image, caption) pairs "
+    "on.  Image tower = mapInPandas token-hash histogram over the opaque "
+    "binary column (operators/multimodal.py:token_hash_features); caption "
+    "tower = JVM-side sparse md5-bin counts; cosine via one sparse-dense "
+    "equi-join; gate drops the worst quartile by rank.  Negative control "
+    "(shuffled captions) pinned in tests/test_caption_alignment.py.",
+)
+def caption_alignment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.multimodal import (
+        attach_binary,
+        caption_alignment_gate as gate,
+        caption_alignment_scores,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    media = attach_binary(docs)
+    # LAION-style short caption: the document's first 12 tokens
+    captions = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.array_join(F.slice(F.split("text", r"\s+"), 1, 12), " ").alias("caption"),
+    )
+    scores = caption_alignment_scores(media, captions)
+    return gate(scores)
