@@ -330,3 +330,173 @@ def read_chunks_snapshot(spark: SparkSession, path: str, version: int | None = N
         with open(mp) as fh:
             return spark.read.parquet(_json.load(fh)["dir"])
     return read_chunks(spark, path)
+
+
+# ------------------------------------------------- incremental re-index ----
+#
+# The reference README documents incremental indexing but its engine
+# destructively recreates the collection every run (reference
+# index.py:426-434; SURVEY §2.2 note).  `upsert_chunks` above gives
+# id-level append-only idempotence; THIS is the full documented intent:
+# detect changed/new/deleted source documents by content fingerprint and
+# re-chunk + re-embed ONLY those, leaving every untouched partition's
+# files physically untouched (VERDICT r6 item 7).
+
+INCR_FP_COL = "doc_fp"
+
+
+def index_incremental(
+    docs: DataFrame,
+    path: str,
+    embedder,
+    chunk_size: int = 400,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> dict:
+    """Incrementally (re-)index ``docs`` into the chunk store at ``path``.
+
+    Change detection: each stored chunk row carries its document's id and
+    content fingerprint (md5 of text).  A document is STALE when its
+    (id, fingerprint) pair is absent from the store — new doc or edited
+    text; a stored document absent from ``docs`` is DELETED.  Only stale
+    documents flow through the chunk + embed UDFs; surviving rows of
+    touched partitions are carried over by COPY (no recompute), and
+    partitions with no stale/deleted documents are not rewritten at all
+    (dynamic partition overwrite), so their parquet files stay
+    byte-identical on disk.
+
+    Scale posture: the fingerprint diff reads ONLY (id, fp, source) from
+    the store (column pruning); the carry-over read is bounded to touched
+    partitions (partition pruning on ``source_col``); the expensive embed
+    UDF runs on exactly the stale documents.  The carried rows are
+    eagerly materialized (localCheckpoint) to break the read-then-
+    overwrite cycle on the same path — bounded by the touched partitions'
+    size, the same cost class as any compaction of those partitions.
+
+    Returns a summary dict: n_stale_docs, n_deleted_docs, n_fresh_chunks,
+    n_carried_chunks, touched_sources.
+    """
+    from pyspark.errors import AnalysisException
+
+    from log_vector_spark.operators.chunk import chunk_documents
+
+    spark = docs.sparkSession
+    target = os.path.join(path, "chunks_incr")
+    fps = docs.select(
+        F.col(id_col), F.col(source_col), F.md5(F.col(text_col)).alias(INCR_FP_COL)
+    )
+    try:
+        stored_fps = (
+            spark.read.parquet(target)
+            .select(id_col, source_col, INCR_FP_COL)
+            .distinct()
+        )
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        stored_fps = None
+
+    if stored_fps is None:
+        stale_docs = docs
+        deleted = None
+        touched = [r[0] for r in docs.select(source_col).distinct().collect()]
+        n_deleted = 0
+    else:
+        stale_ids = fps.join(stored_fps, [id_col, INCR_FP_COL], "left_anti").select(
+            id_col, source_col
+        )
+        deleted = stored_fps.join(fps.select(id_col), id_col, "left_anti").select(
+            id_col, source_col
+        )
+        # touched partitions: sources holding a stale or deleted document.
+        # Bounded collect by design — the store is partitioned by a
+        # low-cardinality source prefix (module docstring).
+        touched_df = stale_ids.select(source_col).union(
+            deleted.select(source_col)
+        ).distinct()
+        touched = [r[0] for r in touched_df.collect()]
+        n_deleted = deleted.count()
+        stale_docs = docs.join(stale_ids.select(id_col), id_col, "left_semi")
+
+    if not touched:
+        return {
+            "n_stale_docs": 0,
+            "n_deleted_docs": 0,
+            "n_fresh_chunks": 0,
+            "n_carried_chunks": 0,
+            "touched_sources": [],
+        }
+
+    chunked = chunk_documents(
+        stale_docs, chunk_size=chunk_size, id_col=id_col,
+        source_col=source_col, text_col=text_col,
+    )
+    # fingerprints of the stale docs only (md5 recompute is trivial next to
+    # the embed UDF); AQE broadcasts the small side of the id join
+    fps_stale = stale_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias(INCR_FP_COL)
+    )
+    fresh = (
+        chunked.withColumn(
+            # chunk_id = source:doc_id:chunk_index; second-to-last token so
+            # a ':' inside source can never corrupt the id
+            id_col,
+            F.element_at(F.split(F.col("chunk_id"), ":"), -2).cast("long"),
+        )
+        .join(fps_stale, id_col)
+        .withColumn("embedding", embedder.embed_col(F.col("document")))
+        .select(
+            "chunk_id", "source", "chunk_index", "total_chunks", "document",
+            "embedding", id_col, INCR_FP_COL,
+        )
+    )
+    n_stale = stale_docs.count()
+
+    if stored_fps is None:
+        fresh.write.mode("overwrite").partitionBy(source_col).parquet(target)
+        n_fresh = spark.read.parquet(target).count()
+        return {
+            "n_stale_docs": n_stale,
+            "n_deleted_docs": 0,
+            "n_fresh_chunks": n_fresh,
+            "n_carried_chunks": 0,
+            "touched_sources": sorted(touched),
+        }
+
+    # carry-over: surviving rows of touched partitions only (partition-
+    # pruned scan), materialized to break the same-path read/overwrite
+    # cycle before the dynamic overwrite below replaces those partitions
+    current_ids = fps.select(id_col, INCR_FP_COL)
+    carry = (
+        spark.read.parquet(target)
+        .filter(F.col(source_col).isin(touched))
+        .join(current_ids, [id_col, INCR_FP_COL], "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    n_carried = carry.count()
+    out = carry.select(*fresh.columns).unionByName(fresh)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy(source_col).parquet(target)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    n_fresh = (
+        spark.read.parquet(target)
+        .filter(F.col(source_col).isin(touched))
+        .count()
+        - n_carried
+    )
+    return {
+        "n_stale_docs": n_stale,
+        "n_deleted_docs": n_deleted,
+        "n_fresh_chunks": n_fresh,
+        "n_carried_chunks": n_carried,
+        "touched_sources": sorted(touched),
+    }
+
+
+def read_chunks_incremental(spark: SparkSession, path: str) -> DataFrame:
+    """Read the incremental chunk store (chunk cols + doc_id + doc_fp)."""
+    return spark.read.parquet(os.path.join(path, "chunks_incr"))
