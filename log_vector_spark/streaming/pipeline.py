@@ -1167,3 +1167,208 @@ def run_stream_quantile_ingest(
         "folded_rows": folded.count(),
         "n_epochs": deltas.select("epoch").distinct().count(),
     }
+
+
+def run_stream_training_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    max_files_per_trigger: int = 1,
+    glob: str = "*.parquet",
+) -> dict:
+    """The COMPOSED streaming training-data pipeline (VERDICT r6 item 5):
+    quality gate -> cross-epoch exact-dedup filter -> encode -> mergeable
+    sketch deltas + an IVF index delta, all inside ONE foreachBatch under
+    ONE checkpoint — the shape a 100 TB ingest actually runs, where the
+    per-artifact streams proven in isolation (test_stream_*.py) must
+    compose without breaking each other's exactly-once story.
+
+    Batch parity (pinned in tests/test_stream_training_ingest.py): the
+    folded per-source stats equal `clean_corpus_pipeline`'s batch output
+    when ingest order is doc_id-ordered.  Stage semantics match the batch
+    pipeline exactly:
+
+    * gate: lang == 'en', n_tokens >= 30, quality >= 0.3
+      (operators/textops.text_quality — same expressions, zero state);
+    * dedup: a document survives only if it is the FIRST-SEEN copy of its
+      md5(text) fingerprint across ALL ingested docs (gated or not) —
+      the batch `exact_dedup` keeps min doc_id per fingerprint, which
+      coincides when ingest is id-ordered (the usual crawl shape; a
+      later-epoch duplicate can never resurrect a group whose first copy
+      was quarantined, matching the batch semi-join).
+    * sketches: per-source (n_docs, total_tokens, sum_quality) SUM deltas
+      + per-source HLL fingerprint registers (MAX deltas) — both
+      mergeable, so query time folds bounded per-epoch rows;
+    * index: survivors' embeddings IVF-assigned under centroids FROZEN at
+      the first non-empty survivor batch and PERSISTED under
+      out_path/centroids (unlike the in-process freeze of
+      run_stream_ivf_ingest, a restarted driver reloads the same
+      centroids — list assignment stays stable across restarts).
+
+    Exactly-once: every artifact is an epoch-partitioned dynamic
+    overwrite, so a replayed epoch replaces exactly its own leaves; the
+    cross-epoch dedup anti-join reads prior fingerprints PARTITION-PRUNED
+    to epoch < current, so a replayed epoch never anti-joins against its
+    own first write.  State on the stream itself: NONE (no watermark
+    buffers) — all cross-epoch state lives in the store as data, the
+    delta-folding discipline of operators/maintenance.py.
+
+    Returns {'n_epochs', 'n_unique_fps', 'n_survivors', 'index_rows',
+    'n_lists', 'stats': {source: (n_docs, total_tokens, avg_quality)}}.
+    """
+    import os as _os
+
+    from pyspark.errors import AnalysisException
+
+    from log_vector_spark.operators import textops
+    from log_vector_spark.operators.embed import DeterministicEmbedder
+    from log_vector_spark.operators.events import hll_rho_rows
+    from log_vector_spark.operators.search import ivf_assign, make_centroids
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    embedder = DeterministicEmbedder(dim=64)
+    fps_dir = _os.path.join(out_path, "fps")
+    stats_dir = _os.path.join(out_path, "stats_deltas")
+    hll_dir = _os.path.join(out_path, "hll_deltas")
+    index_dir = _os.path.join(out_path, "index")
+    centroids_dir = _os.path.join(out_path, "centroids")
+
+    def _epoch_write(df: DataFrame, path: str, extra_parts: tuple[str, ...] = ()) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*extra_parts, "epoch")
+            .parquet(path)
+        )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # ---- dedup grain: first-seen representative per fingerprint ----
+        fps_b = (
+            batch_df.select(
+                "doc_id", "source", F.md5("text").alias("fp")
+            )
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"), F.min("source").alias("source"))
+        )
+        try:
+            prior = (
+                spark.read.parquet(fps_dir)
+                .filter(F.col("epoch") < epoch_id)  # replay-proof: never self
+                .select("fp")
+            )
+            firsts = fps_b.join(prior, "fp", "left_anti")
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            firsts = fps_b
+        # materialize: `firsts` feeds its own store write AND the survivor
+        # semi-join below, and the overwrite below would invalidate the
+        # lazy read it derives from
+        firsts = firsts.localCheckpoint(eager=True)
+        _epoch_write(firsts.withColumn("epoch", F.lit(epoch_id)), fps_dir)
+
+        # ---- quality gate (clean_corpus_pipeline's stage expressions) ----
+        gated = textops.text_quality(
+            batch_df.filter(F.col("lang") == "en"), carry_cols=("source", "text")
+        ).filter((F.col("n_tokens") >= 30) & (F.col("quality") >= 0.3))
+        survivors = gated.join(
+            firsts.select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint(eager=True)  # feeds stats + hll + index below
+
+        # ---- mergeable sketch deltas ----
+        stats = survivors.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("quality").cast("decimal(18,6)")).alias("sum_quality"),
+        )
+        _epoch_write(stats.withColumn("epoch", F.lit(epoch_id)), stats_dir)
+        hll = (
+            hll_rho_rows(
+                survivors.select("source", F.md5("text").alias("fp")),
+                key_col="fp",
+                group_cols=("source",),
+            )
+            .groupBy("source", "reg")
+            .agg(F.max("rho").alias("mj"))
+        )
+        _epoch_write(hll.withColumn("epoch", F.lit(epoch_id)), hll_dir)
+
+        # ---- encode + IVF index delta ----
+        if survivors.isEmpty():
+            return
+        vecs = survivors.select(
+            F.col("doc_id").alias("vec_id"),
+            embedder.embed_col(F.col("text")).alias("embedding"),
+        ).localCheckpoint(eager=True)  # embed once: centroids + assign reuse
+        try:
+            centroids = spark.read.parquet(centroids_dir)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            # freeze on the first surviving batch, persist for restarts
+            make_centroids(vecs).write.mode("overwrite").parquet(centroids_dir)
+            centroids = spark.read.parquet(centroids_dir)
+        assigned = ivf_assign(vecs, centroids)
+        _epoch_write(
+            assigned.select("vec_id", "embedding", "list_id").withColumn(
+                "epoch", F.lit(epoch_id)
+            ),
+            index_dir,
+            extra_parts=("list_id",),
+        )
+
+    q = (
+        src.writeStream.option(
+            "checkpointLocation", _os.path.join(out_path, "_checkpoint")
+        )
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_training_ingest(spark, out_path)
+
+
+def read_training_ingest(spark: SparkSession, out_path: str) -> dict:
+    """Fold the composed ingest's delta artifacts into the query-time view
+    (bounded per-epoch rows; one tiny aggregate each — the same fold
+    discipline as run_stream_bm25_ingest's stats)."""
+    import os as _os
+
+    fps = spark.read.parquet(_os.path.join(out_path, "fps"))
+    stats_rows = (
+        spark.read.parquet(_os.path.join(out_path, "stats_deltas"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("sum_quality").cast("double") / F.sum("n_docs"), 6
+            ).alias("avg_quality"),
+        )
+        .collect()
+    )
+    index = spark.read.parquet(_os.path.join(out_path, "index"))
+    return {
+        "n_epochs": fps.select("epoch").distinct().count(),
+        "n_unique_fps": fps.count(),
+        "n_survivors": int(
+            sum(r["n_docs"] for r in stats_rows)
+        ),
+        "index_rows": index.count(),
+        "n_lists": index.select("list_id").distinct().count(),
+        "stats": {
+            r["source"]: (r["n_docs"], r["total_tokens"], r["avg_quality"])
+            for r in stats_rows
+        },
+    }
