@@ -97,6 +97,12 @@ def _cpu_seconds(pid: int) -> float:
     rest = s[s.rindex(")") + 2 :].split()
     return (int(rest[11]) + int(rest[12])) / os.sysconf("SC_CLK_TCK")
 
+# Drift controls: pure scan-stage queries whose plans never change — the
+# median of their cpu_ratios measures how much THIS window's contention
+# inflates CPU itself, normalizing the regression gate (see main()).
+# Include one in any --only re-bench that should carry trustworthy flags.
+CONTROLS = ["text_quality", "events_hourly", "corpus_stats"]
+
 # Headline set: one per operator family, weighted toward scan/shuffle-heavy
 # shapes that dominate at 100 TB.
 HEADLINE = [
@@ -737,19 +743,6 @@ def main() -> None:
             if cpu_min is not None and cpu_base
             else None
         )
-        # absolute floor: on sub-second queries GC/JIT noise alone moves
-        # CPU by a few hundred ms between windows (a 0.41 s query measured
-        # 1.31 vs 2.01 CPU across two windows with identical code), so a
-        # ratio-only gate false-positives on the smallest rows.  A real
-        # plan regression on a query worth worrying about costs >=1 extra
-        # CPU second.
-        regression = bool(
-            wall_ratio is not None
-            and wall_ratio > 2
-            and cpu_ratio is not None
-            and cpu_ratio > 1.5
-            and (cpu_min - cpu_base) > 1.0
-        )
         results[name] = {
             "wall": round(wall_min, 3),
             "cpu": cpus[i_min],
@@ -758,24 +751,58 @@ def main() -> None:
             "throttled": throttled,
             "wall_ratio": wall_ratio,
             "cpu_ratio": cpu_ratio,
-            "regression": regression,
+            "_cpu_min": cpu_min,
+            "_cpu_base": cpu_base,
             **({"degraded": True} if degraded else {}),
         }
         print(
             f"# {name}: walls={[round(r, 2) for r in runs]} cpus={cpus}"
             f" wall_ratio={wall_ratio} cpu_ratio={cpu_ratio}"
-            f"{' THROTTLED' if throttled else ''}"
-            f"{' REGRESSION' if regression else ''}",
+            f"{' THROTTLED' if throttled else ''}",
             file=sys.stderr,
             flush=True,
         )
+
+    # ---- CPU co-gated regression flags (VERDICT r6 item 1) -------------
+    # A heavily contended window inflates CPU ITSELF, not just wall (a
+    # pure scan-stage control query with unchanged code measured 2.7x its
+    # clean-window CPU during an r7 throttle phase), so the cpu_ratio is
+    # normalized by the window's own drift: the median cpu_ratio of the
+    # CONTROL queries — stable scan-stage rows whose plans never change.
+    # A query is a regression ONLY when wall > 2x baseline AND its
+    # drift-normalized CPU > 1.5x baseline AND the raw CPU delta exceeds
+    # 1 s (sub-second rows move a few hundred ms on GC/JIT noise alone).
+    ctrl = sorted(
+        results[c]["cpu_ratio"]
+        for c in CONTROLS
+        if c in results and results[c]["cpu_ratio"] is not None
+    )
+    cpu_drift = ctrl[len(ctrl) // 2] if ctrl else 1.0
+    n_regression = 0
+    for name, r in results.items():
+        cpu_min, cpu_base = r.pop("_cpu_min"), r.pop("_cpu_base")
+        norm = (
+            round(r["cpu_ratio"] / max(cpu_drift, 1.0), 3)
+            if r["cpu_ratio"] is not None
+            else None
+        )
+        r["cpu_ratio_norm"] = norm
+        r["regression"] = bool(
+            r["wall_ratio"] is not None
+            and r["wall_ratio"] > 2
+            and norm is not None
+            and norm > 1.5
+            and (cpu_min - cpu_base) > 1.0
+        )
+        n_regression += r["regression"]
+        if r["regression"]:
+            print(f"# REGRESSION {name}: cpu_ratio_norm={norm}", file=sys.stderr)
 
     total = round(sum(r["wall"] for r in results.values()), 3)
     cpu_total = (
         round(sum(r["cpu"] for r in results.values() if r["cpu"] is not None), 3)
     )
     n_throttled = sum(1 for r in results.values() if r["throttled"])
-    n_regression = sum(1 for r in results.values() if r.get("regression"))
     sf = SF_DIR.rstrip("/").split("/")[-1].replace("sf", "")
     run_set = "only" if args.only else ("headline" if args.headline else "full")
     detail = {
@@ -785,6 +812,7 @@ def main() -> None:
         "cpu_total": cpu_total,
         "n_throttled": n_throttled,
         "n_regression": n_regression,
+        "cpu_drift": round(cpu_drift, 3),
         "queries": results,
         "sf": float(sf),
         "set": run_set,

@@ -49,15 +49,29 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.catalog import _ensure_read_confs
 
     _ensure_read_confs(spark)
-    ts_type = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-    nanos = getattr(ts_type, "unit", None) == "ns"
-    schema = _EVENTS_COLS.format(ts="ts long" if nanos else "ts timestamp")
-    # streaming file sources need a directory; glob-filter to the one table
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    table_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(table_path):
+        # directory-of-part-files layout (e.g. the sf1 decade replica):
+        # stream the directory itself; footer-probe any one part file
+        probe = next(
+            os.path.join(table_path, f)
+            for f in sorted(os.listdir(table_path))
+            if f.endswith(".parquet")
+        )
+        ts_type = pq.read_schema(probe).field("ts").type
+        nanos = getattr(ts_type, "unit", None) == "ns"
+        schema = _EVENTS_COLS.format(ts="ts long" if nanos else "ts timestamp")
+        src = spark.readStream.schema(schema).parquet(table_path)
+    else:
+        ts_type = pq.read_schema(table_path).field("ts").type
+        nanos = getattr(ts_type, "unit", None) == "ns"
+        schema = _EVENTS_COLS.format(ts="ts long" if nanos else "ts timestamp")
+        # streaming file sources need a directory; glob-filter to the one table
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if nanos:
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return src
@@ -1175,6 +1189,7 @@ def run_stream_training_ingest(
     out_path: str,
     max_files_per_trigger: int = 1,
     glob: str = "*.parquet",
+    where: str | None = None,
 ) -> dict:
     """The COMPOSED streaming training-data pipeline (VERDICT r6 item 5):
     quality gate -> cross-epoch exact-dedup filter -> encode -> mergeable
@@ -1232,6 +1247,11 @@ def run_stream_training_ingest(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
+    if where:
+        # scan-stage predicate on the stream (pushed to the file source) —
+        # the registered query samples 1-in-4 here; the full-corpus form
+        # is what the pytests drive
+        src = src.filter(where)
     embedder = DeterministicEmbedder(dim=64)
     fps_dir = _os.path.join(out_path, "fps")
     stats_dir = _os.path.join(out_path, "stats_deltas")

@@ -1681,7 +1681,10 @@ def caption_alignment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT chunk_id, md5(document) AS chunk_md5, (doc_id % 7 = 0) AS reindexed
     FROM chunks
-    """,
+    """.replace(
+        "FROM documents",
+        "FROM documents WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 = 0",
+    ),
     doc="Incremental re-index with change detection (VERDICT r6 item 7; the "
     "reference README's documented-but-unimplemented incremental intent, "
     "SURVEY §2.2 note).  Builds a store from a stale corpus (docs with "
@@ -1695,14 +1698,21 @@ def index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from log_vector_spark.operators.sampling import systematic_sample
     from log_vector_spark.sources.store import (
         index_incremental as incr,
         read_chunks_incremental,
     )
 
-    docs = table(spark, "documents", sf_dir).select(
-        "doc_id", "source", F.translate(F.col("text"), " ", "\n").alias("text")
-    )
+    # registered on a 1-in-4 systematic sample (the sampled-eval
+    # discipline): the query's job is to exercise the two-run incremental
+    # plumbing per bench rep, and the double store build is ~4x the
+    # index_pipeline cost unsampled.  Full-corpus behavior is pinned by
+    # tests/test_index_incremental.py and available via
+    # sources/store.py:index_incremental directly.
+    docs = systematic_sample(
+        table(spark, "documents", sf_dir), "doc_id", keep_one_in=4
+    ).select("doc_id", "source", F.translate(F.col("text"), " ", "\n").alias("text"))
     stale = docs.withColumn(
         "text",
         F.when(
@@ -1760,17 +1770,24 @@ _CLEAN_CORPUS_ORACLE = """
 @register(
     "stream_training_ingest",
     # The composed streaming job's FOLDED sketch deltas must equal the
-    # batch clean_corpus_pipeline — same oracle, so the driver hash-checks
-    # that gate -> dedup -> sketch compose under one checkpoint without
-    # changing any stage's semantics.  Multi-epoch + restart + replay
-    # behavior is pinned in tests/test_stream_training_ingest.py.
-    oracle=_CLEAN_CORPUS_ORACLE,
+    # batch clean_corpus_pipeline — same oracle (on the same 1-in-4
+    # systematic sample), so the driver hash-checks that gate -> dedup ->
+    # sketch compose under one checkpoint without changing any stage's
+    # semantics.  Multi-epoch + restart + replay behavior (full corpus)
+    # is pinned in tests/test_stream_training_ingest.py.
+    oracle=_CLEAN_CORPUS_ORACLE.replace(
+        "FROM documents",
+        "FROM documents WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 = 0",
+    ),
     doc="Composed streaming training-data pipeline (VERDICT r6 item 5): "
     "quality gate -> cross-epoch exact-dedup -> encode -> mergeable "
     "sketch deltas + IVF index delta in ONE foreachBatch under ONE "
     "checkpoint (streaming/pipeline.py:run_stream_training_ingest).  "
     "Output = the folded per-source stats deltas, oracle-paired against "
-    "the batch pipeline they must converge to.",
+    "the batch pipeline they must converge to.  Registered on a 1-in-4 "
+    "systematic sample (sampled-eval discipline — the job's embed + IVF "
+    "write-time work is the registry's heaviest otherwise); the pytests "
+    "drive the full corpus.",
 )
 def stream_training_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -1778,10 +1795,25 @@ def stream_training_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from log_vector_spark.streaming.pipeline import run_stream_training_ingest
 
+    import os
+
     out = tempfile.mkdtemp(prefix="stream_training_")
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    # directory-of-part-files layout (sf1 decade replica): stream the table
+    # directory itself; flat-file layout: glob-filter within sf_dir
+    src_dir, glob = (
+        (docs_path, "*.parquet")
+        if os.path.isdir(docs_path)
+        else (sf_dir, "documents.parquet")
+    )
+    # same bucket expression as operators/sampling.hash_bucket(doc_id, 4)
+    sample = (
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) "
+        "as bigint) % 4 = 0"
+    )
     try:
         folded = run_stream_training_ingest(
-            spark, sf_dir, out, glob="documents.parquet"
+            spark, src_dir, out, glob=glob, where=sample
         )
         rows = [
             (src, n, tot, avgq)
