@@ -574,6 +574,22 @@ BASELINE_SEC = {
     "vector_norms": 0.36,
     "winnow_density_report": 6.03,
 }
+# r7 additions, measured in a ~2.4x-CPU-drifted window (controls
+# text_quality 2.45x / corpus_stats 2.44x their clean CPU rows) — treat
+# as upper bounds.  index_incremental / stream_training_ingest rows are
+# the registered 1-in-4 sampled forms.
+BASELINE_SEC_R7 = {
+    "caption_alignment_gate": 1.47,
+    "index_incremental": 6.21,
+    "stream_training_ingest": 4.91,
+}
+BASELINE_CPU_R7 = {
+    "caption_alignment_gate": 2.63,
+    "index_incremental": 18.83,
+    "stream_training_ingest": 17.55,
+}
+BASELINE_SEC.update(BASELINE_SEC_R7)
+
 # r7 re-base: the r6 event-time-timeout eviction pass added real CPU
 # (watermark tracking + idle flush) — composed-min wall 4.16 s / CPU
 # 14.1 s across the two r6 full windows vs the 3.22 s / 8.8 s
@@ -658,6 +674,7 @@ BASELINE_CPU = {
     "training_data_pipeline": 4.31, "trigram_logprob_interp": 4.43, "triplet_mining": 4.37, "unigram_logprob": 1.02,
     "vector_norms": 1.14, "vocab_topk": 0.85, "winnow_density_report": 9.02,
 }
+BASELINE_CPU.update(BASELINE_CPU_R7)
 
 
 def main() -> None:
