@@ -18,11 +18,14 @@ the CPU co-gate):
   {"wall": <min-wall sec>, "cpu": <JVM cpu sec of the min-wall run>,
    "runs": [every wall], "cpus": [every cpu], "throttled": bool,
    "wall_ratio": wall/BASELINE_SEC, "cpu_ratio": min-cpu/BASELINE_CPU,
-   "regression": wall_ratio > 2 AND cpu_ratio > 1.5}
+   "cpu_ratio_norm": cpu_ratio / window cpu_drift,
+   "regression": wall_ratio > 2 AND cpu_ratio_norm > 1.5 AND delta > 1s}
 ``regression`` is the load-bearing flag: wall >2x baseline alone is the
 shared-host stall signature (three rounds of wall-only tails vanished on
-re-measure); only a CPU-confirmed tail (>1.5x the clean-window CPU
-baseline) means the plan actually does more work.
+re-measure); only a CPU-confirmed tail means the plan actually does more
+work, and the CPU ratio is normalized by the window's own drift (median
+cpu_ratio of the CONTROLS — contention inflates CPU itself, a control
+measured 2.7x clean CPU with unchanged code during an r7 stall phase).
 ``cpu`` is the whole-JVM utime+stime delta from /proc (local mode = one
 JVM; queries run serially, so the delta IS the query's executor+driver
 CPU).  ``throttled`` is set when the reps disagree by >2x wall while the
@@ -753,7 +756,12 @@ def main() -> None:
         # first rep carries one-off codegen JIT, same as wall).
         wall_min = min(runs)
         cpu_min = min((c for c in cpus if c is not None), default=None)
-        cpu_base = BASELINE_CPU.get(name)
+        # CPU baselines were measured at sf0.1 too — meaningless elsewhere
+        cpu_base = (
+            BASELINE_CPU.get(name)
+            if SF_DIR.rstrip("/").endswith("sf0.1")
+            else None
+        )
         wall_ratio = round(wall_min / base, 3) if base != float("inf") else None
         cpu_ratio = (
             round(cpu_min / cpu_base, 3)

@@ -437,6 +437,10 @@ def index_incremental(
     fps_stale = stale_docs.select(
         F.col(id_col), F.md5(F.col(text_col)).alias(INCR_FP_COL)
     )
+    # spread the embed UDF across cores: the chunk explode inherits the
+    # docs scan partitioning (a single-file table reads as 1 partition),
+    # which would otherwise run the pipeline's expensive map on one core
+    nparts = spark.sparkContext.defaultParallelism
     fresh = (
         chunked.withColumn(
             # chunk_id = source:doc_id:chunk_index; second-to-last token so
@@ -445,11 +449,17 @@ def index_incremental(
             F.element_at(F.split(F.col("chunk_id"), ":"), -2).cast("long"),
         )
         .join(fps_stale, id_col)
+        .repartition(nparts, F.col("chunk_id"))
         .withColumn("embedding", embedder.embed_col(F.col("document")))
         .select(
             "chunk_id", "source", "chunk_index", "total_chunks", "document",
             "embedding", id_col, INCR_FP_COL,
         )
+        # lazy checkpoint: the store write below materializes this once;
+        # the post-write written-partitions probe then reuses it instead
+        # of re-running the embed UDF (the bitext lazy-checkpoint
+        # discipline)
+        .localCheckpoint(eager=False)
     )
     n_stale = stale_docs.count()
 
@@ -482,6 +492,19 @@ def index_incremental(
         out.write.mode("overwrite").partitionBy(source_col).parquet(target)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data — a touched partition whose every doc was deleted (nothing
+    # carried, nothing fresh) would silently keep its stale rows.  Remove
+    # those partition dirs explicitly (touched is a bounded list).
+    import shutil as _shutil
+
+    written = {
+        r[0] for r in out.select(source_col).distinct().collect()
+    }
+    for src_val in set(touched) - written:
+        pdir = os.path.join(target, f"{source_col}={src_val}")
+        if os.path.isdir(pdir):
+            _shutil.rmtree(pdir)
     n_fresh = (
         spark.read.parquet(target)
         .filter(F.col(source_col).isin(touched))

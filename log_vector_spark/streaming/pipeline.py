@@ -150,7 +150,12 @@ def run_stream_index(spark: SparkSession, sf_dir: str, out_path: str, chunk_size
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         chunks = chunk_documents(batch_df, chunk_size=chunk_size)
-        embedded = chunks.withColumn("embedding", embedder.embed_col(F.col("document")))
+        # spread the embed UDF: the chunk explode inherits the micro-batch's
+        # file partitioning (often 1), which would embed on one core
+        nparts = spark.sparkContext.defaultParallelism
+        embedded = chunks.repartition(nparts, F.col("chunk_id")).withColumn(
+            "embedding", embedder.embed_col(F.col("document"))
+        )
         # exactly-once: epoch-partitioned dynamic overwrite — a retried epoch
         # REPLACES its own partition instead of appending a duplicate (the
         # run_stream_quality_gate fix applied to the index sink)
@@ -1299,9 +1304,24 @@ def run_stream_training_ingest(
         gated = textops.text_quality(
             batch_df.filter(F.col("lang") == "en"), carry_cols=("source", "text")
         ).filter((F.col("n_tokens") >= 30) & (F.col("quality") >= 0.3))
-        survivors = gated.join(
-            firsts.select("doc_id"), "doc_id", "left_semi"
-        ).localCheckpoint(eager=True)  # feeds stats + hll + index below
+        # the gate chain inherits the SOURCE partitioning (a 1-file micro-
+        # batch = 1-2 partitions; the semi-join broadcasts, adding no
+        # shuffle), so without an explicit spread the checkpoint write AND
+        # the embed UDF below run on one core — measured 11.6 s
+        # single-task at sf0.1.  Keyed repartition parallelizes both.
+        nparts = spark.sparkContext.defaultParallelism
+        survivors = (
+            gated.join(firsts.select("doc_id"), "doc_id", "left_semi")
+            .repartition(nparts, F.col("doc_id"))
+            .localCheckpoint(eager=True)  # feeds stats + hll + index below
+        )
+
+        # a batch may gate out entirely (degenerate corpus) — skipping the
+        # empty epoch writes is replay-safe (nothing to replace) and keeps
+        # the artifact dirs readable (an all-empty partitioned write leaves
+        # a parquet dir with no schema to infer)
+        if survivors.isEmpty():
+            return
 
         # ---- mergeable sketch deltas ----
         stats = survivors.groupBy("source").agg(
@@ -1322,8 +1342,6 @@ def run_stream_training_ingest(
         _epoch_write(hll.withColumn("epoch", F.lit(epoch_id)), hll_dir)
 
         # ---- encode + IVF index delta ----
-        if survivors.isEmpty():
-            return
         vecs = survivors.select(
             F.col("doc_id").alias("vec_id"),
             embedder.embed_col(F.col("text")).alias("embedding"),
@@ -1365,10 +1383,23 @@ def read_training_ingest(spark: SparkSession, out_path: str) -> dict:
     discipline as run_stream_bm25_ingest's stats)."""
     import os as _os
 
-    fps = spark.read.parquet(_os.path.join(out_path, "fps"))
+    from pyspark.errors import AnalysisException
+
+    def _read(sub: str):
+        # an artifact dir may not exist when every batch gated out
+        # (degenerate corpus) — fold to empty instead of failing inference
+        try:
+            return spark.read.parquet(_os.path.join(out_path, sub))
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            return None
+
+    fps = _read("fps")
+    stats = _read("stats_deltas")
+    index = _read("index")
     stats_rows = (
-        spark.read.parquet(_os.path.join(out_path, "stats_deltas"))
-        .groupBy("source")
+        stats.groupBy("source")
         .agg(
             F.sum("n_docs").cast("bigint").alias("n_docs"),
             F.sum("total_tokens").cast("bigint").alias("total_tokens"),
@@ -1377,16 +1408,15 @@ def read_training_ingest(spark: SparkSession, out_path: str) -> dict:
             ).alias("avg_quality"),
         )
         .collect()
+        if stats is not None
+        else []
     )
-    index = spark.read.parquet(_os.path.join(out_path, "index"))
     return {
-        "n_epochs": fps.select("epoch").distinct().count(),
-        "n_unique_fps": fps.count(),
-        "n_survivors": int(
-            sum(r["n_docs"] for r in stats_rows)
-        ),
-        "index_rows": index.count(),
-        "n_lists": index.select("list_id").distinct().count(),
+        "n_epochs": fps.select("epoch").distinct().count() if fps is not None else 0,
+        "n_unique_fps": fps.count() if fps is not None else 0,
+        "n_survivors": int(sum(r["n_docs"] for r in stats_rows)),
+        "index_rows": index.count() if index is not None else 0,
+        "n_lists": index.select("list_id").distinct().count() if index is not None else 0,
         "stats": {
             r["source"]: (r["n_docs"], r["total_tokens"], r["avg_quality"])
             for r in stats_rows

@@ -8,6 +8,7 @@ import sys
 
 import pytest
 from pyspark import cloudpickle
+from pyspark.sql import functions as F
 
 from log_vector_spark.operators.embed import DeterministicEmbedder
 
@@ -116,3 +117,17 @@ def test_incremental_reindex_only_touches_changed(spark, tmp_path):
     assert s3["n_stale_docs"] == 0 and s3["touched_sources"] == []
     assert acc.value == acc3
     assert (_files(srcA_dir), _files(srcB_dir)) == before3
+
+    # run 4: delete EVERY srcB doc — dynamic overwrite alone cannot empty
+    # a partition absent from the written data, so the operator must
+    # remove the stale partition dir explicitly
+    v3 = [r for r in v2 if r[1] != "srcB"]
+    s4 = index_incremental(_docs_df(spark, v3), store, emb, chunk_size=80)
+    assert s4["n_deleted_docs"] == 5 and s4["touched_sources"] == ["srcB"]
+    assert acc.value == acc3  # nothing re-embedded
+    assert not os.path.isdir(srcB_dir)
+    final4 = read_chunks_incremental(spark, store)
+    assert final4.filter(F.col("source") == "srcB").count() == 0
+    assert final4.count() == len(
+        [k for k in final if not k.startswith("srcB")]
+    )
