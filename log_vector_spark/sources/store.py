@@ -464,6 +464,16 @@ def index_incremental(
     n_stale = stale_docs.count()
 
     if stored_fps is None:
+        if n_stale == 0:
+            # empty first corpus: nothing to write — an all-empty
+            # partitioned write would leave an unreadable parquet dir
+            return {
+                "n_stale_docs": 0,
+                "n_deleted_docs": 0,
+                "n_fresh_chunks": 0,
+                "n_carried_chunks": 0,
+                "touched_sources": [],
+            }
         fresh.write.mode("overwrite").partitionBy(source_col).parquet(target)
         n_fresh = spark.read.parquet(target).count()
         return {
@@ -505,12 +515,19 @@ def index_incremental(
         pdir = os.path.join(target, f"{source_col}={src_val}")
         if os.path.isdir(pdir):
             _shutil.rmtree(pdir)
-    n_fresh = (
-        spark.read.parquet(target)
-        .filter(F.col(source_col).isin(touched))
-        .count()
-        - n_carried
-    )
+    if not written and not any(
+        d.startswith(f"{source_col}=") for d in os.listdir(target)
+    ):
+        # every partition deleted: the store is now empty (unreadable as
+        # parquet) — count from what we know instead of a failing read
+        n_fresh = 0
+    else:
+        n_fresh = (
+            spark.read.parquet(target)
+            .filter(F.col(source_col).isin(touched))
+            .count()
+            - n_carried
+        )
     return {
         "n_stale_docs": n_stale,
         "n_deleted_docs": n_deleted,

@@ -1695,6 +1695,7 @@ def caption_alignment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle = from-scratch index of the current corpus (convergence).",
 )
 def index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import shutil
     import tempfile
 
@@ -1724,14 +1725,19 @@ def index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         incr(stale, store, embedder, chunk_size=400)   # v1: stale index
         incr(docs, store, embedder, chunk_size=400)    # v2: incremental refresh
+        # an empty corpus never writes a store at all
         rows = (
-            read_chunks_incremental(spark, store)
-            .select(
-                "chunk_id",
-                F.md5("document").alias("chunk_md5"),
-                (F.col("doc_id") % 7 == 0).alias("reindexed"),
+            (
+                read_chunks_incremental(spark, store)
+                .select(
+                    "chunk_id",
+                    F.md5("document").alias("chunk_md5"),
+                    (F.col("doc_id") % 7 == 0).alias("reindexed"),
+                )
+                .collect()
             )
-            .collect()
+            if os.path.isdir(os.path.join(store, "chunks_incr"))
+            else []
         )
     finally:
         shutil.rmtree(store, ignore_errors=True)
