@@ -1831,3 +1831,116 @@ def stream_training_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "source string, n_docs bigint, total_tokens bigint, avg_quality double",
     )
+
+
+@register(
+    "multimodal_curation_pipeline",
+    # Composition of three independently-oracle-paired stages in one lazy
+    # plan; the oracle replays pixels, hash bits, and caption quality
+    # closed-form, so a defect in ANY stage (codec, resize, threshold,
+    # dedup grain, gate expression) breaks the hash match end-to-end.
+    oracle="""
+    WITH ys AS (SELECT unnest(range(16)) AS y),
+    xs AS (SELECT unnest(range(15)) AS x),
+    px AS (
+      SELECT doc_id,
+             ((doc_id * 31 + y * 15 + x) * 97 + 0) % 256 AS r,
+             ((doc_id * 31 + y * 15 + x) * 97 + 7) % 256 AS g,
+             ((doc_id * 31 + y * 15 + x) * 97 + 14) % 256 AS b
+      FROM documents CROSS JOIN ys CROSS JOIN xs
+    ),
+    stats AS (
+      SELECT doc_id, round(avg(0.299 * r + 0.587 * g + 0.114 * b), 6) AS mean_luma
+      FROM px GROUP BY doc_id
+    ),
+    di AS (SELECT unnest(range(8)) AS i),
+    dj AS (SELECT unnest(range(8)) AS j),
+    hpx AS (
+      SELECT doc_id, i, j,
+             ((doc_id * 31 + ((i * 16) // 8) * 15 + ((j * 15) // 8)) * 97 + 0) % 256 AS r,
+             ((doc_id * 31 + ((i * 16) // 8) * 15 + ((j * 15) // 8)) * 97 + 7) % 256 AS g,
+             ((doc_id * 31 + ((i * 16) // 8) * 15 + ((j * 15) // 8)) * 97 + 14) % 256 AS b
+      FROM documents CROSS JOIN di CROSS JOIN dj
+    ),
+    l AS (SELECT doc_id, 299 * r + 587 * g + 114 * b AS lum,
+                 CAST(i * 8 + j AS BIGINT) AS idx
+          FROM hpx),
+    s AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) AS total FROM l GROUP BY doc_id),
+    ahash AS (
+      SELECT l.doc_id,
+             CAST(sum(CASE WHEN idx < 32 AND 64 * lum > total
+                           THEN CAST(pow(2, idx) AS BIGINT) ELSE 0 END) AS BIGINT) AS w0,
+             CAST(sum(CASE WHEN idx >= 32 AND 64 * lum > total
+                           THEN CAST(pow(2, idx - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS w1
+      FROM l JOIN s USING (doc_id) GROUP BY l.doc_id
+    ),
+    reps AS (SELECT min(doc_id) AS doc_id FROM ahash GROUP BY w0, w1),
+    tw AS (
+      SELECT doc_id, source, lang,
+             list_filter(string_split(text, ' '), t -> t <> '') AS words
+      FROM documents
+    ),
+    tq AS (
+      SELECT doc_id, source, lang,
+             CAST(len(words) AS INTEGER) AS n_tokens,
+             round((CAST(len(list_filter(words, t -> t IN ('the','a','of','to','and')))
+                         AS INTEGER) / CAST(len(words) AS INTEGER)) * 0.5
+                   + least(CAST(len(words) AS INTEGER), 100) / 100.0 * 0.5, 6) AS quality
+      FROM tw
+    ),
+    pairs AS (
+      SELECT tq.doc_id, tq.source, tq.n_tokens, stats.mean_luma
+      FROM tq
+      JOIN reps USING (doc_id)
+      JOIN stats USING (doc_id)
+      WHERE tq.lang = 'en' AND tq.n_tokens >= 30 AND tq.quality >= 0.3
+        AND stats.mean_luma >= 127.5
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(CAST(mean_luma AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS avg_luma,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM pairs GROUP BY source
+    """,
+    doc="Composed multimodal curation funnel (the clean_corpus_pipeline of "
+    "the image-caption family, LAION recipe order): REAL BMP decode -> "
+    "brightness gate (mean_luma >= 127.5; the synthetic fixture's luma "
+    "spread is narrow, so the threshold sits at its median — the STAGE "
+    "is the point) -> perceptual-aHash exact-dup collapse to group reps "
+    "-> caption quality gate (lang/tokens/quality, the text pipeline's "
+    "expressions) -> per-source pair stats.  ONE lazy plan over one "
+    "documents scan + two mapInPandas image kernels; all three stages "
+    "reuse already-oracle-paired operators.",
+)
+def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators import textops
+    from log_vector_spark.operators.multimodal import (
+        image_ahash_bmp as iab,
+        image_stats_bmp as isb,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    stats = isb(docs).select("media_id", "mean_luma")
+    reps = (
+        iab(docs)
+        .groupBy("w0", "w1")
+        .agg(F.min("media_id").alias("media_id"))
+        .select("media_id")
+    )
+    tq = textops.text_quality(
+        docs.filter(F.col("lang") == "en"), carry_cols=("source",)
+    ).filter((F.col("n_tokens") >= 30) & (F.col("quality") >= 0.3))
+    pairs = (
+        tq.join(reps, tq.doc_id == reps.media_id)
+        .join(stats.filter(F.col("mean_luma") >= 127.5).withColumnRenamed("media_id", "m2"),
+              F.col("doc_id") == F.col("m2"))
+    )
+    return pairs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("mean_luma").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_luma"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
