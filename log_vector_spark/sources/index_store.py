@@ -104,7 +104,9 @@ def probe_list_ids(
     must touch every file's footer.  Ties break to the lower list_id —
     identical to the inline knn_ivf probe and its oracle.
     """
-    cents = spark.read.schema(_CENTROIDS_SCHEMA).parquet(os.path.join(store_root, "centroids"))
+    cents = spark.read.schema(_CENTROIDS_SCHEMA).parquet(
+        resolve_ivf_artifact(store_root, "centroids")
+    )
     q = literal_vector(query_vec)
     rows = (
         cents.select(
@@ -136,9 +138,9 @@ def knn_ivf_stored(
     root = ensure_ivf_store(spark, sf_dir)
     lists = probe_list_ids(spark, root, query_vec, nprobe)
     q = literal_vector(query_vec)
-    vecs = spark.read.schema(_VECTORS_SCHEMA).parquet(os.path.join(root, "vectors")).filter(
-        F.col("list_id").isin(lists)
-    )
+    vecs = spark.read.schema(_VECTORS_SCHEMA).parquet(
+        resolve_ivf_artifact(root, "vectors")
+    ).filter(F.col("list_id").isin(lists))
     return (
         vecs.select(
             "vec_id",
@@ -630,3 +632,111 @@ def phrase_search_stored(
         )
         cur = cur.join(nxt, ["doc_id", "p0"])
     return cur.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+
+
+# --------------------------------------------- IVF offline retrain job ----
+#
+# Every IVF-family docstring defers to "a real deployment re-trains
+# centroids offline and rewrites the store when recall degrades" — this is
+# that job.  Snapshot protocol is write_chunks_versioned's (store.py):
+# write a COMPLETE new version (vectors_v{N} + centroids_v{N}), atomically
+# repoint a 1-line meta file, clean past retention.  Readers resolve the
+# pointer first (falling back to the legacy flat layout), so a query that
+# started on version N keeps scanning an immutable N while N+1 lands.
+
+import json as _json
+
+
+def _ivf_meta_path(store_root: str) -> str:
+    return os.path.join(store_root, "_current.json")
+
+
+def resolve_ivf_artifact(store_root: str, name: str) -> str:
+    """Path of the live `vectors` / `centroids` artifact: pointer-resolved
+    when the store has been retrained, legacy flat path otherwise."""
+    mp = _ivf_meta_path(store_root)
+    if os.path.exists(mp):
+        with open(mp) as fh:
+            v = _json.load(fh)["version"]
+        return os.path.join(store_root, f"{name}_v{v}")
+    return os.path.join(store_root, name)
+
+
+def retrain_ivf_store(
+    spark: SparkSession,
+    store_root: str,
+    iters: int = 2,
+    keep_versions: int = 2,
+) -> dict:
+    """Re-train the coarse quantizer (k-means-refined centroids) over the
+    CURRENT store content and rewrite the list-partitioned store as a new
+    immutable version with an atomic pointer swap.
+
+    The retrain reads the stored vectors (one full scan — write-time cost,
+    same envelope as one IVF build), refines centroids with `iters`
+    deterministic Lloyd rounds (search.make_centroids_kmeans: the exact
+    builder the `ivf_kmeans_recall_at10` eval certifies against the stride
+    pick), reassigns every vector, and writes vectors_v{N}/centroids_v{N}.
+    Old versions beyond `keep_versions` are removed AFTER the swap — a
+    reader that resolved the pointer pre-swap may still be scanning the
+    previous version.  A crash before the swap leaves an unreferenced _v
+    directory, never a torn store.
+
+    Returns {'version', 'n_vectors', 'n_lists_before', 'n_lists_after'}.
+    """
+    import shutil as _shutil
+
+    vecs = spark.read.schema(_VECTORS_SCHEMA).parquet(
+        resolve_ivf_artifact(store_root, "vectors")
+    )
+    n_lists_before = vecs.select("list_id").distinct().count()
+    base = vecs.select("vec_id", "embedding", "label").localCheckpoint(eager=True)
+    # store the refined centroids in the store's float layout and ASSIGN
+    # under that same float form — the quantizer queries read must be the
+    # quantizer the assignment used, or probe/partition disagree
+    cents = (
+        search.make_centroids_kmeans(base, iters=iters)
+        .select(
+            "list_id",
+            F.transform("centroid", lambda x: x.cast("float")).alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = search.ivf_assign(base, cents)
+
+    mp = _ivf_meta_path(store_root)
+    version = 0
+    if os.path.exists(mp):
+        with open(mp) as fh:
+            version = _json.load(fh)["version"] + 1
+    (
+        assigned.select("vec_id", "embedding", "label", "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(store_root, f"vectors_v{version}"))
+    )
+    cents.write.mode("overwrite").parquet(
+        os.path.join(store_root, f"centroids_v{version}")
+    )
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"version": version}, fh)
+    os.replace(tmp, mp)  # atomic swap
+    live = {
+        f"{n}_v{v}"
+        for v in range(max(0, version - keep_versions + 1), version + 1)
+        for n in ("vectors", "centroids")
+    }
+    for d in os.listdir(store_root):
+        if ("_v" in d and d.split("_v")[0] in ("vectors", "centroids")
+                and d not in live):
+            _shutil.rmtree(os.path.join(store_root, d))
+    stored = spark.read.schema(_VECTORS_SCHEMA).parquet(
+        os.path.join(store_root, f"vectors_v{version}")
+    )
+    return {
+        "version": version,
+        "n_vectors": stored.count(),
+        "n_lists_before": n_lists_before,
+        "n_lists_after": stored.select("list_id").distinct().count(),
+    }

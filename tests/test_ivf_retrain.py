@@ -1,0 +1,91 @@
+"""Offline IVF retrain + store rewrite (the maintenance job every IVF
+docstring defers to): snapshot pointer swap, reader resolution, result
+parity with the inline k-means path, retention, crash safety."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+QV = None  # set lazily from fixed_query_vector
+
+
+def _build_private_store(spark, tmp_path, monkeypatch):
+    from log_vector_spark.sources import index_store
+
+    root = str(tmp_path / "ivf_store")
+    os.makedirs(root)
+    index_store._build_ivf(spark, SF, root)
+    with open(os.path.join(root, "_BUILT"), "w") as fh:
+        fh.write("ivf")
+    monkeypatch.setitem(
+        index_store._CACHE, (os.path.abspath(SF), "ivf"), root
+    )
+    return root
+
+
+@pytest.mark.spark
+def test_retrain_swaps_snapshot_and_preserves_parity(spark, tmp_path, monkeypatch):
+    from log_vector_spark.functions.vector import fixed_query_vector
+    from log_vector_spark.operators import search
+    from log_vector_spark.sources import index_store
+
+    root = _build_private_store(spark, tmp_path, monkeypatch)
+    qv = fixed_query_vector(64)
+
+    before = [
+        (r["vec_id"], r["score"])
+        for r in index_store.knn_ivf_stored(spark, SF, qv, k=5, nprobe=4).collect()
+    ]
+    assert len(before) == 5
+
+    info = index_store.retrain_ivf_store(spark, root, iters=2)
+    assert info["version"] == 0
+    assert os.path.exists(os.path.join(root, "_current.json"))
+    assert os.path.isdir(os.path.join(root, "vectors_v0"))
+    # legacy layout left in place (readers mid-scan on it are safe)
+    assert os.path.isdir(os.path.join(root, "vectors"))
+    # no vector lost in the rewrite
+    n_legacy = spark.read.schema(index_store._VECTORS_SCHEMA).parquet(
+        os.path.join(root, "vectors")
+    ).count()
+    assert info["n_vectors"] == n_legacy
+
+    # the stored query now reads the retrained snapshot and must equal the
+    # inline IVF path under the SAME retrained centroids exactly
+    after = [
+        (r["vec_id"], r["score"])
+        for r in index_store.knn_ivf_stored(spark, SF, qv, k=5, nprobe=4).collect()
+    ]
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = spark.read.schema(index_store._CENTROIDS_SCHEMA).parquet(
+        os.path.join(root, "centroids_v0")
+    )
+    queries_df = spark.createDataFrame([(0, qv)], "query_id long, query_vec array<double>")
+    expected = [
+        (r["vec_id"], r["score"])
+        for r in search.knn_ivf_batch(emb, cents, queries_df, k=5, nprobe=4)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .collect()
+    ]
+    assert after == expected
+
+
+@pytest.mark.spark
+def test_retrain_retention_and_crash_orphan(spark, tmp_path, monkeypatch):
+    from log_vector_spark.sources import index_store
+
+    root = _build_private_store(spark, tmp_path, monkeypatch)
+    for expect_v in (0, 1, 2):
+        info = index_store.retrain_ivf_store(spark, root, iters=1, keep_versions=2)
+        assert info["version"] == expect_v
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("vectors_v"))
+    assert dirs == ["vectors_v1", "vectors_v2"]  # retention = 2
+
+    # crash simulation: an orphan _v dir with NO pointer update is ignored
+    os.makedirs(os.path.join(root, "vectors_v9"))
+    assert index_store.resolve_ivf_artifact(root, "vectors").endswith("vectors_v2")
+    with open(os.path.join(root, "_current.json")) as fh:
+        assert json.load(fh)["version"] == 2
