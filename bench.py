@@ -582,12 +582,14 @@ BASELINE_SEC = {
 # as upper bounds.  index_incremental / stream_training_ingest rows are
 # the registered 1-in-4 sampled forms.
 BASELINE_SEC_R7 = {
+    "text_normalize": 0.49,
     "multimodal_curation_pipeline": 2.23,
     "caption_alignment_gate": 1.47,
     "index_incremental": 6.21,
     "stream_training_ingest": 4.91,
 }
 BASELINE_CPU_R7 = {
+    "text_normalize": 0.92,
     "multimodal_curation_pipeline": 3.41,
     "caption_alignment_gate": 2.63,
     "index_incremental": 18.83,

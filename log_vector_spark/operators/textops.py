@@ -13,6 +13,10 @@ real lists per deployment.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from log_vector_spark.functions.text import token_count, tokens
@@ -533,3 +537,58 @@ def learn_bpe_pieces(
         "word",
         F.size(F.split(F.trim(F.col("seq")), " ")).cast("int").alias("n_pieces"),
     )
+
+
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical text normalization (the CCNet/C4 pre-dedup step): NFC
+    unicode normalization -> C0-control/DEL -> space -> collapse space
+    runs -> trim -> lowercase.
+
+    NFC is the one stage Spark has no builtin for, so it runs as an
+    Arrow-batched pandas_udf (unicodedata — the same Unicode tables DuckDB's
+    nfc_normalize implements, which is what makes the registered query
+    oracle-replayable); everything after stays JVM-side.  Normalizing
+    BEFORE exact/fingerprint dedup is what makes byte-level duplicates of
+    the same logical text (composed vs decomposed accents, case, control
+    junk) actually collide.
+
+    Output: (id_col, norm_text, n_chars_raw, n_chars_norm).
+    """
+    _nfc = _nfc_udf()
+
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    _nfc(F.col(text_col)), r"[\x00-\x08\x0B-\x1F\x7F]", " "
+                ),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.length(text_col).cast("int").alias("n_chars_raw"),
+        F.length(norm).cast("int").alias("n_chars_norm"),
+    )
+
+
+def _nfc_udf():
+    """Arrow-batched NFC normalizer (Iterator/pd hints resolve against
+    module globals — the `from __future__ import annotations` stringified
+    signature is evaluated there by pandas_udf)."""
+
+    @F.pandas_udf("string")
+    def _nfc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import unicodedata
+
+        for s in batches:
+            yield s.map(
+                lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+            )
+
+    return _nfc

@@ -430,3 +430,40 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def nb_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.nb_calibration_report(table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_normalize",
+    # DuckDB's nfc_normalize implements the same Unicode NFC tables as
+    # Python's unicodedata, so the one UDF stage replays exactly; the
+    # JVM-side stages replay as the same regex/lower/trim chain.  The
+    # corpus is ASCII (NFC = identity here) — the unicode forms are pinned
+    # by tests/test_text_normalize.py instead.
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, text,
+             lower(trim(regexp_replace(
+               regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B-\x1F\x7F]', ' ', 'g'),
+               '\s+', ' ', 'g'))) AS norm
+      FROM documents
+    )
+    SELECT doc_id, md5(norm) AS norm_md5,
+           CAST(length(text) AS INTEGER) AS n_chars_raw,
+           CAST(length(norm) AS INTEGER) AS n_chars_norm
+    FROM n
+    """,
+    doc="Canonical text normalization (CCNet/C4 pre-dedup step): NFC "
+    "(Arrow pandas_udf — Spark has no builtin) -> control chars to space "
+    "-> whitespace-run collapse -> trim -> lowercase, then md5 of the "
+    "canonical form.  Normalizing before exact/fingerprint dedup is what "
+    "makes composed-vs-decomposed accents, case, and control junk "
+    "actually collide.  operators/textops.py:normalize_text.",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = textops.normalize_text(table(spark, "documents", sf_dir))
+    return n.select(
+        "doc_id",
+        F.md5("norm_text").alias("norm_md5"),
+        "n_chars_raw",
+        "n_chars_norm",
+    )
