@@ -718,9 +718,41 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     jvm = _jvm_pid()
 
+    # Rolling drift probes: the static CONTROLS run at their registration
+    # positions (early), so a window whose contention or session-state cost
+    # RAMPS during the run passes the global drift check while late
+    # queries inflate (observed r7: one full window measured 6 late
+    # queries at 2-5x CPU while the early controls were flat; ALL six
+    # re-measured clean in isolation).  A 1-rep text_quality probe every
+    # PROBE_EVERY queries gives each query a drift estimate local in TIME;
+    # the regression gate normalizes by the larger of the global and local
+    # drift, so neither a slow start nor a slow tail can false-flag.
+    PROBE = "text_quality"
+    PROBE_EVERY = 40
+    probe_base = (
+        BASELINE_CPU.get(PROBE)
+        if SF_DIR.rstrip("/").endswith("sf0.1")
+        else None
+    )
+    drift_probes: list[tuple[int, float]] = []
+
+    def _probe(idx: int) -> None:
+        if probe_base is None or jvm is None or PROBE not in qs:
+            return
+        c0 = _cpu_seconds(jvm)
+        qs[PROBE](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        drift_probes.append(
+            (idx, round((_cpu_seconds(jvm) - c0) / probe_base, 3))
+        )
+
     results: dict[str, dict] = {}
     suite_t0 = time.time()
-    for name in names:
+    # prime the probe plan's codegen so the first recorded probe is warm
+    _probe(-1)
+    drift_probes.clear()
+    for q_idx, name in enumerate(names):
+        if q_idx % PROBE_EVERY == 0:
+            _probe(q_idx)
         fn = qs[name]
         # baselines were measured at sf0.1 — meaningless at other SFs
         base = (
@@ -782,6 +814,7 @@ def main() -> None:
             "cpu_ratio": cpu_ratio,
             "_cpu_min": cpu_min,
             "_cpu_base": cpu_base,
+            "_idx": q_idx,
             **({"degraded": True} if degraded else {}),
         }
         print(
@@ -807,11 +840,19 @@ def main() -> None:
         if c in results and results[c]["cpu_ratio"] is not None
     )
     cpu_drift = ctrl[len(ctrl) // 2] if ctrl else 1.0
+
+    def _local_drift(idx: int) -> float:
+        if not drift_probes:
+            return 1.0
+        return min(drift_probes, key=lambda p: abs(p[0] - idx))[1]
+
     n_regression = 0
     for name, r in results.items():
         cpu_min, cpu_base = r.pop("_cpu_min"), r.pop("_cpu_base")
+        q_idx = r.pop("_idx")
+        drift = max(cpu_drift, _local_drift(q_idx), 1.0)
         norm = (
-            round(r["cpu_ratio"] / max(cpu_drift, 1.0), 3)
+            round(r["cpu_ratio"] / drift, 3)
             if r["cpu_ratio"] is not None
             else None
         )
@@ -842,6 +883,7 @@ def main() -> None:
         "n_throttled": n_throttled,
         "n_regression": n_regression,
         "cpu_drift": round(cpu_drift, 3),
+        "drift_probes": drift_probes,
         "queries": results,
         "sf": float(sf),
         "set": run_set,
