@@ -386,16 +386,23 @@ def index_incremental(
     fps = docs.select(
         F.col(id_col), F.col(source_col), F.md5(F.col(text_col)).alias(INCR_FP_COL)
     )
-    try:
-        stored_fps = (
-            spark.read.parquet(target)
-            .select(id_col, source_col, INCR_FP_COL)
-            .distinct()
-        )
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
+    # local-path short-circuit: probing a known-absent store through
+    # spark.read logs a full analysis stack trace per run (first-write is
+    # the COMMON case for this operator's callers); object-store URIs fall
+    # through to the exception path
+    if "://" not in target and not os.path.isdir(target):
         stored_fps = None
+    else:
+        try:
+            stored_fps = (
+                spark.read.parquet(target)
+                .select(id_col, source_col, INCR_FP_COL)
+                .distinct()
+            )
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            stored_fps = None
 
     if stored_fps is None:
         stale_docs = docs
@@ -474,7 +481,16 @@ def index_incremental(
                 "n_carried_chunks": 0,
                 "touched_sources": [],
             }
-        fresh.write.mode("overwrite").partitionBy(source_col).parquet(target)
+        # one shuffle by the partition column before the write: without it
+        # every task writes a sliver into every source dir (32 files per
+        # partition from the embed-spread repartition above) — footer count
+        # dominates the later fingerprint-diff scans and the write itself
+        (
+            fresh.repartition(F.col(source_col))
+            .write.mode("overwrite")
+            .partitionBy(source_col)
+            .parquet(target)
+        )
         n_fresh = spark.read.parquet(target).count()
         return {
             "n_stale_docs": n_stale,
@@ -499,7 +515,12 @@ def index_incremental(
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        out.write.mode("overwrite").partitionBy(source_col).parquet(target)
+        (
+            out.repartition(F.col(source_col))
+            .write.mode("overwrite")
+            .partitionBy(source_col)
+            .parquet(target)
+        )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     # dynamic overwrite only replaces partitions PRESENT in the written

@@ -1283,17 +1283,20 @@ def run_stream_training_ingest(
             .groupBy("fp")
             .agg(F.min("doc_id").alias("doc_id"), F.min("source").alias("source"))
         )
-        try:
-            prior = (
-                spark.read.parquet(fps_dir)
-                .filter(F.col("epoch") < epoch_id)  # replay-proof: never self
-                .select("fp")
-            )
-            firsts = fps_b.join(prior, "fp", "left_anti")
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            firsts = fps_b
+        if "://" not in fps_dir and not _os.path.isdir(fps_dir):
+            firsts = fps_b  # first epoch: no prior store (no noisy probe)
+        else:
+            try:
+                prior = (
+                    spark.read.parquet(fps_dir)
+                    .filter(F.col("epoch") < epoch_id)  # replay-proof: never self
+                    .select("fp")
+                )
+                firsts = fps_b.join(prior, "fp", "left_anti")
+            except AnalysisException as e:
+                if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                    raise
+                firsts = fps_b
         # materialize: `firsts` feeds its own store write AND the survivor
         # semi-join below, and the overwrite below would invalidate the
         # lazy read it derives from
@@ -1346,14 +1349,10 @@ def run_stream_training_ingest(
             F.col("doc_id").alias("vec_id"),
             embedder.embed_col(F.col("text")).alias("embedding"),
         ).localCheckpoint(eager=True)  # embed once: centroids + assign reuse
-        try:
-            centroids = spark.read.parquet(centroids_dir)
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
+        if "://" not in centroids_dir and not _os.path.isdir(centroids_dir):
             # freeze on the first surviving batch, persist for restarts
             make_centroids(vecs).write.mode("overwrite").parquet(centroids_dir)
-            centroids = spark.read.parquet(centroids_dir)
+        centroids = spark.read.parquet(centroids_dir)
         assigned = ivf_assign(vecs, centroids)
         _epoch_write(
             assigned.select("vec_id", "embedding", "list_id").withColumn(
@@ -1388,8 +1387,11 @@ def read_training_ingest(spark: SparkSession, out_path: str) -> dict:
     def _read(sub: str):
         # an artifact dir may not exist when every batch gated out
         # (degenerate corpus) — fold to empty instead of failing inference
+        p = _os.path.join(out_path, sub)
+        if "://" not in p and not _os.path.isdir(p):
+            return None
         try:
-            return spark.read.parquet(_os.path.join(out_path, sub))
+            return spark.read.parquet(p)
         except AnalysisException as e:
             if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
                 raise
