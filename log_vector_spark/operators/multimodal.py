@@ -824,18 +824,66 @@ def caption_alignment_scores(
 
 
 def caption_alignment_gate(
+    scores: DataFrame,
+    drop_fraction: float = 0.25,
+    id_col: str = "media_id",
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
+) -> DataFrame:
+    """Percentile gate over alignment scores: keep pairs whose score is at
+    or above the corpus's ``drop_fraction`` quantile.
+
+    Scale-safe form (the adaptive_quality_gate discipline,
+    operators/curation.py): the cut is computed as a ONE-ROW percentile
+    aggregate over (score) and broadcast back against the pairs — no
+    global ``Window.orderBy`` that would single-partition every (image,
+    caption) pair at 100 TB.  Float-boundary discipline: scores arrive
+    already rounded to 6dp (caption_alignment_scores) and the threshold is
+    rounded to 6dp before the compare, so both engines gate identical
+    doubles against an identical cut.
+
+    ``approx=False`` (the oracle-paired default) uses exact
+    ``F.percentile`` — per-group sort state is |pairs| scalars in one
+    reducer, fine to ~10^9 pairs.  ``approx=True`` is the 100 TB form:
+    ``percentile_approx`` (Greenwald-Khanna, constant-size summary; rank
+    error ±1/approx_accuracy).  The two forms disagree only on boundary
+    ties (pinned in tests/test_caption_alignment.py).
+
+    The exact-rank gate (drop the worst quartile by (score, id) rank, a
+    single-partition sort) survives as :func:`caption_alignment_gate_rank`
+    and is registered as an opt-in audit only.
+    """
+    if approx:
+        thr = scores.agg(
+            F.round(
+                F.percentile_approx(
+                    "score", F.lit(drop_fraction), F.lit(approx_accuracy)
+                ),
+                6,
+            ).alias("_thr")
+        )
+    else:
+        thr = scores.agg(
+            F.round(F.percentile("score", F.lit(drop_fraction)), 6).alias("_thr")
+        )
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .where(F.col("score") >= F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def caption_alignment_gate_rank(
     scores: DataFrame, drop_fraction: float = 0.25, id_col: str = "media_id"
 ) -> DataFrame:
-    """Percentile gate over alignment scores: drop the worst
-    ``drop_fraction`` of pairs by (score, id) rank.
+    """EXACT-RANK percentile gate: drop the worst ``drop_fraction`` of
+    pairs by (score, id) rank.
 
-    Rank-based rather than value-thresholded so the boundary is
-    float-parity-proof (a value threshold interpolated by two engines can
-    flip rows at the exact boundary).  The global window is fine at the
-    registered SF; at 100 TB compute the cut as an approx_percentile
-    threshold broadcast against the pairs (the approx quality-gate
-    discipline, suites/extras_suite.py) instead of a single-partition
-    rank.
+    Opt-in AUDIT form only (the lsh_candidate_pr_eval precedent): the
+    global no-partition window moves every pair through a single-partition
+    sort — deliberately exact, deliberately not scale-safe.  The
+    registered default is :func:`caption_alignment_gate` (broadcast
+    percentile threshold).
     """
     from pyspark.sql import Window
 

@@ -1578,15 +1578,11 @@ def doc_knn_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "caption_alignment_gate",
-    # The image encoder (token-hash histogram over the binary content,
-    # mapInPandas) is SQL-replayable on the ASCII corpus because content =
-    # utf8(text): DuckDB rebuilds the identical histogram from characters
-    # with the repo's md5-bin idiom.  Score rounds to 6dp BEFORE the
-    # rank-based gate in both engines, so the boundary cannot float-flip.
-    oracle=r"""
-    WITH img_tok AS (
+# (image, caption) alignment scores — SQL replay of the mapInPandas image
+# tower + JVM caption tower (multimodal.py:caption_alignment_scores),
+# shared by the registered gate and the exact-rank audit.
+_CAPTION_SCORED_CTE = r"""
+    img_tok AS (
       SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bin
       FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
             FROM documents)
@@ -1616,24 +1612,12 @@ def doc_knn_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN img_n ON cap.doc_id = img_n.doc_id
       GROUP BY 1
     )
-    SELECT doc_id AS media_id, score
-    FROM (SELECT doc_id, score,
-                 percent_rank() OVER (ORDER BY score, doc_id) AS pr
-          FROM scored)
-    WHERE pr >= 0.25
-    """,
-    doc="Image-text alignment gate (VERDICT r6 item 6) — the LAION-style "
-    "CLIP-score filter a multimodal pipeline gates (image, caption) pairs "
-    "on.  Image tower = mapInPandas token-hash histogram over the opaque "
-    "binary column (operators/multimodal.py:token_hash_features); caption "
-    "tower = JVM-side sparse md5-bin counts; cosine via one sparse-dense "
-    "equi-join; gate drops the worst quartile by rank.  Negative control "
-    "(shuffled captions) pinned in tests/test_caption_alignment.py.",
-)
-def caption_alignment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _caption_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.operators.multimodal import (
         attach_binary,
-        caption_alignment_gate as gate,
         caption_alignment_scores,
     )
 
@@ -1644,8 +1628,65 @@ def caption_alignment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.array_join(F.slice(F.split("text", r"\s+"), 1, 12), " ").alias("caption"),
     )
-    scores = caption_alignment_scores(media, captions)
-    return gate(scores)
+    return caption_alignment_scores(media, captions)
+
+
+@register(
+    "caption_alignment_gate",
+    # The image encoder (token-hash histogram over the binary content,
+    # mapInPandas) is SQL-replayable on the ASCII corpus because content =
+    # utf8(text): DuckDB rebuilds the identical histogram from characters
+    # with the repo's md5-bin idiom.  Gate = broadcast exact-percentile
+    # threshold (Spark F.percentile == DuckDB quantile_cont, linear
+    # interpolation at rank (N-1)p); scores AND the threshold round to 6dp
+    # before the compare in both engines, so the boundary cannot
+    # float-flip.  The single-partition exact-rank form is the opt-in
+    # audit caption_alignment_rank_audit.
+    oracle=f"""
+    WITH {_CAPTION_SCORED_CTE},
+    thr AS (SELECT round(quantile_cont(score, 0.25), 6) AS t FROM scored)
+    SELECT doc_id AS media_id, score
+    FROM scored, thr
+    WHERE score >= t
+    """,
+    doc="Image-text alignment gate (VERDICT r6 item 6) — the LAION-style "
+    "CLIP-score filter a multimodal pipeline gates (image, caption) pairs "
+    "on.  Image tower = mapInPandas token-hash histogram over the opaque "
+    "binary column (operators/multimodal.py:token_hash_features); caption "
+    "tower = JVM-side sparse md5-bin counts; cosine via one sparse-dense "
+    "equi-join; gate keeps pairs at/above the broadcast p25 score "
+    "threshold (scale-safe per VERDICT r7 item 1 — no single-partition "
+    "rank window).  Negative control (shuffled captions) pinned in "
+    "tests/test_caption_alignment.py.",
+)
+def caption_alignment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.multimodal import caption_alignment_gate as gate
+
+    return gate(_caption_scores(spark, sf_dir))
+
+
+@register(
+    "caption_alignment_rank_audit",
+    audit=True,
+    oracle=f"""
+    WITH {_CAPTION_SCORED_CTE}
+    SELECT doc_id AS media_id, score
+    FROM (SELECT doc_id, score,
+                 percent_rank() OVER (ORDER BY score, doc_id) AS pr
+          FROM scored)
+    WHERE pr >= 0.25
+    """,
+    doc="EXACT-RANK form of the caption alignment gate (the pre-r8 "
+    "registered default): drops the worst quartile by (score, id) "
+    "percent_rank through a global no-partition window — a deliberate "
+    "single-partition sort, kept as an opt-in audit only (the "
+    "lsh_candidate_pr_eval precedent, VERDICT r7 item 1).  The registered "
+    "caption_alignment_gate is the broadcast-threshold form.",
+)
+def caption_alignment_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.multimodal import caption_alignment_gate_rank
+
+    return caption_alignment_gate_rank(_caption_scores(spark, sf_dir))
 
 
 @register(

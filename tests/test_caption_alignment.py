@@ -66,12 +66,62 @@ def test_gate_drops_exactly_the_worst_quartile(spark):
     n = scores.count()
     kept = caption_alignment_gate(scores)
     n_kept = kept.count()
-    # percent_rank >= 0.25 keeps ceil(0.75*(n-1)) + 1 rows modulo ties;
-    # with distinct (score, id) ordering the count is deterministic
+    # score >= p25 threshold keeps ~0.75*n rows modulo boundary ties
     assert n_kept < n
-    assert abs(n_kept - 0.75 * n) <= max(2, 0.01 * n)
-    # the kept set is exactly the top rows by (score, media_id)
+    assert abs(n_kept - 0.75 * n) <= max(2, 0.02 * n)
+    # the kept set is exactly the top rows by score
     worst_kept = kept.agg(F.min("score")).first()[0]
     dropped = scores.join(kept, "media_id", "left_anti")
     best_dropped = dropped.agg(F.max("score")).first()[0]
     assert best_dropped <= worst_kept
+
+
+@pytest.mark.spark
+def test_gate_forms_agree(spark):
+    """The three gate forms (exact-percentile threshold, approx-percentile
+    threshold, exact rank) agree modulo boundary ties — pins that the r8
+    scale-safe re-plan did not change semantics."""
+    from log_vector_spark.operators.multimodal import (
+        attach_binary,
+        caption_alignment_gate,
+        caption_alignment_gate_rank,
+        caption_alignment_scores,
+    )
+
+    docs = _docs(spark)
+    scores = caption_alignment_scores(attach_binary(docs), _captions(docs)).cache()
+    try:
+        n = scores.count()
+        exact = {r.media_id for r in caption_alignment_gate(scores).collect()}
+        approx = {
+            r.media_id for r in caption_alignment_gate(scores, approx=True).collect()
+        }
+        rank = {r.media_id for r in caption_alignment_gate_rank(scores).collect()}
+        # accuracy >= group size -> GK is exact; only the threshold
+        # SEMANTICS (interpolated vs data-element) can flip boundary ties
+        assert len(exact.symmetric_difference(approx)) <= max(2, 0.02 * n)
+        # rank form breaks score-ties by id; threshold form keeps all tied
+        # rows at the cut -> rank-kept is a subset modulo the tie band
+        assert len(exact.symmetric_difference(rank)) <= max(2, 0.02 * n)
+    finally:
+        scores.unpersist()
+
+
+@pytest.mark.spark
+def test_gate_plan_has_no_global_window(spark):
+    """VERDICT r7 item 1 regression pin: the registered gate's physical
+    plan must not contain a no-partition WindowExec (single-partition
+    sort of every pair)."""
+    from log_vector_spark.operators.multimodal import (
+        attach_binary,
+        caption_alignment_gate,
+        caption_alignment_scores,
+    )
+
+    from log_vector_spark.plans.explain import plan_string
+
+    docs = _docs(spark)
+    scores = caption_alignment_scores(attach_binary(docs), _captions(docs))
+    plan = plan_string(caption_alignment_gate(scores), "formatted")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
