@@ -356,10 +356,13 @@ def index_incremental(
 ) -> dict:
     """Incrementally (re-)index ``docs`` into the chunk store at ``path``.
 
-    Change detection: each stored chunk row carries its document's id and
-    content fingerprint (md5 of text).  A document is STALE when its
-    (id, fingerprint) pair is absent from the store — new doc or edited
-    text; a stored document absent from ``docs`` is DELETED.  Only stale
+    Change detection: each stored chunk row carries its document's id,
+    source, and content fingerprint (md5 of text).  A document is STALE
+    when its (id, source, fingerprint) TRIPLE is absent from the store —
+    new doc, edited text, or a source move (same text, new source: the
+    source is part of the identity, so a move re-indexes and the old
+    partition drops the moved doc); a stored document absent from
+    ``docs`` is DELETED.  Only stale
     documents flow through the chunk + embed UDFs; surviving rows of
     touched partitions are carried over by COPY (no recompute), and
     partitions with no stale/deleted documents are not rewritten at all
@@ -410,18 +413,30 @@ def index_incremental(
         touched = [r[0] for r in docs.select(source_col).distinct().collect()]
         n_deleted = 0
     else:
-        stale_ids = fps.join(stored_fps, [id_col, INCR_FP_COL], "left_anti").select(
-            id_col, source_col
-        )
+        # diff key is the FULL (id, source, fp) triple: a doc whose source
+        # moved but whose text is unchanged is stale too (ADVICE r7 —
+        # keying on (id, fp) alone kept the old source forever)
+        stale_ids = fps.join(
+            stored_fps, [id_col, source_col, INCR_FP_COL], "left_anti"
+        ).select(id_col, source_col)
         deleted = stored_fps.join(fps.select(id_col), id_col, "left_anti").select(
             id_col, source_col
         )
-        # touched partitions: sources holding a stale or deleted document.
-        # Bounded collect by design — the store is partitioned by a
-        # low-cardinality source prefix (module docstring).
-        touched_df = stale_ids.select(source_col).union(
-            deleted.select(source_col)
-        ).distinct()
+        # touched partitions: sources holding a stale or deleted document,
+        # PLUS the stored (old) sources of stale ids — a (doc_id, source)
+        # move must rewrite the old partition or its chunks survive
+        # alongside the re-indexed ones.  Bounded collect by design — the
+        # store is partitioned by a low-cardinality source prefix (module
+        # docstring).
+        stale_old_src = stored_fps.join(
+            stale_ids.select(id_col), id_col, "left_semi"
+        ).select(source_col)
+        touched_df = (
+            stale_ids.select(source_col)
+            .union(deleted.select(source_col))
+            .union(stale_old_src)
+            .distinct()
+        )
         touched = [r[0] for r in touched_df.collect()]
         n_deleted = deleted.count()
         stale_docs = docs.join(stale_ids.select(id_col), id_col, "left_semi")
@@ -502,12 +517,14 @@ def index_incremental(
 
     # carry-over: surviving rows of touched partitions only (partition-
     # pruned scan), materialized to break the same-path read/overwrite
-    # cycle before the dynamic overwrite below replaces those partitions
-    current_ids = fps.select(id_col, INCR_FP_COL)
+    # cycle before the dynamic overwrite below replaces those partitions.
+    # Survival key is the full (id, source, fp) triple — a moved doc's old
+    # row matches on (id, fp) but not source and must NOT be carried.
+    current_keys = fps.select(id_col, source_col, INCR_FP_COL)
     carry = (
         spark.read.parquet(target)
         .filter(F.col(source_col).isin(touched))
-        .join(current_ids, [id_col, INCR_FP_COL], "left_semi")
+        .join(current_keys, [id_col, source_col, INCR_FP_COL], "left_semi")
         .localCheckpoint(eager=True)
     )
     n_carried = carry.count()

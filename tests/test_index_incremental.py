@@ -131,3 +131,52 @@ def test_incremental_reindex_only_touches_changed(spark, tmp_path):
     assert final4.count() == len(
         [k for k in final if not k.startswith("srcB")]
     )
+
+
+@pytest.mark.spark
+def test_source_move_reindexes_and_drops_old_partition(spark, tmp_path):
+    """ADVICE r7 (store.py fingerprint diff): a doc whose SOURCE changes
+    must be re-indexed even when its text is unchanged, and its chunks
+    must vanish from the old partition — no duplicate doc_id rows."""
+    from log_vector_spark.sources.store import (
+        index_incremental,
+        read_chunks_incremental,
+    )
+
+    store = str(tmp_path / "store")
+    acc = spark.sparkContext.accumulator(0)
+    emb = CountingEmbedder(acc)
+
+    v1 = [(i, "srcA" if i < 5 else "srcB", _word_text(i)) for i in range(10)]
+    index_incremental(_docs_df(spark, v1), store, emb, chunk_size=80)
+    n1 = acc.value
+
+    # move doc 7 srcB -> srcA, text unchanged
+    v2 = [(i, "srcA" if (i < 5 or i == 7) else "srcB", t) for (i, _s, t) in v1]
+    s2 = index_incremental(_docs_df(spark, v2), store, emb, chunk_size=80)
+
+    assert s2["n_stale_docs"] == 1
+    assert s2["n_deleted_docs"] == 0
+    # BOTH partitions are touched: new source gains the doc, old loses it
+    assert s2["touched_sources"] == ["srcA", "srcB"]
+    assert acc.value > n1  # the moved doc really re-embedded
+
+    final = read_chunks_incremental(spark, store)
+    rows7 = final.filter(F.col("chunk_id").like("%:7:%")).collect()
+    assert rows7, "moved doc missing from store"
+    assert {r["source"] for r in rows7} == {"srcA"}, "old-partition chunks survived"
+    # exactly one row per chunk_id — the duplicate-doc defect is the bug
+    assert final.count() == final.select("chunk_id").distinct().count()
+
+    # text + source change together: old partition still cleaned
+    v3 = [
+        (i, "srcC" if i == 1 else s, t + " edited" if i == 1 else t)
+        for (i, s, t) in v2
+    ]
+    s3 = index_incremental(_docs_df(spark, v3), store, emb, chunk_size=80)
+    assert s3["n_stale_docs"] == 1
+    assert "srcA" in s3["touched_sources"] and "srcC" in s3["touched_sources"]
+    final3 = read_chunks_incremental(spark, store)
+    rows1 = final3.filter(F.col("chunk_id").like("%:1:%")).collect()
+    assert rows1 and {r["source"] for r in rows1} == {"srcC"}
+    assert final3.count() == final3.select("chunk_id").distinct().count()
