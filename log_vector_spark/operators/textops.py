@@ -569,11 +569,19 @@ def normalize_text(
             )
         )
     )
+    # project norm_text ONCE, then derive n_chars_norm from the alias —
+    # repeating the `norm` expression in the same projection plants two
+    # copies of the pandas_udf subtree, which the optimizer is not
+    # guaranteed to dedupe (ADVICE r7: would double the only UDF stage)
     return docs.select(
         F.col(id_col),
         norm.alias("norm_text"),
         F.length(text_col).cast("int").alias("n_chars_raw"),
-        F.length(norm).cast("int").alias("n_chars_norm"),
+    ).select(
+        id_col,
+        "norm_text",
+        "n_chars_raw",
+        F.length("norm_text").cast("int").alias("n_chars_norm"),
     )
 
 

@@ -93,7 +93,11 @@ def ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
 
 
 def probe_list_ids(
-    spark: SparkSession, store_root: str, query_vec: Sequence[float], nprobe: int
+    spark: SparkSession,
+    store_root: str,
+    query_vec: Sequence[float],
+    nprobe: int,
+    centroids_path: str | None = None,
 ) -> list[int]:
     """Driver-side coarse quantization: top-nprobe list ids as LITERALS.
 
@@ -103,9 +107,13 @@ def probe_list_ids(
     at the scan (PartitionFilters), instead of a join-shaped probe that
     must touch every file's footer.  Ties break to the lower list_id —
     identical to the inline knn_ivf probe and its oracle.
+
+    Callers that also scan the vectors must pass ``centroids_path`` from a
+    single resolve_ivf_snapshot call so the probe and the scan share one
+    pinned version (see resolve_ivf_snapshot).
     """
     cents = spark.read.schema(_CENTROIDS_SCHEMA).parquet(
-        resolve_ivf_artifact(store_root, "centroids")
+        centroids_path or resolve_ivf_artifact(store_root, "centroids")
     )
     q = literal_vector(query_vec)
     rows = (
@@ -136,11 +144,16 @@ def knn_ivf_stored(
     at query time.  tests/test_plans.py pins the pruned scan.
     """
     root = ensure_ivf_store(spark, sf_dir)
-    lists = probe_list_ids(spark, root, query_vec, nprobe)
+    # resolve the snapshot pointer ONCE: probe and scan must see the same
+    # version even if a retrain swap lands mid-query (ADVICE r7)
+    snap = resolve_ivf_snapshot(root)
+    lists = probe_list_ids(
+        spark, root, query_vec, nprobe, centroids_path=snap["centroids"]
+    )
     q = literal_vector(query_vec)
-    vecs = spark.read.schema(_VECTORS_SCHEMA).parquet(
-        resolve_ivf_artifact(root, "vectors")
-    ).filter(F.col("list_id").isin(lists))
+    vecs = spark.read.schema(_VECTORS_SCHEMA).parquet(snap["vectors"]).filter(
+        F.col("list_id").isin(lists)
+    )
     return (
         vecs.select(
             "vec_id",
@@ -651,15 +664,33 @@ def _ivf_meta_path(store_root: str) -> str:
     return os.path.join(store_root, "_current.json")
 
 
-def resolve_ivf_artifact(store_root: str, name: str) -> str:
-    """Path of the live `vectors` / `centroids` artifact: pointer-resolved
-    when the store has been retrained, legacy flat path otherwise."""
+def resolve_ivf_snapshot(store_root: str) -> dict[str, str]:
+    """Pin ONE store version: a single read of the pointer file yields the
+    paths of BOTH artifacts (vectors + centroids) of that version.
+
+    Queries must resolve through this (not per-artifact) — resolving the
+    pointer twice lets a concurrent retrain_ivf_store swap land between
+    the two reads, probing version-N centroids against version-N+1
+    vectors, whose list partitioning belongs to a different quantizer
+    (ADVICE r7).  Falls back to the legacy flat layout when the store has
+    never been retrained.
+    """
     mp = _ivf_meta_path(store_root)
     if os.path.exists(mp):
         with open(mp) as fh:
             v = _json.load(fh)["version"]
-        return os.path.join(store_root, f"{name}_v{v}")
-    return os.path.join(store_root, name)
+        return {n: os.path.join(store_root, f"{n}_v{v}") for n in ("vectors", "centroids")}
+    return {n: os.path.join(store_root, n) for n in ("vectors", "centroids")}
+
+
+def resolve_ivf_artifact(store_root: str, name: str) -> str:
+    """Path of the live `vectors` / `centroids` artifact: pointer-resolved
+    when the store has been retrained, legacy flat path otherwise.
+
+    Single-artifact convenience — a query touching both artifacts must use
+    :func:`resolve_ivf_snapshot` so both resolve to the SAME version.
+    """
+    return resolve_ivf_snapshot(store_root)[name]
 
 
 def retrain_ivf_store(

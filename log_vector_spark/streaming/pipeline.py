@@ -1281,7 +1281,13 @@ def run_stream_training_ingest(
                 "doc_id", "source", F.md5("text").alias("fp")
             )
             .groupBy("fp")
-            .agg(F.min("doc_id").alias("doc_id"), F.min("source").alias("source"))
+            # min_by ties the recorded source to the kept representative
+            # (min doc_id) — independent mins could pair doc A's id with
+            # doc B's source (ADVICE r7)
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.min_by("source", "doc_id").alias("source"),
+            )
         )
         if "://" not in fps_dir and not _os.path.isdir(fps_dir):
             firsts = fps_b  # first epoch: no prior store (no noisy probe)
