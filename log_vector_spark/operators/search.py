@@ -503,6 +503,29 @@ def knn_ivf_batch(
     nothing data-scaled (the rank window partitions by query_id — full
     parallelism across the batch).
     """
+    assigned = ivf_assign(vectors, centroids, vec_id, vec_col)
+    return knn_ivf_batch_assigned(
+        assigned, centroids, queries_df, k, nprobe, vec_id, vec_col,
+        query_id, query_vec,
+    )
+
+
+def knn_ivf_batch_assigned(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """knn_ivf_batch over a PRE-ASSIGNED relation (vec, list_id) — the
+    stored-index form: the assignment is a write-time artifact (e.g. the
+    list_id-partitioned IVF store), so query time is probe + pruned scan
+    only.  Same probe rule, scoring, and ties as knn_ivf_batch, which
+    delegates here."""
     probed = queries_df.crossJoin(F.broadcast(centroids)).withColumn(
         "qscore",
         F.round(cosine_similarity(F.col(query_vec), F.col("centroid")), SCORE_DP),
@@ -513,7 +536,6 @@ def knn_ivf_batch(
         .filter(F.col("pr") <= nprobe)
         .select(query_id, query_vec, "list_id")
     )
-    assigned = ivf_assign(vectors, centroids, vec_id, vec_col)
     cand = assigned.join(F.broadcast(probe_lists), "list_id")
     scored = cand.withColumn(
         "score", F.round(cosine_similarity(F.col(vec_col), F.col(query_vec)), SCORE_DP)

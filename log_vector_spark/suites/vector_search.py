@@ -1906,6 +1906,194 @@ def ivf_kmeans_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "retrain_ivf_store",
+    # Composed store-lifecycle query (VERDICT r7 item 2): recall of the
+    # stride-built IVF store -> offline k-means retrain with versioned
+    # pointer swap -> recall of the pointer-resolved retrained store, plus
+    # a commutative fingerprint over the retrained (vec_id, list_id)
+    # assignment — the convergence oracle: the swapped-in store content
+    # must equal a from-scratch k-means IVF of the corpus.  The store
+    # holds FLOAT centroids (the layout knn_ivf_stored probes), so the
+    # oracle replays the double->float cast before scoring; the
+    # fingerprint is a distributed SUM of 32-bit md5 prefixes (order-free,
+    # no global sort/string_agg).
+    oracle=f"""
+    WITH {_kmeans_centroid_ctes(2)},
+    cents_f AS (
+      SELECT list_id,
+             list_transform(centroid, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS centroid
+      FROM cents
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_cos('e.embedding', 'q.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rn <= 10
+    ),
+    centroids_b AS (
+      SELECT vec_id AS list_id, embedding AS centroid FROM embeddings, st
+      WHERE vec_id % st.s = 0
+    ),
+    assigned_b AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round({_cos('e.embedding', 'c.centroid')}, 6) DESC, c.list_id ASC
+               ) AS crank
+        FROM embeddings e CROSS JOIN centroids_b c
+      ) WHERE crank = 1
+    ),
+    probed_b AS (
+      SELECT query_id, list_id FROM (
+        SELECT q.query_id, c.list_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_cos('c.centroid', 'q.qv')}, 6) DESC, c.list_id ASC) AS pr
+        FROM centroids_b c CROSS JOIN q
+      ) WHERE pr <= 4
+    ),
+    approx_b AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY round({_cos('e.embedding', 'q2.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM embeddings e
+        JOIN assigned_b a ON a.vec_id = e.vec_id
+        JOIN probed_b p ON p.list_id = a.list_id
+        JOIN q q2 ON q2.query_id = p.query_id
+      ) WHERE rn <= 10
+    ),
+    hits_b AS (
+      SELECT exact.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM exact JOIN approx_b USING (query_id, vec_id) GROUP BY exact.query_id
+    ),
+    assigned_a AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round({_cos('e.embedding', 'c.centroid')}, 6) DESC, c.list_id ASC
+               ) AS crank
+        FROM embeddings e CROSS JOIN cents_f c
+      ) WHERE crank = 1
+    ),
+    probed_a AS (
+      SELECT query_id, list_id FROM (
+        SELECT q.query_id, c.list_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_cos('c.centroid', 'q.qv')}, 6) DESC, c.list_id ASC) AS pr
+        FROM cents_f c CROSS JOIN q
+      ) WHERE pr <= 4
+    ),
+    approx_a AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY round({_cos('e.embedding', 'q2.qv')}, 6) DESC, e.vec_id ASC) AS rn
+        FROM embeddings e
+        JOIN assigned_a a ON a.vec_id = e.vec_id
+        JOIN probed_a p ON p.list_id = a.list_id
+        JOIN q q2 ON q2.query_id = p.query_id
+      ) WHERE rn <= 10
+    ),
+    hits_a AS (
+      SELECT exact.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM exact JOIN approx_a USING (query_id, vec_id) GROUP BY exact.query_id
+    ),
+    fp AS (
+      SELECT CAST(sum(('0x' || substr(md5(
+               CAST(vec_id AS VARCHAR) || ':' || CAST(list_id AS VARCHAR)
+             ), 1, 8))::BIGINT) AS BIGINT) AS store_fp
+      FROM assigned_a
+    )
+    SELECT q.query_id,
+           CAST(coalesce(hb.n_hits, 0) AS BIGINT) AS n_hits_before,
+           round(coalesce(hb.n_hits, 0) / 10.0, 6) AS recall_before,
+           CAST(coalesce(ha.n_hits, 0) AS BIGINT) AS n_hits_after,
+           round(coalesce(ha.n_hits, 0) / 10.0, 6) AS recall_after,
+           fp.store_fp
+    FROM q
+    LEFT JOIN hits_b hb ON hb.query_id = q.query_id
+    LEFT JOIN hits_a ha ON ha.query_id = q.query_id
+    CROSS JOIN fp
+    """,
+    doc="IVF store lifecycle END-TO-END (VERDICT r7 item 2, previously "
+    "pytest-only): build a stride-quantizer store -> measure stored "
+    "recall@10 -> retrain_ivf_store (2 Lloyd rounds, versioned rewrite + "
+    "atomic pointer swap, sources/index_store.py) -> measure recall@10 of "
+    "the pointer-resolved retrained store -> fingerprint its (vec_id, "
+    "list_id) assignment.  Convergence oracle: the retrained content "
+    "equals a from-scratch k-means IVF (the index_incremental oracle "
+    "pattern); recall_after >= recall_before on the fixture is pinned in "
+    "tests/test_ann_recall.py for the same centroid pair.  Snapshot "
+    "isolation, retention, and crash-orphan behavior are pinned in "
+    "tests/test_ivf_retrain.py.",
+)
+def retrain_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from log_vector_spark.sources import index_store as istore
+
+    emb = table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = search.knn_batch_topk(emb, queries_df, k=10).select("query_id", "vec_id")
+
+    # PRIVATE store: the retrain mutates it (pointer swap), never the
+    # process-shared ensure_ivf_store cache the stride-paired stored
+    # queries read.  Session-lifetime dir, no rmtree — the returned plan
+    # stays lazy (the VERDICT r7 item 4 discipline).
+    root = tempfile.mkdtemp(prefix="lvs_ivf_retrain_q_")
+    istore._build_ivf(spark, sf_dir, root)
+
+    def stored_hits(snap: dict) -> DataFrame:
+        cents = spark.read.schema(istore._CENTROIDS_SCHEMA).parquet(snap["centroids"])
+        vecs = spark.read.schema(istore._VECTORS_SCHEMA).parquet(snap["vectors"])
+        approx = search.knn_ivf_batch_assigned(
+            vecs, cents, queries_df, k=10, nprobe=4
+        ).select("query_id", "vec_id")
+        return (
+            exact.join(approx, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+
+    hits_b = stored_hits(istore.resolve_ivf_snapshot(root))  # pinned: flat v
+    istore.retrain_ivf_store(spark, root, iters=2)
+    snap_a = istore.resolve_ivf_snapshot(root)
+    hits_a = stored_hits(snap_a)
+    fp = (
+        spark.read.schema(istore._VECTORS_SCHEMA)
+        .parquet(snap_a["vectors"])
+        .agg(
+            F.sum(
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", "vec_id", "list_id")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias("store_fp")
+        )
+    )
+    base = queries_df.select("query_id")
+    return (
+        base.join(hits_b.withColumnRenamed("n_hits", "nb"), "query_id", "left")
+        .join(hits_a.withColumnRenamed("n_hits", "na"), "query_id", "left")
+        .crossJoin(F.broadcast(fp))
+        .select(
+            "query_id",
+            F.coalesce("nb", F.lit(0)).cast("bigint").alias("n_hits_before"),
+            F.round(F.coalesce("nb", F.lit(0)) / 10.0, 6).alias("recall_before"),
+            F.coalesce("na", F.lit(0)).cast("bigint").alias("n_hits_after"),
+            F.round(F.coalesce("na", F.lit(0)) / 10.0, 6).alias("recall_after"),
+            "store_fp",
+        )
+    )
+
+
 # -- k-means-refined PQ codebook (VERDICT r4 item 4, second half) ----------
 
 _PQK_ASSIGN = (
