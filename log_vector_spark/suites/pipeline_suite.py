@@ -1830,6 +1830,9 @@ _CLEAN_CORPUS_ORACLE = """
     "quality gate -> cross-epoch exact-dedup -> encode -> mergeable "
     "sketch deltas + IVF index delta in ONE foreachBatch under ONE "
     "checkpoint (streaming/pipeline.py:run_stream_training_ingest).  "
+    "Cross-epoch dedup is HISTORY-BOUNDED (VERDICT r7 item 3): broadcast "
+    "Bloom pre-filter + exact confirmation against a fp-prefix "
+    "partition-pruned store scan, never a full-history anti-join.  "
     "Output = the folded per-source stats deltas, oracle-paired against "
     "the batch pipeline they must converge to.  Registered on a 1-in-4 "
     "systematic sample (sampled-eval discipline — the job's embed + IVF "
