@@ -2094,6 +2094,89 @@ def retrain_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ivf_drift_report",
+    # The retrain TRIGGER: per-cohort quantization error under a quantizer
+    # frozen on the older half of the corpus.  Arrivals quantize worse
+    # than the train-time cohort as the distribution moves — the measured
+    # signal a deployment thresholds to schedule retrain_ivf_store.
+    # Decimal-summed mean for 6dp parity; assignment rule identical to
+    # ivf_assign (cos argmax, low-list ties).
+    oracle=f"""
+    WITH c AS (SELECT CAST(floor(count(*) / 2.0) AS BIGINT) AS half FROM embeddings),
+    a AS (SELECT vec_id, embedding FROM embeddings, c WHERE vec_id < c.half),
+    st AS (SELECT greatest(16, CAST(floor(sqrt(count(*)) / 4 + 0.5) AS BIGINT)) AS s
+           FROM a),
+    cents AS (
+      SELECT vec_id AS list_id, embedding AS centroid FROM a, st
+      WHERE vec_id % st.s = 0
+    ),
+    asn AS (
+      SELECT vec_id, list_id, cscore FROM (
+        SELECT e.vec_id, ct.list_id,
+               round({_cos('e.embedding', 'ct.centroid')}, 6) AS cscore,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round({_cos('e.embedding', 'ct.centroid')}, 6) DESC,
+                          ct.list_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT CASE WHEN asn.vec_id < c.half THEN 'train' ELSE 'arrivals' END AS cohort,
+             asn.list_id,
+             round(1 - asn.cscore, 6) AS qerr
+      FROM asn, c
+    )
+    SELECT cohort,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(DISTINCT list_id) AS BIGINT) AS n_lists,
+           round(CAST(sum(CAST(qerr AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS mean_qerr,
+           round(max(qerr), 6) AS max_qerr
+    FROM q GROUP BY cohort
+    """,
+    doc="IVF quantization-error drift report — the DETECTOR that triggers "
+    "retrain_ivf_store: quantizer frozen on the first half of the corpus "
+    "(the streaming ingest's frozen-centroid posture), every vector "
+    "assigned under it, per-cohort (train-time vs arrivals) count, list "
+    "coverage, mean and max quantization error (1 - assignment cosine).  "
+    "Rising arrival-cohort mean_qerr is the FAISS-style signal that the "
+    "coarse quantizer no longer fits the data; one broadcast-centroid "
+    "map-side pass, no data-scaled shuffle beyond the per-vector argmax "
+    "agg (the ivf_assign posture).  Closes the IVF lifecycle loop: build "
+    "-> stream deltas -> drift detect -> retrain -> recall-verified swap.",
+)
+def ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.catalog import cached_count
+
+    emb = table(spark, "embeddings", sf_dir)
+    half = cached_count(emb) // 2
+    cohort_a = emb.filter(F.col("vec_id") < half)
+    cents = search.make_centroids(cohort_a)
+    assigned = search.ivf_assign(emb, cents)
+    qerr = F.round(1 - F.col("cscore"), 6)
+    return (
+        assigned.select(
+            F.when(F.col("vec_id") < half, F.lit("train"))
+            .otherwise(F.lit("arrivals"))
+            .alias("cohort"),
+            "list_id",
+            qerr.alias("qerr"),
+        )
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.countDistinct("list_id").cast("bigint").alias("n_lists"),
+            F.round(
+                F.sum(F.col("qerr").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_qerr"),
+            F.round(F.max("qerr"), 6).alias("max_qerr"),
+        )
+    )
+
+
 # -- k-means-refined PQ codebook (VERDICT r4 item 4, second half) ----------
 
 _PQK_ASSIGN = (
