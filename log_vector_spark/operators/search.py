@@ -65,6 +65,52 @@ def knn_topk(
     return scored.select(id_col, "score").orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def knn_matryoshka_rerank(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    prefix_dim: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ADAPTIVE retrieval over matryoshka embeddings (Kusupati
+    et al., public): shortlist by the cheap PREFIX-dim cosine, exact
+    full-dim re-rank inside the shortlist only.
+
+    Stage 1 scores every vector on its first ``prefix_dim`` dims —
+    prefix_dim/dim of the dot work, and at 100 TB the prefix is its own
+    narrow stored column (ReadSchema prunes the full vector out of the
+    scan entirely); the shortlist is a TakeOrderedAndProject (per-
+    partition heaps, O(shortlist) driver rows, no global sort).  Stage 2
+    runs the full-dim cosine on ``shortlist`` rows — constant work.
+    The recall/cost trade of the rung is measured by
+    matryoshka_recall_curve; zero-norm prefixes are excluded (a prefix
+    that carries no mass cannot rank).
+    """
+    from log_vector_spark.functions.vector import l2_norm
+
+    q_pfx = literal_vector([float(x) for x in query_vec[:prefix_dim]])
+    pfx = F.slice(F.col(vec_col), 1, prefix_dim)
+    short = (
+        vectors.filter(l2_norm(pfx) > 0)
+        .withColumn("s_pfx", F.round(cosine_similarity(pfx, q_pfx), SCORE_DP))
+        .orderBy(F.desc("s_pfx"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    q_full = literal_vector([float(x) for x in query_vec])
+    return (
+        short.select(
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), q_full), SCORE_DP).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def knn_radius(
     vectors: DataFrame,
     query_vec: Sequence[float],

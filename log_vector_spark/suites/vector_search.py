@@ -2972,6 +2972,46 @@ def embedding_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFram
     return al.crossJoin(un)
 
 
+_Q16 = vector_sql_literal(QVEC[:16])
+
+
+@register(
+    "knn_matryoshka_rerank",
+    # Stage-1 global rank is fine in the ORACLE (DuckDB, small data); the
+    # Spark plan is two TakeOrderedAndProject heaps, never a global sort.
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE list_reduce(list_transform(embedding[1:16], x -> x * x),
+                        (a, b) -> a + b) > 0
+    ),
+    short AS (
+      SELECT vec_id, embedding FROM (
+        SELECT vec_id, embedding,
+               row_number() OVER (
+                 ORDER BY round({_cos('(embedding[1:16])', _Q16)}, 6) DESC,
+                          vec_id ASC) AS rn
+        FROM e
+      ) WHERE rn <= 50
+    )
+    SELECT vec_id, score FROM (
+      SELECT vec_id, round({_cos('embedding', _Q)}, 6) AS score FROM short
+    ) ORDER BY score DESC, vec_id ASC LIMIT 5
+    """,
+    doc="Two-stage ADAPTIVE retrieval (matryoshka deployment form, "
+    "Kusupati et al.): shortlist-50 by the first-16-dim cosine (1/4 the "
+    "dot work; at 100 TB the prefix is its own narrow stored column so "
+    "the scan never reads the full vectors), exact full-dim top-5 inside "
+    "the shortlist.  Both stages plan TakeOrderedAndProject; the "
+    "recall/cost trade of the prefix rung is measured by "
+    "matryoshka_recall_curve.",
+)
+def knn_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search.knn_matryoshka_rerank(
+        table(spark, "embeddings", sf_dir), QVEC, k=5, prefix_dim=16, shortlist=50
+    )
+
+
 @register(
     "matryoshka_recall_curve",
     oracle=f"""
