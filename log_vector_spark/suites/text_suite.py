@@ -159,6 +159,76 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_gate_ablation",
+    # INDEPENDENT gate attribution (vs quality_funnel's sequential counts):
+    # for each gate, how many docs fail it at all and how many does it
+    # UNIQUELY remove (fail it and nothing else) — the numbers a pipeline
+    # owner reads before moving a threshold.  One scan, conditional aggs.
+    oracle=f"""
+    WITH d AS (SELECT doc_id, n_chars, {_WORDS} AS words FROM documents),
+    m AS (
+      SELECT doc_id, n_chars,
+             CAST(len(words) AS INTEGER) AS n_tokens,
+             CAST(len(list_filter(words, t -> t IN {_STOP})) AS INTEGER) AS n_stop
+      FROM d
+    ),
+    f AS (
+      SELECT doc_id,
+             (n_chars < 100) AS f_len,
+             (n_tokens < 30) AS f_tok,
+             coalesce(round(n_stop / n_tokens, 6) < 0.05, true) AS f_stop,
+             coalesce(round((n_stop / n_tokens) * 0.5
+                            + least(n_tokens, 100) / 100.0 * 0.5, 6) < 0.3,
+                      true) AS f_q
+      FROM m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (f_len OR f_tok OR f_stop OR f_q) AS BIGINT)
+             AS n_removed,
+           CAST(count(*) FILTER (f_len) AS BIGINT) AS fail_length,
+           CAST(count(*) FILTER (f_len AND NOT f_tok AND NOT f_stop AND NOT f_q)
+             AS BIGINT) AS uniq_length,
+           CAST(count(*) FILTER (f_tok) AS BIGINT) AS fail_tokens,
+           CAST(count(*) FILTER (f_tok AND NOT f_len AND NOT f_stop AND NOT f_q)
+             AS BIGINT) AS uniq_tokens,
+           CAST(count(*) FILTER (f_stop) AS BIGINT) AS fail_stopwords,
+           CAST(count(*) FILTER (f_stop AND NOT f_len AND NOT f_tok AND NOT f_q)
+             AS BIGINT) AS uniq_stopwords,
+           CAST(count(*) FILTER (f_q) AS BIGINT) AS fail_quality,
+           CAST(count(*) FILTER (f_q AND NOT f_len AND NOT f_tok AND NOT f_stop)
+             AS BIGINT) AS uniq_quality
+    FROM f
+    """,
+    doc="Quality-gate ABLATION report: independent fail + unique-removal "
+    "counts per gate (length, token count, stopword ratio, composite "
+    "quality) in one conditional-aggregation scan — quality_funnel's "
+    "sequential view tells you survival, this tells you which gate to "
+    "retune (a gate with high fail but zero unique removal is redundant; "
+    "one with high unique removal is load-bearing).  Token-less docs "
+    "fail the ratio gates by definition (NULL-safe coalesce, both "
+    "engines).",
+)
+def quality_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = textops.text_quality(table(spark, "documents", sf_dir), carry_cols=("n_chars",))
+    f_len = F.col("n_chars") < 100
+    f_tok = F.col("n_tokens") < 30
+    f_stop = F.coalesce(F.col("stopword_ratio") < 0.05, F.lit(True))
+    f_q = F.coalesce(F.col("quality") < 0.3, F.lit(True))
+    return q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.count_if(f_len | f_tok | f_stop | f_q).cast("bigint").alias("n_removed"),
+        F.count_if(f_len).cast("bigint").alias("fail_length"),
+        F.count_if(f_len & ~f_tok & ~f_stop & ~f_q).cast("bigint").alias("uniq_length"),
+        F.count_if(f_tok).cast("bigint").alias("fail_tokens"),
+        F.count_if(f_tok & ~f_len & ~f_stop & ~f_q).cast("bigint").alias("uniq_tokens"),
+        F.count_if(f_stop).cast("bigint").alias("fail_stopwords"),
+        F.count_if(f_stop & ~f_len & ~f_tok & ~f_q).cast("bigint").alias("uniq_stopwords"),
+        F.count_if(f_q).cast("bigint").alias("fail_quality"),
+        F.count_if(f_q & ~f_len & ~f_tok & ~f_stop).cast("bigint").alias("uniq_quality"),
+    )
+
+
 # --- PII scrubbing (round 3) ------------------------------------------------
 
 def _pii_oracle() -> str:
