@@ -577,25 +577,56 @@ BASELINE_SEC = {
     "vector_norms": 0.36,
     "winnow_density_report": 6.03,
 }
-# r7 additions, measured in a ~2.4x-CPU-drifted window (controls
-# text_quality 2.45x / corpus_stats 2.44x their clean CPU rows) — treat
-# as upper bounds.  index_incremental / stream_training_ingest rows are
-# the registered 1-in-4 sampled forms.
+# r7 additions, RE-MEASURED in the r8 clean window (ADVICE r7: the
+# original r7 numbers came from a ~2.4x-CPU-drifted window, which left
+# the CPU co-gate effectively disabled for exactly these rows; controls
+# in the r8 window ran at drift 1.03).  multimodal_curation_pipeline
+# keeps the r7 clean FULL-window row (its best clean measurement).
+# caption_alignment_gate is the r8 broadcast-threshold plan (the rank-
+# window form was retired); index_incremental is the r8 lazy-read
+# harness + (id, source, fp) diff; stream_training_ingest is the r8
+# HISTORY-BOUNDED dedup (Bloom + prefix-pruned store probe) — its wall
+# grew 4.7 -> 7.7 s at the sampled sf0.1 because the bounded probe adds
+# ~4 fixed jobs per micro-batch (bloom read/write, probable split, pfx
+# collect) on top of tiny maxFilesPerTrigger=1 batches; a posture
+# re-base like stream_sessionize_stateful's r7 one (see BASELINE.md r8
+# note) — per-batch cost no longer grows with history, which is the
+# property that matters at scale.
 BASELINE_SEC_R7 = {
-    "text_normalize": 0.49,
-    "multimodal_curation_pipeline": 2.23,
-    "caption_alignment_gate": 1.47,
-    "index_incremental": 6.21,
-    "stream_training_ingest": 4.91,
+    "text_normalize": 0.34,
+    "multimodal_curation_pipeline": 1.26,
+    "caption_alignment_gate": 1.06,
+    "index_incremental": 4.78,
+    "stream_training_ingest": 7.67,
 }
 BASELINE_CPU_R7 = {
-    "text_normalize": 0.92,
-    "multimodal_curation_pipeline": 3.41,
-    "caption_alignment_gate": 2.63,
-    "index_incremental": 18.83,
-    "stream_training_ingest": 17.55,
+    "text_normalize": 0.54,
+    "multimodal_curation_pipeline": 0.87,
+    "caption_alignment_gate": 1.04,
+    "index_incremental": 10.89,
+    "stream_training_ingest": 21.63,
 }
 BASELINE_SEC.update(BASELINE_SEC_R7)
+
+# r8 additions, measured in the same clean window (drift 1.03).
+# retrain_ivf_store is a composed write-time lifecycle row (store build +
+# 2-round k-means retrain + two versioned store writes + recall before/
+# after + convergence fingerprint — roughly 2x ivf_kmeans_recall_at10's
+# envelope by construction); ivf_drift_report is the broadcast-centroid
+# assignment sweep (N x sqrt(N) dots, the ivf_build_metrics class).
+BASELINE_SEC_R8 = {
+    "retrain_ivf_store": 14.91,
+    "ivf_drift_report": 0.60,
+    "knn_matryoshka_rerank": 0.28,
+    "quality_gate_ablation": 0.32,
+}
+BASELINE_CPU_R8 = {
+    "retrain_ivf_store": 114.52,
+    "ivf_drift_report": 5.78,
+    "knn_matryoshka_rerank": 0.20,
+    "quality_gate_ablation": 0.44,
+}
+BASELINE_SEC.update(BASELINE_SEC_R8)
 
 # r7 re-base: the r6 event-time-timeout eviction pass added real CPU
 # (watermark tracking + idle flush) — composed-min wall 4.16 s / CPU
@@ -682,6 +713,16 @@ BASELINE_CPU = {
     "vector_norms": 1.14, "vocab_topk": 0.85, "winnow_density_report": 9.02,
 }
 BASELINE_CPU.update(BASELINE_CPU_R7)
+BASELINE_CPU.update(BASELINE_CPU_R8)
+
+# r8 re-base (VERDICT r7 item 6): the r6 clean-window CPU minima for these
+# two sub-second rows (0.37 / 0.51) never reproduced — three later clean
+# windows (r7 full drift 0.841, r8 isolated 6-rep warm floor, r8 full
+# drift 1.028) all agree at ~0.6 / ~1.2 with UNCHANGED code (git history:
+# no events-suite change since the r6 measurement).  The r6 values were
+# lucky-JIT minima; re-based to the r8 clean full-window reps.
+BASELINE_CPU["events_sliding_30m"] = 0.57
+BASELINE_CPU["events_session_window"] = 1.20
 
 
 def main() -> None:

@@ -2040,7 +2040,13 @@ def retrain_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    exact = search.knn_batch_topk(emb, queries_df, k=10).select("query_id", "vec_id")
+    # lazy checkpoint: the exact-truth subtree feeds BOTH recall stages
+    # (before + after retrain) — without it the batch scan runs twice
+    exact = (
+        search.knn_batch_topk(emb, queries_df, k=10)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
 
     # PRIVATE store: the retrain mutates it (pointer swap), never the
     # process-shared ensure_ivf_store cache the stride-paired stored
