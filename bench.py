@@ -597,14 +597,14 @@ BASELINE_SEC_R7 = {
     "multimodal_curation_pipeline": 1.26,
     "caption_alignment_gate": 1.06,
     "index_incremental": 4.78,
-    "stream_training_ingest": 7.67,
+    "stream_training_ingest": 5.23,
 }
 BASELINE_CPU_R7 = {
     "text_normalize": 0.54,
     "multimodal_curation_pipeline": 0.87,
     "caption_alignment_gate": 1.04,
     "index_incremental": 10.89,
-    "stream_training_ingest": 21.63,
+    "stream_training_ingest": 15.73,
 }
 BASELINE_SEC.update(BASELINE_SEC_R7)
 
