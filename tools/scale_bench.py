@@ -123,6 +123,14 @@ def build(spark) -> None:
     alpha = "abcdefghij"
 
     def copies(name):
+        # nation/region are FIXED dimensions (25/5 rows at every TPC-H sf;
+        # no key shift exists for them) — unioning 10 unshifted copies
+        # would duplicate every key and fan out every dim join x10 per
+        # hop (measured: the old replica inflated tpch_q8's two nation
+        # joins + region to a 111x/decade lie).  One copy is the correct
+        # sf1 shape.
+        if name in ("region", "nation"):
+            return raw[name]
         out = None
         for i in range(COPIES):
             df = raw[name]
