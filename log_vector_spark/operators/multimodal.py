@@ -853,6 +853,11 @@ def caption_alignment_gate(
     single-partition sort) survives as :func:`caption_alignment_gate_rank`
     and is registered as an opt-in audit only.
     """
+    # lazy checkpoint: `scores` feeds BOTH the threshold aggregate and the
+    # gated output — without lineage truncation the upstream image-tower
+    # mapInPandas subtree is planted (and executed) twice (the bitext
+    # lazy-checkpoint discipline; caught by PLANS.md's python-node count)
+    scores = scores.localCheckpoint(eager=False)
     if approx:
         thr = scores.agg(
             F.round(
