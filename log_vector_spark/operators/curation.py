@@ -1043,3 +1043,58 @@ def temperature_sweep_plan(
             F.round(planned.cast("double") / F.col("domain_tokens"), 6),
         ).alias("effective_epochs"),
     )
+
+
+def memorization_risk(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document memorization-risk report from repeated word n-gram
+    exposure (the Carlini et al. "Deduplicating Training Data Makes
+    Language Models Better" / "Quantifying Memorization" signal, public):
+    sequences a model sees many times are the ones it memorizes verbatim,
+    so the share of a document's n-grams that occur >= ``min_count`` times
+    CORPUS-WIDE is the per-doc exposure a dedup/clip policy thresholds.
+
+    Output per doc: (n_grams, n_risky, risk_share, max_count) where
+    max_count is the doc's worst single-gram corpus frequency.  Docs with
+    < n tokens keep a zero row with NULL risk_share (the repetition_stats
+    degenerate-doc contract).
+
+    Scale: one explode -> md5(gram)-keyed count (16-byte uniform keys,
+    map-side combine — a corpus-dominating boilerplate gram cannot skew
+    the shuffle) -> join back on the gram hash -> per-doc agg; all
+    corpus-linear in total gram positions.  Occurrences are counted at
+    every position (not per-doc-distinct): ten repeats inside one doc ARE
+    ten exposures.
+    """
+    w = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("words"))
+    from log_vector_spark.functions.text import shingles_from_words
+
+    g = w.select(
+        id_col, F.explode(shingles_from_words(F.col("words"), n)).alias("gram")
+    ).select(id_col, F.md5("gram").alias("h"))
+    cnt = g.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    per = (
+        g.join(cnt, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count_if(F.col("c") >= min_count).cast("bigint").alias("n_risky"),
+            F.max("c").cast("bigint").alias("max_count"),
+        )
+    )
+    out = docs.select(id_col).join(per, id_col, "left")
+    risk = F.when(
+        F.col("n_grams") > 0, F.round(F.col("n_risky") / F.col("n_grams"), 6)
+    )
+    return out.select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+        F.coalesce("n_risky", F.lit(0).cast("bigint")).alias("n_risky"),
+        risk.alias("risk_share"),
+        F.coalesce("max_count", F.lit(0).cast("bigint")).alias("max_count"),
+    )

@@ -978,3 +978,46 @@ def source_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.temperature_sweep_plan(table(spark, "documents", sf_dir))
+
+
+@register(
+    "memorization_risk",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    g AS (
+      SELECT doc_id, md5(gram) AS h
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(words) - 6, 1)),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
+                          || words[i+3] || ' ' || words[i+4] || ' ' || words[i+5]
+                          || ' ' || words[i+6] || ' ' || words[i+7])) AS gram
+            FROM w WHERE len(words) >= 8)
+    ),
+    cnt AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY h),
+    per AS (
+      SELECT g.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(*) FILTER (cnt.c >= 2) AS BIGINT) AS n_risky,
+             CAST(max(cnt.c) AS BIGINT) AS max_count
+      FROM g JOIN cnt USING (h) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(per.n_grams, 0) AS n_grams,
+           coalesce(per.n_risky, 0) AS n_risky,
+           CASE WHEN per.n_grams > 0
+                THEN round(per.n_risky / per.n_grams, 6) END AS risk_share,
+           coalesce(per.max_count, 0) AS max_count
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    doc="Memorization-risk exposure report (Carlini et al., public): the "
+    "share of each document's 8-grams that occur >= 2 times corpus-wide, "
+    "plus the doc's worst single-gram corpus frequency — the per-doc "
+    "signal a dedup/clip policy thresholds, complementing the span-level "
+    "winnowing dedup (which REMOVES spans) with the exposure VIEW a "
+    "policy decision needs.  One explode -> md5-keyed occurrence count "
+    "(uniform 16-byte shuffle keys, map-side combine) -> hash join back "
+    "-> per-doc agg; every stage corpus-linear in gram positions.  "
+    "Gram-less docs keep a zero row (NULL risk_share).",
+)
+def memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.memorization_risk(table(spark, "documents", sf_dir))
