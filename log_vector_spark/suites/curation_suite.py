@@ -1021,3 +1021,111 @@ def temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.memorization_risk(table(spark, "documents", sf_dir))
+
+
+@register(
+    "curriculum_order",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_WORDS} AS words FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             CAST(len(words) AS INTEGER) AS n_tokens,
+             CAST(len(list_filter(words, t -> t IN {_STOP})) AS INTEGER) AS n_stop
+      FROM d
+    ),
+    q AS (
+      SELECT doc_id, source,
+             CASE WHEN n_tokens > 0
+                  THEN round((n_stop / n_tokens) * 0.5
+                             + least(n_tokens, 100) / 100.0 * 0.5, 6) END AS quality
+      FROM m
+    ),
+    thr AS (
+      SELECT round(quantile_cont(quality, 0.75), 6) AS t1,
+             round(quantile_cont(quality, 0.50), 6) AS t2,
+             round(quantile_cont(quality, 0.25), 6) AS t3
+      FROM q WHERE quality IS NOT NULL
+    ),
+    p AS (
+      SELECT doc_id, source, quality,
+             CASE WHEN quality >= t1 THEN 1
+                  WHEN quality >= t2 THEN 2
+                  WHEN quality >= t3 THEN 3
+                  ELSE 4 END AS phase
+      FROM q, thr
+    ),
+    r AS (
+      SELECT phase, source, quality,
+             row_number() OVER (PARTITION BY phase, source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM p
+    ),
+    blk AS (SELECT phase, rnk, CAST(count(*) AS BIGINT) AS c
+            FROM r GROUP BY 1, 2)
+    SELECT r.phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT r.source) AS BIGINT) AS n_sources,
+           round(CAST(sum(CAST(r.quality AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(r.quality), 6) AS avg_quality,
+           CAST(max(r.rnk) AS BIGINT) AS n_blocks,
+           (SELECT CAST(max(c) AS BIGINT) FROM blk WHERE blk.phase = r.phase)
+             AS max_block_size
+    FROM r GROUP BY r.phase
+    """,
+    doc="Quality-annealed CURRICULUM order audit: docs split into quality "
+    "QUARTILE phases (exact-percentile thresholds — a one-row broadcast, "
+    "the adaptive_quality_gate discipline, never an ntile global window; "
+    "token-less docs fall to the final phase) and each phase internally "
+    "takes the interleaved_shuffle order (within-(phase, source) hash "
+    "rank -> blocks holding <= 1 doc per source).  A shard writer "
+    "materializes (phase, rank, hash) with repartitionByRange; this query "
+    "audits it — per-phase size, source coverage, mean quality (the "
+    "anneal monotonicity), block count, and worst block size.",
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from log_vector_spark.operators import textops
+
+    docs = table(spark, "documents", sf_dir)
+    q = textops.text_quality(docs, carry_cols=("source",)).select(
+        "doc_id", "source", "quality"
+    )
+    nn = q.filter(F.col("quality").isNotNull())
+    thr = nn.agg(
+        F.round(F.percentile("quality", F.lit(0.75)), 6).alias("t1"),
+        F.round(F.percentile("quality", F.lit(0.50)), 6).alias("t2"),
+        F.round(F.percentile("quality", F.lit(0.25)), 6).alias("t3"),
+    )
+    p = q.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "source",
+        "quality",
+        F.when(F.col("quality") >= F.col("t1"), F.lit(1))
+        .when(F.col("quality") >= F.col("t2"), F.lit(2))
+        .when(F.col("quality") >= F.col("t3"), F.lit(3))
+        .otherwise(F.lit(4))
+        .alias("phase"),
+    )
+    w = Window.partitionBy("phase", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = p.withColumn("rnk", F.row_number().over(w))
+    blk = r.groupBy("phase", "rnk").agg(F.count(F.lit(1)).alias("c"))
+    blk_stats = blk.groupBy("phase").agg(
+        F.max("c").cast("bigint").alias("max_block_size")
+    )
+    per = r.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count("quality"),
+            6,
+        ).alias("avg_quality"),
+        F.max("rnk").cast("bigint").alias("n_blocks"),
+    )
+    return per.join(blk_stats, "phase").select(
+        "phase", "n_docs", "n_sources", "avg_quality", "n_blocks", "max_block_size"
+    )
