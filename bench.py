@@ -615,12 +615,18 @@ BASELINE_SEC.update(BASELINE_SEC_R7)
 # envelope by construction); ivf_drift_report is the broadcast-centroid
 # assignment sweep (N x sqrt(N) dots, the ivf_build_metrics class).
 BASELINE_SEC_R8 = {
+    "memorization_risk": 1.94,
+    "dedup_pair_evidence": 1.64,
+    "curriculum_order": 0.88,
     "retrain_ivf_store": 14.91,
     "ivf_drift_report": 0.60,
     "knn_matryoshka_rerank": 0.28,
     "quality_gate_ablation": 0.32,
 }
 BASELINE_CPU_R8 = {
+    "memorization_risk": 3.04,
+    "dedup_pair_evidence": 6.03,
+    "curriculum_order": 1.60,
     "retrain_ivf_store": 114.52,
     "ivf_drift_report": 5.78,
     "knn_matryoshka_rerank": 0.20,
