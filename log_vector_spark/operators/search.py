@@ -483,6 +483,7 @@ def make_centroids_kmeans(
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    train_cap: int | None = None,
 ) -> DataFrame:
     """K-means-refined IVF centroids (opt-in upgrade over the stride pick).
 
@@ -500,22 +501,40 @@ def make_centroids_kmeans(
     write-time work, amortized over every query.  Centroids are MEANS, not
     corpus vectors, so use make_centroids where seeds must be real nodes
     (the graph entry points).
+
+    ``train_cap`` bounds the Lloyd TRAINING set (FAISS posture: a coarse
+    quantizer is trained on at most ~256·k sampled vectors — only the
+    final assignment pass is inherently full-scan).  When N > train_cap
+    the Lloyd rounds run over a deterministic stride sample (vec_id %
+    ceil(N / cap) == 0, the same dense-id idiom the seed pick uses) and
+    the sample is eagerly checkpointed once so each round re-reads the
+    bounded sample, never the corpus.  With k ≈ 4·sqrt(N) the 256·k cap
+    binds only above ~1M vectors, so the sf0.01/sf0.1 oracles replay the
+    unsampled rounds bit-exactly; the sampled path's exactness property
+    (assignment is exact GIVEN centroids) is pinned in
+    tests/test_ivf_retrain.py with a tiny forced cap.
     """
     from log_vector_spark.operators.cluster import _assign, _update
 
-    if every is None:
+    if every is None or train_cap is not None:
         from log_vector_spark.catalog import cached_count
 
-        every = sqrt_stride(cached_count(vectors))
+        n = cached_count(vectors)
+        if every is None:
+            every = sqrt_stride(n)
     v = vectors.select(
         F.col(vec_id), F.transform(vec_col, lambda x: x.cast("double")).alias("e")
     )
     c = v.filter(F.col(vec_id) % every == 0).select(F.col(vec_id).alias("cid"), "e")
+    train = v
+    if train_cap is not None and n > train_cap:
+        tstride = -(-n // train_cap)  # ceil: sample size <= train_cap
+        train = v.filter(F.col(vec_id) % tstride == 0).localCheckpoint(eager=True)
     for _ in range(iters):
         # checkpoint per round: round r's assignment BROADCASTS c, and
         # without lineage truncation the broadcast subtree replays rounds
         # 1..r-1 (the dedup_clusters iterative idiom; k x dim rows, tiny)
-        c = _update(_assign(v, c, vec_id, dim)).localCheckpoint(eager=False)
+        c = _update(_assign(train, c, vec_id, dim)).localCheckpoint(eager=False)
     return c.select(F.col("cid").alias("list_id"), F.col("e").alias("centroid"))
 
 

@@ -92,6 +92,35 @@ def ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
     return _ensure(spark, sf_dir, "ivf", _build_ivf)
 
 
+def _build_ivf_drift(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Frozen-quantizer store for the drift MONITOR: coarse quantizer
+    trained on the older half of the corpus (the streaming ingest's
+    frozen-centroid posture), every vector assigned under it at write
+    time.  The recurring drift report then reads the stored (vec_id,
+    list_id) assignment and scores each vector against ITS OWN centroid —
+    a linear scan + broadcast join on list_id — instead of re-running the
+    N·k argmax quantization per monitor tick (VERDICT r8 item 3)."""
+    from log_vector_spark.catalog import cached_count
+
+    emb = table(spark, "embeddings", sf_dir)
+    half = cached_count(emb) // 2
+    cents = search.make_centroids(emb.filter(F.col("vec_id") < half)).localCheckpoint(
+        eager=True
+    )
+    assigned = search.ivf_assign(emb, cents)
+    (
+        assigned.select("vec_id", "embedding", "label", "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def ensure_ivf_drift_store(spark: SparkSession, sf_dir: str) -> str:
+    return _ensure(spark, sf_dir, "ivf_drift", _build_ivf_drift)
+
+
 def probe_list_ids(
     spark: SparkSession,
     store_root: str,
@@ -713,6 +742,14 @@ def retrain_ivf_store(
     previous version.  A crash before the swap leaves an unreferenced _v
     directory, never a torn store.
 
+    The k-means TRAINING set is sample-bounded (FAISS posture: train the
+    coarse quantizer on ~256·k sampled vectors, assign full) — at 100 TB
+    the Lloyd rounds touch a bounded checkpointed sample, and only the
+    final assignment + rewrite is a full scan.  The cap binds only above
+    ~1M vectors (k ≈ 4·sqrt(N)), so at oracle scale factors training is
+    still exact-full and the convergence oracle replays bit-identically;
+    the assignment pass is exact GIVEN centroids at any scale.
+
     Returns {'version', 'n_vectors', 'n_lists_before', 'n_lists_after'}.
     """
     import shutil as _shutil
@@ -721,12 +758,16 @@ def retrain_ivf_store(
         resolve_ivf_artifact(store_root, "vectors")
     )
     n_lists_before = vecs.select("list_id").distinct().count()
-    base = vecs.select("vec_id", "embedding", "label").localCheckpoint(eager=True)
+    from log_vector_spark.catalog import cached_count
+
+    base = vecs.select("vec_id", "embedding", "label")
+    n = cached_count(base)
+    k_est = max(1, n // search.sqrt_stride(n))
     # store the refined centroids in the store's float layout and ASSIGN
     # under that same float form — the quantizer queries read must be the
     # quantizer the assignment used, or probe/partition disagree
     cents = (
-        search.make_centroids_kmeans(base, iters=iters)
+        search.make_centroids_kmeans(base, iters=iters, train_cap=256 * k_est)
         .select(
             "list_id",
             F.transform("centroid", lambda x: x.cast("float")).alias("centroid"),
