@@ -585,13 +585,16 @@ BASELINE_SEC = {
 # caption_alignment_gate is the r8 broadcast-threshold plan (the rank-
 # window form was retired); index_incremental is the r8 lazy-read
 # harness + (id, source, fp) diff; stream_training_ingest is the r8
-# HISTORY-BOUNDED dedup (Bloom + prefix-pruned store probe) — its wall
-# grew 4.7 -> 7.7 s at the sampled sf0.1 because the bounded probe adds
-# ~4 fixed jobs per micro-batch (bloom read/write, probable split, pfx
-# collect) on top of tiny maxFilesPerTrigger=1 batches; a posture
-# re-base like stream_sessionize_stateful's r7 one (see BASELINE.md r8
-# note) — per-batch cost no longer grows with history, which is the
-# property that matters at scale.
+# HISTORY-BOUNDED dedup (Bloom + prefix-pruned store probe) — its r7
+# baseline was 4.91 s and the r8 clean window measured 5.23 s wall /
+# 15.73 s CPU (the values set below; the r8 driver window's BENCH_detail
+# row later read 6.13 s = 1.17x of this baseline, inside the envelope)
+# because the bounded probe adds ~4 fixed jobs per micro-batch (bloom
+# read/write, probable split, pfx collect) on top of tiny
+# maxFilesPerTrigger=1 batches; a posture re-base like
+# stream_sessionize_stateful's r7 one (see BASELINE.md r8 note) —
+# per-batch cost no longer grows with history, which is the property
+# that matters at scale.
 BASELINE_SEC_R7 = {
     "text_normalize": 0.34,
     "multimodal_curation_pipeline": 1.26,

@@ -826,7 +826,6 @@ def caption_alignment_scores(
 def caption_alignment_gate(
     scores: DataFrame,
     drop_fraction: float = 0.25,
-    id_col: str = "media_id",
     approx: bool = False,
     approx_accuracy: int = 10_000,
 ) -> DataFrame:

@@ -1230,12 +1230,37 @@ def prior_fps_pruned(
     """Partition-pruned prior-fingerprint scan: only the fp-prefix buckets
     in `prefixes` (driver literals, <= 16) and only epochs < `epoch_id`
     (replay-proof) are read — both filters land in PartitionFilters
-    (pinned in tests/test_stream_training_ingest.py)."""
-    return (
-        spark.read.parquet(fps_dir)
-        .filter(F.col(FP_PFX_COL).isin(list(prefixes)) & (F.col("epoch") < epoch_id))
-        .select("fp")
+    (pinned in tests/test_stream_training_ingest.py).
+
+    A store written before the fp_pfx level existed (pre-r8 epoch-only
+    layout — ADVICE r8) has no such column; the prefix filter then
+    degrades to a ROW filter on substring(fp, 1, 1) — same rows, no
+    partition pruning — so a resumed stream keeps working over the old
+    store instead of raising on the missing column."""
+    df = spark.read.parquet(fps_dir)
+    pfx_filter = (
+        F.col(FP_PFX_COL).isin(list(prefixes))
+        if FP_PFX_COL in df.columns
+        else F.substring("fp", 1, 1).isin(list(prefixes))
     )
+    return df.filter(pfx_filter & (F.col("epoch") < epoch_id)).select("fp")
+
+
+def _fps_store_is_legacy(fps_dir: str) -> bool:
+    """True when `fps_dir` holds the pre-r8 epoch-only layout (top-level
+    epoch= directories, no fp_pfx= level).  A legacy store must keep
+    receiving legacy-layout epochs — mixing partition depths in one root
+    breaks Spark's partition discovery — so the sink consults this once at
+    stream start.  Remote (URI) stores can't be listed driver-side and are
+    assumed current-layout."""
+    import os as _os
+
+    if "://" in fps_dir or not _os.path.isdir(fps_dir):
+        return False
+    names = _os.listdir(fps_dir)
+    if any(n.startswith(f"{FP_PFX_COL}=") for n in names):
+        return False
+    return any(n.startswith("epoch=") for n in names)
 
 
 def run_stream_training_ingest(
@@ -1324,6 +1349,9 @@ def run_stream_training_ingest(
     hll_dir = _os.path.join(out_path, "hll_deltas")
     index_dir = _os.path.join(out_path, "index")
     centroids_dir = _os.path.join(out_path, "centroids")
+    # Pre-r8 stores are epoch-only; keep writing that layout (mixed depths
+    # break partition discovery) and let prior_fps_pruned row-filter.
+    legacy_fps = _fps_store_is_legacy(fps_dir)
 
     def _epoch_write(df: DataFrame, path: str, extra_parts: tuple[str, ...] = ()) -> None:
         (
@@ -1409,11 +1437,17 @@ def run_stream_training_ingest(
         # semi-join below, and the overwrite below would invalidate the
         # lazy read it derives from
         firsts = firsts.localCheckpoint(eager=True)
-        _epoch_write(
-            firsts.withColumn("epoch", F.lit(epoch_id)),
-            fps_dir,
-            extra_parts=(FP_PFX_COL,),
-        )
+        if legacy_fps:
+            _epoch_write(
+                firsts.drop(FP_PFX_COL).withColumn("epoch", F.lit(epoch_id)),
+                fps_dir,
+            )
+        else:
+            _epoch_write(
+                firsts.withColumn("epoch", F.lit(epoch_id)),
+                fps_dir,
+                extra_parts=(FP_PFX_COL,),
+            )
         # this epoch's Bloom delta: bit positions of the NEWLY stored fps
         # (OR-mergeable; replayed epochs replace exactly their own leaves)
         delta_bits = firsts.select(

@@ -168,3 +168,47 @@ def test_prior_fps_scan_is_partition_pruned(spark, tmp_path):
     bloom = spark.read.parquet(os.path.join(out, "bloom_deltas"))
     per_epoch = bloom.groupBy("epoch").count().collect()
     assert per_epoch and all(r["count"] <= INGEST_BLOOM_BITS for r in per_epoch)
+
+
+@pytest.mark.spark
+def test_resume_over_legacy_epoch_only_fps_store(spark, tmp_path):
+    """ADVICE r8: a stream resumed over a pre-r8 fps store (epoch-only
+    layout, no fp_pfx= level) must keep working — the prior-fps probe
+    degrades to a row filter instead of raising on the missing column,
+    and new epochs keep the legacy layout (mixed partition depths break
+    Spark's partition discovery)."""
+    from log_vector_spark.streaming.pipeline import (
+        FP_PFX_COL,
+        _fps_store_is_legacy,
+        run_stream_training_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    paths = _stage_slices(spark, src + "_staging")
+    os.makedirs(src)
+
+    shutil.copy2(paths[0], os.path.join(src, "slice0.parquet"))
+    mid = run_stream_training_ingest(spark, src, out)
+    assert mid["n_epochs"] == 1
+
+    # convert the store to the pre-r8 shape: epoch-only, no fp_pfx column
+    fps_dir = os.path.join(out, "fps")
+    pdf = spark.read.parquet(fps_dir).toPandas()
+    shutil.rmtree(fps_dir)
+    (
+        spark.createDataFrame(pdf.drop(columns=[FP_PFX_COL]))
+        .write.partitionBy("epoch")
+        .parquet(fps_dir)
+    )
+    assert _fps_store_is_legacy(fps_dir)
+
+    for p in paths[1:]:
+        shutil.copy2(p, os.path.join(src, os.path.basename(p)))
+    final = run_stream_training_ingest(spark, src, out)
+    assert final["n_epochs"] == 3
+
+    fps = spark.read.parquet(fps_dir)
+    assert FP_PFX_COL not in fps.columns  # layout stayed legacy throughout
+    assert fps.count() == fps.select("fp").distinct().count()  # still exact
+    assert final["stats"] == _batch_parity_rows(spark)
