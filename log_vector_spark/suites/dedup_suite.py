@@ -93,6 +93,46 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_band_pairs(table(spark, "documents", sf_dir), n_hashes=8, rows_per_band=2)
 
 
+@register(
+    "dedup_minhash_pairs_capped",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
+    h AS (SELECT doc_id, {_MH_BASE} AS h FROM sh),
+    seeded AS (SELECT doc_id, h, unnest(range(0, 8)) AS seed FROM h),
+    sig AS (SELECT doc_id, seed,
+                   min((h * ({_MH_AS}[CAST(seed AS INTEGER) + 1]) + seed) % {_MH_P}) AS minhash
+            FROM seeded GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY 1, 2),
+    sizes AS (SELECT band, band_key, count(*) AS m, min(doc_id) AS hub
+              FROM bands GROUP BY 1, 2),
+    bs AS (SELECT b.doc_id, b.band, b.band_key, s.m, s.hub
+           FROM bands b JOIN sizes s USING (band, band_key))
+    SELECT DISTINCT id_a, id_b FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bs a JOIN bs b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.m <= 2 AND a.doc_id < b.doc_id
+      UNION ALL
+      SELECT hub AS id_a, doc_id AS id_b FROM bs WHERE m > 2 AND doc_id != hub
+    )
+    """,
+    doc="Skew-hardened LSH candidate pairs (VERDICT r8 item 8): band "
+    "buckets above the cap expand as a STAR around the bucket's min id "
+    "instead of all-pairs — per-bucket output M(M-1)/2 -> M-1, SAME "
+    "connected components (pinned in tests/test_dedup_skew.py), so "
+    "boilerplate-heavy corpora can't turn the banded join quadratic.  "
+    "Registered with cap=2 so the star path exercises at oracle scale "
+    "(the sf0.01 bucket histogram tops out at 3); production default is "
+    "1024.  operators/dedup.py:minhash_band_pairs_capped.",
+)
+def dedup_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_band_pairs_capped(
+        table(spark, "documents", sf_dir), max_bucket=2, n_hashes=8, rows_per_band=2
+    )
+
+
 _SIMHASH_CTE = f"""
     toks AS (
       SELECT doc_id, unnest(list_distinct({_WORDS})) AS tok FROM documents

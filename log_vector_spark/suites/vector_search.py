@@ -1707,12 +1707,53 @@ def knn_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivfpq_build",
+    oracle=f"""
+    WITH {_IVFPQ_CTES}
+    SELECT CAST(count(*) AS BIGINT) AS n_codes,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+           CAST(count(DISTINCT list_id) AS BIGINT) AS n_lists,
+           CAST(count(DISTINCT subspace * 100 + code_id) AS BIGINT)
+             AS n_codewords_used,
+           CAST(sum(code_id) AS BIGINT) AS code_sum
+    FROM enc
+    """,
+    doc="Write-time cost surface of the IVF-PQ family (the knn_graph_build "
+    "precedent, VERDICT r8 item 1): persists the residual-code store via "
+    "ensure_ivfpq_store and reports its shape (code/vector/list counts, "
+    "codewords in use, code-id checksum) from the landed artifact.  "
+    "Benchmarked separately so the 2x envelope judges knn_ivfpq_stored on "
+    "the amortized query path alone — this row runs first in registry "
+    "order, so the stored row's reps never pay the one-off build the "
+    "driver window misread as a query regression.  "
+    "sources/index_store.py:_build_ivfpq.",
+)
+def knn_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.sources import index_store
+
+    root = index_store.ensure_ivfpq_store(spark, sf_dir)
+    codes = spark.read.schema(index_store._CODES_SCHEMA).parquet(
+        os.path.join(root, "codes")
+    )
+    return codes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_codes"),
+        F.countDistinct("vec_id").cast("bigint").alias("n_vectors"),
+        F.countDistinct("list_id").cast("bigint").alias("n_lists"),
+        F.countDistinct(F.col("subspace") * 100 + F.col("code_id"))
+        .cast("bigint")
+        .alias("n_codewords_used"),
+        F.sum("code_id").cast("bigint").alias("code_sum"),
+    )
+
+
+@register(
     "knn_ivfpq_stored",
     oracle=_IVFPQ_ORACLE,
     doc="IVF-PQ ADC top-k from the persisted 4-bit residual-code store "
     "partitioned by list_id: literal probe -> pruned code scan -> broadcast "
     "512-row LUT join -> decimal sum.  The amortized query path of "
-    "knn_ivfpq.  sources/index_store.py:knn_ivfpq_stored.",
+    "knn_ivfpq (knn_ivfpq_build prices the write-time store build).  "
+    "sources/index_store.py:knn_ivfpq_stored.",
 )
 def knn_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.sources import index_store
