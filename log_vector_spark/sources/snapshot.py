@@ -1,0 +1,135 @@
+"""Cross-artifact snapshot manifest (VERDICT r8 item 7).
+
+Each artifact family already swaps its OWN pointer atomically (the
+``_current.json`` idiom: versioned chunk stores in sources/store.py, the
+IVF vectors/centroids pair in sources/index_store.py, delta folds in
+operators/maintenance.py).  That gives per-artifact snapshot isolation —
+but a reader COMPOSING two artifacts (chunks + vector index, postings +
+sketch folds) can resolve artifact A's pointer before a multi-artifact
+update lands and artifact B's pointer after it, and silently join version
+N against version N+1.
+
+This module lifts the same pointer-swap protocol ONE LEVEL UP: a single
+``_snapshot.json`` at the deployment root maps every artifact name to the
+version directory that belongs to one consistent publication.  Writers
+land all their new version directories first (each internally complete),
+then publish the manifest with one atomic rename; readers resolve the
+manifest ONCE and read every artifact from the pinned directories.  A
+crash between artifact writes and the publish leaves unreferenced _v
+directories and an intact previous snapshot — never a torn composition.
+
+History manifests (``_snapshot_{id}.json``) make retention explicit:
+``gc_snapshots`` removes version directories referenced by no retained
+snapshot, keeping >= 2 so a reader that resolved the pointer pre-swap can
+finish its scan (the keep_versions>=2 rationale of
+store.write_chunks_versioned).
+
+This is the same composition contract a table format (Delta/Iceberg)
+calls a multi-table transaction, expressed with the repo's 1-line-JSON
+pointer idiom.  At 100 TB the manifest is O(#artifacts) bytes and the
+swap is one rename on the store — cost independent of data size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+_MANIFEST = "_snapshot.json"
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, _MANIFEST)
+
+
+def publish_snapshot(root: str, artifacts: dict[str, str]) -> int:
+    """Atomically publish one consistent {artifact name -> version dir} set.
+
+    Every directory in ``artifacts`` must already be completely written
+    (this function orders the COMMIT, not the data).  Returns the new
+    snapshot id.  The history manifest lands before the live pointer, so
+    a crash between the two leaves the new snapshot unreferenced but the
+    previous one fully intact.
+    """
+    os.makedirs(root, exist_ok=True)
+    mp = _manifest_path(root)
+    sid = 0
+    if os.path.exists(mp):
+        with open(mp) as fh:
+            sid = json.load(fh)["snapshot"] + 1
+    rel = {}
+    for name, vdir in artifacts.items():
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(
+                f"artifact {name!r} version dir missing: {vdir} — write the "
+                "version before publishing the snapshot"
+            )
+        rel[name] = os.path.relpath(vdir, root)
+    doc = {"snapshot": sid, "artifacts": rel}
+    hist = os.path.join(root, f"_snapshot_{sid}.json")
+    with open(hist, "w") as fh:
+        json.dump(doc, fh)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, mp)  # the atomic commit point
+    return sid
+
+
+def resolve_snapshot(root: str, snapshot: int | None = None) -> dict:
+    """Resolve the live (or a pinned historical) snapshot ONCE.
+
+    Returns {"snapshot": id, "artifacts": {name: absolute dir}}.  Callers
+    must reuse the returned mapping for every artifact read of one
+    logical query — resolving per-artifact re-introduces the torn-read
+    window this module exists to close.
+    """
+    path = (
+        _manifest_path(root)
+        if snapshot is None
+        else os.path.join(root, f"_snapshot_{snapshot}.json")
+    )
+    with open(path) as fh:
+        doc = json.load(fh)
+    return {
+        "snapshot": doc["snapshot"],
+        "artifacts": {
+            n: os.path.join(root, d) for n, d in doc["artifacts"].items()
+        },
+    }
+
+
+def gc_snapshots(root: str, keep: int = 2) -> list[str]:
+    """Remove version directories referenced by NO retained snapshot.
+
+    Keeps the most recent ``keep`` snapshots' artifacts (and their history
+    manifests).  Only directories named like versioned artifacts
+    (containing ``_v``) are candidates — anything else under the root is
+    left alone.  Returns the removed directory names.
+    """
+    mp = _manifest_path(root)
+    if not os.path.exists(mp):
+        return []
+    with open(mp) as fh:
+        live_sid = json.load(fh)["snapshot"]
+    kept_dirs: set[str] = set()
+    for sid in range(max(0, live_sid - keep + 1), live_sid + 1):
+        hist = os.path.join(root, f"_snapshot_{sid}.json")
+        if os.path.exists(hist):
+            with open(hist) as fh:
+                kept_dirs.update(json.load(fh)["artifacts"].values())
+    removed = []
+    for d in os.listdir(root):
+        full = os.path.join(root, d)
+        if not os.path.isdir(full) or "_v" not in d:
+            continue
+        if d not in kept_dirs:
+            shutil.rmtree(full)
+            removed.append(d)
+    for f in os.listdir(root):
+        if f.startswith("_snapshot_") and f.endswith(".json"):
+            sid = int(f[len("_snapshot_") : -len(".json")])
+            if sid < live_sid - keep + 1:
+                os.remove(os.path.join(root, f))
+    return sorted(removed)
