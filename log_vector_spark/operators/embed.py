@@ -103,20 +103,45 @@ class SentenceTransformerEmbedder(Embedder):
         self.dim = dim
         self._model = None
 
+    @staticmethod
+    def pick_device() -> str:
+        """Reference device ladder cuda -> mps -> cpu (index.py:82-91);
+        'cpu' when torch itself is absent (the executor default here)."""
+        try:
+            import torch
+        except ImportError:
+            return "cpu"
+        if torch.cuda.is_available():
+            return "cuda"
+        if hasattr(torch.backends, "mps") and torch.backends.mps.is_available():
+            return "mps"
+        return "cpu"
+
     def _load(self):
         if self._model is None:
+            from log_vector_spark.operators.trust import (
+                safe_sentence_transformer_load,
+            )
+
             try:
-                from sentence_transformers import SentenceTransformer
-            except ImportError as e:  # pragma: no cover - not in container
+                model = safe_sentence_transformer_load(
+                    self.model_name, device=self.pick_device()
+                )
+            except ImportError as e:
                 raise NotImplementedError(
                     "sentence-transformers not installed; use DeterministicEmbedder"
                 ) from e
-            self._model = SentenceTransformer(self.model_name)  # pragma: no cover
+            # reference index.py:95 — 2000-char chunks are silently
+            # truncated by the tokenizer at 512 tokens; kept, documented
+            model.max_seq_length = 512
+            self._model = model
         return self._model
 
-    def embed_batch(self, texts: list[str]) -> list[list[float]]:  # pragma: no cover
+    def embed_batch(self, texts: list[str]) -> list[list[float]]:
         model = self._load()
-        return model.encode(texts, batch_size=32, convert_to_numpy=True).tolist()
+        return model.encode(
+            texts, batch_size=32, show_progress_bar=False, convert_to_numpy=True
+        ).tolist()
 
 
 class HttpEmbedder(Embedder):

@@ -166,3 +166,45 @@ def get_trust_setting_interactive(
     set_model_approval(model_name, approved, env_file=env_file)
     os.environ[key] = "true" if approved else "false"
     return approved
+
+
+def safe_sentence_transformer_load(
+    model_name: str,
+    interactive: bool = False,
+    input_fn=input,
+    print_fn=print,
+    **kwargs,
+):
+    """Trust-gated SentenceTransformer load (reference
+    trust_manager.py:219-255): resolve consent first, strip any caller
+    trust_remote_code, load with the resolved flag; when the untrusted
+    load fails and `interactive` is set, offer one consent-and-retry with
+    trust_remote_code=True (persisting the approval) before re-raising.
+
+    Import-gated like SentenceTransformerEmbedder — the default Spark
+    posture is `interactive=False` (executors can never prompt; C4
+    default-deny), the reference's interactive branch is preserved for the
+    driver-side CLI.  Contract-tested against a recording fake in
+    tests/test_real_model_contract.py; the live path runs under
+    tests/test_real_models.py when the dependency exists.
+    """
+    from sentence_transformers import SentenceTransformer  # import-gated
+
+    if interactive:
+        trusted = get_trust_setting_interactive(
+            model_name, input_fn=input_fn, print_fn=print_fn
+        )
+    else:
+        trusted = get_trust_setting(model_name)
+    kwargs.pop("trust_remote_code", None)
+    if trusted:
+        return SentenceTransformer(model_name, trust_remote_code=True, **kwargs)
+    try:
+        return SentenceTransformer(model_name, trust_remote_code=False, **kwargs)
+    except Exception:
+        if interactive and prompt_user_consent(
+            model_name, input_fn=input_fn, print_fn=print_fn
+        ):
+            set_model_approval(model_name, True)
+            return SentenceTransformer(model_name, trust_remote_code=True, **kwargs)
+        raise
