@@ -108,10 +108,14 @@ def _build_ivf_drift(spark: SparkSession, sf_dir: str, path: str) -> None:
         eager=True
     )
     assigned = search.ivf_assign(emb, cents)
+    # UNPARTITIONED on purpose: the monitor always scans every list, so a
+    # list_id directory level buys no pruning and costs ~n_lists x files
+    # of listing/scheduling per tick (measured 4.1x/decade partitioned vs
+    # ~linear flat); list_id stays as a data column, content identical to
+    # the probe store's layout.
     (
         assigned.select("vec_id", "embedding", "label", "list_id")
         .write.mode("overwrite")
-        .partitionBy("list_id")
         .parquet(os.path.join(path, "vectors"))
     )
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
