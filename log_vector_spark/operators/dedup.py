@@ -246,9 +246,15 @@ def minhash_band_pairs_capped(
 
     The size aggregate and the self-join share the (band, band_key)
     shuffle key, so the cap costs no extra exchange over the uncapped
-    join — one hash aggregate on already-co-partitioned data.
+    join — one hash aggregate on already-co-partitioned data.  The band
+    table feeds SIX plan positions (sizes, both all-pairs sides, star);
+    the lazy checkpoint makes the MinHash signature stage compute once
+    instead of per-plant (at scale the signatures are a persisted
+    artifact anyway — the minhash_incremental_survivors posture).
     """
-    bands = _minhash_bands(docs, n_hashes, rows_per_band, shingle_n, id_col, text_col)
+    bands = _minhash_bands(
+        docs, n_hashes, rows_per_band, shingle_n, id_col, text_col
+    ).localCheckpoint(eager=False)
     sizes = bands.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("_m"), F.min(id_col).alias("_hub")
     )

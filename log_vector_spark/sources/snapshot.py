@@ -107,6 +107,12 @@ def gc_snapshots(root: str, keep: int = 2) -> list[str]:
     manifests).  Only directories named like versioned artifacts
     (containing ``_v``) are candidates — anything else under the root is
     left alone.  Returns the removed directory names.
+
+    SINGLE-MAINTAINER: run this only from the publishing process, after
+    its own publish — an unreferenced directory is indistinguishable from
+    a concurrent writer's not-yet-published version, so a second process
+    running gc mid-publish would delete in-flight work (the same
+    single-writer assumption every pointer swap in this repo makes).
     """
     mp = _manifest_path(root)
     if not os.path.exists(mp):
