@@ -1098,3 +1098,86 @@ def memorization_risk(
         risk.alias("risk_share"),
         F.coalesce("max_count", F.lit(0).cast("bigint")).alias("max_count"),
     )
+
+
+def repeated_span_report(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repeated-SPAN report: maximal token spans covered by
+    word n-grams that occur >= ``min_count`` times corpus-wide (the exact
+    -substring dedup view of Lee et al. "Deduplicating Training Data
+    Makes Language Models Better", public — their suffix-array ExactSubstr
+    marks repeated >= 50-token spans for removal; the relational form
+    anchors on repeated n-grams and merges overlapping anchors into
+    maximal spans).  memorization_risk reports per-GRAM exposure; this is
+    the actionable per-SPAN view: how many clip-able regions a doc has
+    and what fraction of its tokens they cover.
+
+    Output per doc: (n_spans, dup_tokens, max_span_tokens, n_tokens,
+    dup_fraction); docs with no repeated grams keep a zero row
+    (dup_fraction NULL only for token-less docs).
+
+    Gaps-and-islands: repeated gram positions sort per doc; a new island
+    starts when pos > prev + n (a gram at p covers [p, p+n-1], so p2 <=
+    p + n overlaps-or-touches); island span_tokens = max(pos) - min(pos)
+    + n.  Spans never overlap, so dup_tokens <= n_tokens by construction.
+
+    Scale: gram counting is the memorization_risk kernel (md5-keyed,
+    skew-proof, corpus-linear); the pre-aggregated ``c >= min_count``
+    filter lands BEFORE the join back (a left-semi against the repeated
+    hash set, typically a tiny fraction of all grams); the island windows
+    partition by doc_id — per-partition state is one doc's repeated
+    positions, never corpus-global.
+    """
+    from log_vector_spark.functions.text import shingles_from_words
+
+    w = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("words"))
+    g = w.select(
+        id_col,
+        F.posexplode(shingles_from_words(F.col("words"), n)).alias("pos", "gram"),
+    ).select(id_col, "pos", F.md5("gram").alias("h"))
+    hot = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    rp = g.join(hot, "h", "left_semi")
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(wd)
+    brk = F.when(prev.isNull() | (F.col("pos") > prev + n), 1).otherwise(0)
+    isl = rp.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy(id_col, "island").agg(
+        (F.max("pos") - F.min("pos") + n).alias("span_tokens")
+    )
+    per = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
+        F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+    )
+    base = w.select(id_col, F.size("words").cast("bigint").alias("n_tokens"))
+    out = base.join(per, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("n_spans", F.lit(0).cast("bigint")).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0).cast("bigint")).alias("dup_tokens"),
+        F.coalesce("max_span_tokens", F.lit(0).cast("bigint")).alias(
+            "max_span_tokens"
+        ),
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0).cast("bigint"))
+                / F.col("n_tokens"),
+                6,
+            ),
+        ).alias("dup_fraction"),
+    )

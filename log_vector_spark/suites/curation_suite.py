@@ -1024,6 +1024,69 @@ def memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repeated_span_report",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    g AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) - 1 AS pos,
+             md5(words[t.i] || ' ' || words[t.i+1] || ' ' || words[t.i+2] || ' '
+                 || words[t.i+3] || ' ' || words[t.i+4] || ' ' || words[t.i+5]
+                 || ' ' || words[t.i+6] || ' ' || words[t.i+7]) AS h
+      FROM w, unnest(range(1, greatest(len(words) - 6, 1))) AS t(i)
+      WHERE len(words) >= 8
+    ),
+    hot AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+    rp AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (h)),
+    fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM rp
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM fl
+    ),
+    spans AS (
+      SELECT doc_id, island, max(pos) - min(pos) + 8 AS span_tokens
+      FROM isl GROUP BY doc_id, island
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+             CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           coalesce(per.n_spans, 0) AS n_spans,
+           coalesce(per.dup_tokens, 0) AS dup_tokens,
+           coalesce(per.max_span_tokens, 0) AS max_span_tokens,
+           CAST(len(w.words) AS BIGINT) AS n_tokens,
+           CASE WHEN len(w.words) > 0
+                THEN round(coalesce(per.dup_tokens, 0) / len(w.words), 6) END
+             AS dup_fraction
+    FROM w LEFT JOIN per USING (doc_id)
+    """,
+    doc="Repeated-SPAN dedup report (Lee et al. ExactSubstr view, public): "
+    "maximal per-doc token spans covered by corpus-repeated 8-grams — "
+    "n_spans / dup_tokens / max_span_tokens / dup_fraction per document, "
+    "the actionable clip-list memorization_risk's per-gram exposure only "
+    "hints at.  Gaps-and-islands merge (new island when pos > prev + n) "
+    "over the repeated positions; gram counting is the md5-keyed "
+    "skew-proof memorization_risk kernel with the >= min_count filter "
+    "pushed BEFORE the join back (left-semi against the typically tiny "
+    "hot-hash set); island windows partition by doc_id, so window state "
+    "is one doc's repeated positions, never corpus-global.  "
+    "operators/curation.py:repeated_span_report.",
+)
+def repeated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.repeated_span_report(table(spark, "documents", sf_dir))
+
+
+@register(
     "curriculum_order",
     oracle=f"""
     WITH d AS (SELECT doc_id, source, {_WORDS} AS words FROM documents),
