@@ -767,11 +767,20 @@ def retrain_ivf_store(
     base = vecs.select("vec_id", "embedding", "label")
     n = cached_count(base)
     k_est = max(1, n // search.sqrt_stride(n))
+    train_cap = 256 * k_est
+    if n <= train_cap:
+        # the whole corpus is within the training budget — checkpointing
+        # it is exactly as bounded as checkpointing a sample would be, and
+        # it keeps the Lloyd rounds + final assignment off the recompute
+        # chain (r9 full window measured 26.9 s lazy vs ~15 s checkpointed
+        # at sf0.1).  Above the cap the sample is checkpointed inside
+        # make_centroids_kmeans instead and the corpus is never pinned.
+        base = base.localCheckpoint(eager=True)
     # store the refined centroids in the store's float layout and ASSIGN
     # under that same float form — the quantizer queries read must be the
     # quantizer the assignment used, or probe/partition disagree
     cents = (
-        search.make_centroids_kmeans(base, iters=iters, train_cap=256 * k_est)
+        search.make_centroids_kmeans(base, iters=iters, train_cap=train_cap)
         .select(
             "list_id",
             F.transform("centroid", lambda x: x.cast("float")).alias("centroid"),
