@@ -974,6 +974,13 @@ def main() -> None:
     for name, r in results.items():
         if not r["regression"] or probe_base is None or jvm is None:
             continue
+        if time.time() - suite_t0 > 1.5 * BUDGET_S:
+            # a contended window that flags several heavyweights is the
+            # exact case adjudication exists for — but not at unbounded
+            # wall cost; past 1.5x the suite budget the flag stands
+            # unresolved and the artifact says so
+            r["adjudicated"] = "unadjudicated: budget"
+            continue
 
         def _probe_ratio() -> float:
             c0 = _cpu_seconds(jvm)
@@ -1039,6 +1046,13 @@ def main() -> None:
         "queries": results,
         "sf": float(sf),
         "set": run_set,
+        # Subset windows systematically read hot: a fresh JVM per bench
+        # invocation means the JIT warm-up a 271-query full window
+        # amortizes lands on a short subset's 2-3 reps (observed 3.1x
+        # control CPU at host load < 1).  Normalization absorbs it for
+        # FLAGS, but baselines must only ever be re-based from a full
+        # window — this stamp makes a subset artifact self-disqualifying.
+        **({"rebase_unsafe": True} if run_set != "full" else {}),
     }
     # complete artifact on disk (atomic), immune to stdout truncation.
     # Subset runs (--only / --headline) write BENCH_smoke.json so they can
