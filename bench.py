@@ -773,6 +773,11 @@ BASELINE_SEC["repeated_span_report"] = 2.58
 BASELINE_CPU["repeated_span_report"] = 3.17
 BASELINE_SEC["ivf_drift_report"] = 0.52
 BASELINE_CPU["ivf_drift_report"] = 4.16
+# clip_repeated_spans landed after the r9 full window; values from a
+# 1.4x-drifted isolated subset (rebase_unsafe artifact) — upper bounds,
+# refresh at the next full window (the r5-wave precedent).
+BASELINE_SEC["clip_repeated_spans"] = 2.97
+BASELINE_CPU["clip_repeated_spans"] = 6.29
 
 
 def main() -> None:

@@ -1133,29 +1133,9 @@ def repeated_span_report(
     partition by doc_id — per-partition state is one doc's repeated
     positions, never corpus-global.
     """
-    from log_vector_spark.functions.text import shingles_from_words
-
     w = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("words"))
-    g = w.select(
-        id_col,
-        F.posexplode(shingles_from_words(F.col("words"), n)).alias("pos", "gram"),
-    ).select(id_col, "pos", F.md5("gram").alias("h"))
-    hot = (
-        g.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= min_count)
-        .select("h")
-    )
-    rp = g.join(hot, "h", "left_semi")
-    wd = Window.partitionBy(id_col).orderBy("pos")
-    prev = F.lag("pos").over(wd)
-    brk = F.when(prev.isNull() | (F.col("pos") > prev + n), 1).otherwise(0)
-    isl = rp.withColumn("brk", brk).withColumn(
-        "island",
-        F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = isl.groupBy(id_col, "island").agg(
-        (F.max("pos") - F.min("pos") + n).alias("span_tokens")
+    spans = _repeated_spans(w, n, min_count, id_col).withColumn(
+        "span_tokens", F.col("e") - F.col("s") + 1
     )
     per = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
@@ -1180,4 +1160,82 @@ def repeated_span_report(
                 6,
             ),
         ).alias("dup_fraction"),
+    )
+
+
+def _repeated_spans(
+    w: DataFrame, n: int, min_count: int, id_col: str
+) -> DataFrame:
+    """(id, island, s, e): maximal 0-based token spans covered by word
+    n-grams occurring >= min_count times corpus-wide, from a (id, words)
+    relation.  Shared kernel of repeated_span_report (the VIEW) and
+    clip_repeated_spans (the ACTION); see repeated_span_report for the
+    gaps-and-islands derivation and scale notes."""
+    from log_vector_spark.functions.text import shingles_from_words
+
+    g = w.select(
+        id_col,
+        F.posexplode(shingles_from_words(F.col("words"), n)).alias("pos", "gram"),
+    ).select(id_col, "pos", F.md5("gram").alias("h"))
+    hot = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    rp = g.join(hot, "h", "left_semi")
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(wd)
+    brk = F.when(prev.isNull() | (F.col("pos") > prev + n), 1).otherwise(0)
+    isl = rp.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy(id_col, "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + n - 1).alias("e")
+    )
+
+
+def clip_repeated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The exact-substring dedup ACTION (Lee et al. ExactSubstr, public):
+    REMOVE every maximal token span covered by corpus-repeated n-grams
+    from each document's token stream, returning the clipped tokens —
+    repeated_span_report is the audit view of the same spans; this is the
+    transform a training-data pipeline actually applies before
+    tokenization.
+
+    Output per doc: (clean_words, n_tokens, n_removed).  Docs without
+    repeated spans pass through intact; token order is preserved.
+
+    The span test runs as a nested indexed higher-order function — the
+    per-doc span list (typically 0-5 structs) rides along as an array
+    column and every token position filters against it JVM-side, no
+    explode of |tokens| x |spans| and no Python.  Span derivation is the
+    skew-proof repeated_span_report kernel (md5-keyed gram counts,
+    min_count filter pushed before the join back, per-doc islands).
+    """
+    w = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("words"))
+    spans = (
+        _repeated_spans(w, n, min_count, id_col)
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    j = w.join(spans, id_col, "left")
+    covered = lambda i: F.exists(  # noqa: E731 - readable inline predicate
+        "spans", lambda sp: (sp.s <= i) & (i <= sp.e)
+    )
+    clean = F.when(
+        F.col("spans").isNull(), F.col("words")
+    ).otherwise(F.filter("words", lambda x, i: ~covered(i)))
+    return j.select(
+        id_col,
+        clean.alias("clean_words"),
+        F.size("words").cast("bigint").alias("n_tokens"),
+        (F.size("words") - F.size(clean)).cast("bigint").alias("n_removed"),
     )

@@ -10,6 +10,7 @@ same definitions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from log_vector_spark.catalog import table
 from log_vector_spark.operators import curation
@@ -1084,6 +1085,82 @@ def memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repeated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.repeated_span_report(table(spark, "documents", sf_dir))
+
+
+@register(
+    "clip_repeated_spans",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    g AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) - 1 AS pos,
+             md5(words[t.i] || ' ' || words[t.i+1] || ' ' || words[t.i+2] || ' '
+                 || words[t.i+3] || ' ' || words[t.i+4] || ' ' || words[t.i+5]
+                 || ' ' || words[t.i+6] || ' ' || words[t.i+7]) AS h
+      FROM w, unnest(range(1, greatest(len(words) - 6, 1))) AS t(i)
+      WHERE len(words) >= 8
+    ),
+    hot AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+    rp AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (h)),
+    fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM rp
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM fl
+    ),
+    spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    sl AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+      FROM spans GROUP BY doc_id
+    ),
+    clipped AS (
+      SELECT w.doc_id, w.words,
+             CASE WHEN sl.spans IS NULL THEN w.words
+                  ELSE list_filter(w.words, (x, i) ->
+                    NOT len(list_filter(sl.spans,
+                          sp -> sp.s <= i - 1 AND i - 1 <= sp.e)) > 0)
+             END AS clean_words
+      FROM w LEFT JOIN sl USING (doc_id)
+    )
+    SELECT doc_id,
+           -- DuckDB array_to_string([]) is NULL (Spark array_join is '');
+           -- coalesce so a fully-clipped doc hashes the empty stream
+           md5(coalesce(array_to_string(clean_words, ' '), '')) AS clean_fp,
+           CAST(len(clean_words) AS BIGINT) AS clean_n_tokens,
+           CAST(len(words) AS BIGINT) AS n_tokens,
+           CAST(len(words) - len(clean_words) AS BIGINT) AS n_removed
+    FROM clipped
+    """,
+    doc="Exact-substring dedup ACTION (Lee et al. ExactSubstr, public): "
+    "removes every maximal token span covered by corpus-repeated 8-grams "
+    "from each doc's token stream (repeated_span_report is the audit VIEW "
+    "of the same spans).  The per-doc span list (typically 0-5 structs) "
+    "rides along as an array column and a nested INDEXED higher-order "
+    "filter tests every token position against it JVM-side — no "
+    "|tokens| x |spans| explode, no Python; the oracle replays the same "
+    "shape with DuckDB's (x, i) lambdas.  The registered row projects "
+    "md5(clean token stream) so the FULL clipped content is value-checked "
+    "without shipping raw arrays through the comparator.  "
+    "operators/curation.py:clip_repeated_spans.",
+)
+def clip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = curation.clip_repeated_spans(table(spark, "documents", sf_dir))
+    return out.select(
+        "doc_id",
+        F.md5(F.array_join("clean_words", " ")).alias("clean_fp"),
+        F.size("clean_words").cast("bigint").alias("clean_n_tokens"),
+        "n_tokens",
+        "n_removed",
+    )
 
 
 @register(

@@ -73,3 +73,42 @@ def test_snapshot_audit_coherent_and_pinned_prev(spark):
     assert row["n_docs"] < row["n_docs_prev"]
     assert row["n_vecs"] < row["n_vecs_prev"]
     assert row["n_matched"] <= min(row["n_docs"], row["n_vecs"])
+
+
+@pytest.mark.spark
+def test_clip_action_consistent_with_report_view(spark):
+    """clip_repeated_spans must remove EXACTLY the tokens the report
+    counts: n_removed == dup_tokens per doc, clean + removed == total."""
+    from log_vector_spark.catalog import table
+    from log_vector_spark.operators.curation import (
+        clip_repeated_spans,
+        repeated_span_report,
+    )
+
+    docs = table(spark, "documents", SF)
+    rep = {r["doc_id"]: r for r in repeated_span_report(docs).collect()}
+    clip = {r["doc_id"]: r for r in clip_repeated_spans(docs).collect()}
+    assert set(rep) == set(clip)
+    for d, c in clip.items():
+        assert c["n_removed"] == rep[d]["dup_tokens"], d
+        assert len(c["clean_words"]) + c["n_removed"] == c["n_tokens"], d
+
+
+@pytest.mark.spark
+def test_clip_preserves_order_and_unique_text(spark):
+    from log_vector_spark.operators.curation import clip_repeated_spans
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    docs = spark.createDataFrame(
+        [
+            (0, f"keep one two {passage} keep three four five six seven"),
+            (1, f"start here {passage} finish line now done okay yes sure"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in clip_repeated_spans(docs).collect()}
+    assert rows[0]["clean_words"] == [
+        "keep", "one", "two", "keep", "three", "four", "five", "six", "seven",
+    ]
+    assert rows[1]["clean_words"][:2] == ["start", "here"]
+    assert rows[1]["n_removed"] == 12
