@@ -773,11 +773,14 @@ BASELINE_SEC["repeated_span_report"] = 2.58
 BASELINE_CPU["repeated_span_report"] = 3.17
 BASELINE_SEC["ivf_drift_report"] = 0.52
 BASELINE_CPU["ivf_drift_report"] = 4.16
-# clip_repeated_spans landed after the r9 full window; values from a
-# 1.4x-drifted isolated subset (rebase_unsafe artifact) — upper bounds,
-# refresh at the next full window (the r5-wave precedent).
+# clip_repeated_spans / dedup_clusters_capped landed after the r9 full
+# window; values from a 1.4x-drifted isolated subset (rebase_unsafe
+# artifact) and the dedup_clusters family — upper bounds, refresh at the
+# next full window (the r5-wave precedent).
 BASELINE_SEC["clip_repeated_spans"] = 2.97
 BASELINE_CPU["clip_repeated_spans"] = 6.29
+BASELINE_SEC["dedup_clusters_capped"] = 3.87
+BASELINE_CPU["dedup_clusters_capped"] = 6.50
 
 
 def main() -> None:

@@ -409,6 +409,38 @@ def _register_clusters_star() -> None:
 _register_clusters_star()
 
 
+def _register_clusters_capped() -> None:
+    """Components over the skew-CAPPED candidate graph, oracle-checked
+    against the FULL all-pairs transitive closure — the hash-equality of
+    this row IS the distributed proof that star-expanding oversized band
+    buckets preserves every connected component (VERDICT r8 item 8; the
+    local proof is tests/test_dedup_skew.py, the decade proof the SKEWED
+    rows of SCALE_r09)."""
+    from log_vector_spark.registry import REGISTRY
+
+    @register(
+        "dedup_clusters_capped",
+        oracle=REGISTRY["dedup_clusters"].oracle,
+        doc="Transitive dedup clusters computed from the skew-capped "
+        "candidate pairs (minhash_band_pairs_capped, cap=2 so the star "
+        "path engages at oracle scale) while the oracle replays the FULL "
+        "all-pairs closure — value-hash equality proves cluster-level "
+        "consumers are bit-identical under the cap, which is what lets a "
+        "boilerplate-heavy corpus use the linear star expansion without "
+        "changing dedup results.  operators/dedup.py:"
+        "minhash_band_pairs_capped.",
+    )
+    def dedup_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, "documents", sf_dir)
+        pairs = dedup.minhash_band_pairs_capped(
+            docs, max_bucket=2, n_hashes=8, rows_per_band=2
+        )
+        return dedup.connected_components(pairs, docs, id_col="doc_id")
+
+
+_register_clusters_capped()
+
+
 @register(
     "dedup_cluster_survivors",
     oracle=f"""
