@@ -773,14 +773,13 @@ BASELINE_SEC["repeated_span_report"] = 2.58
 BASELINE_CPU["repeated_span_report"] = 3.17
 BASELINE_SEC["ivf_drift_report"] = 0.52
 BASELINE_CPU["ivf_drift_report"] = 4.16
-# clip_repeated_spans / dedup_clusters_capped landed after the r9 full
-# window; values from a 1.4x-drifted isolated subset (rebase_unsafe
-# artifact) and the dedup_clusters family — upper bounds, refresh at the
-# next full window (the r5-wave precedent).
-BASELINE_SEC["clip_repeated_spans"] = 2.97
-BASELINE_CPU["clip_repeated_spans"] = 6.29
-BASELINE_SEC["dedup_clusters_capped"] = 3.87
-BASELINE_CPU["dedup_clusters_capped"] = 6.50
+# clip_repeated_spans / dedup_clusters_capped: provisional drifted-subset
+# upper bounds replaced with the r9 CLOSE full window (273 queries, drift
+# 0.722, 0 flags, suite sum 0.77x — BENCH_local_r09.json), as promised.
+BASELINE_SEC["clip_repeated_spans"] = 2.13
+BASELINE_CPU["clip_repeated_spans"] = 2.72
+BASELINE_SEC["dedup_clusters_capped"] = 2.39
+BASELINE_CPU["dedup_clusters_capped"] = 5.11
 
 
 def main() -> None:
