@@ -123,3 +123,41 @@ def test_star_contraction_handles_adversarial_long_chain(spark):
     distinct_labels = labels.select("cluster_id").distinct().collect()
     assert [r.cluster_id for r in distinct_labels] == [0]
     assert labels.count() == n
+
+
+@pytest.mark.spark
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    # random small corpora: a few boilerplate clones of 2 templates plus
+    # unique docs — hypothesis shrinks toward the adversarial mixes
+    n_a=st.integers(0, 6),
+    n_b=st.integers(0, 5),
+    n_u=st.integers(1, 5),
+    cap=st.integers(1, 8),
+)
+def test_capped_band_pairs_preserve_components(spark, n_a, n_b, n_u, cap):
+    """For ANY corpus and ANY cap, the star-capped LSH candidate graph has
+    exactly the connected components of the uncapped all-pairs graph."""
+    from log_vector_spark.operators.dedup import (
+        connected_components,
+        minhash_band_pairs,
+        minhash_band_pairs_capped,
+    )
+
+    t_a = "red orange yellow green blue indigo violet magenta cyan teal " * 2
+    t_b = "one two three four five six seven eight nine ten eleven twelve " * 2
+    rows, did = [], 0
+    for _ in range(n_a):
+        rows.append((did, t_a)); did += 1
+    for _ in range(n_b):
+        rows.append((did, t_b)); did += 1
+    for u in range(n_u):
+        rows.append((did, f"unique u{u}a u{u}b u{u}c u{u}d u{u}e u{u}f u{u}g u{u}h filler text")); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = minhash_band_pairs(docs)
+    capped = minhash_band_pairs_capped(docs, max_bucket=cap)
+    verts = docs.select("doc_id")
+    cc_f = {(r.doc_id, r.cluster_id) for r in connected_components(full, verts).collect()}
+    cc_c = {(r.doc_id, r.cluster_id) for r in connected_components(capped, verts).collect()}
+    assert cc_f == cc_c
