@@ -780,6 +780,11 @@ BASELINE_SEC["clip_repeated_spans"] = 2.13
 BASELINE_CPU["clip_repeated_spans"] = 2.72
 BASELINE_SEC["dedup_clusters_capped"] = 2.39
 BASELINE_CPU["dedup_clusters_capped"] = 5.11
+# source_data_card landed after the r9 close window — provisional from
+# the decade harness sf0.1 side (fresh-session min-of-2), refresh at the
+# next full window.
+BASELINE_SEC["source_data_card"] = 3.07
+BASELINE_CPU["source_data_card"] = 6.00
 
 
 def main() -> None:

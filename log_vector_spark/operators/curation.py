@@ -1239,3 +1239,83 @@ def clip_repeated_spans(
         F.size("words").cast("bigint").alias("n_tokens"),
         (F.size("words") - F.size(clean)).cast("bigint").alias("n_removed"),
     )
+
+
+def source_data_card(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source training-data CARD: the one-row-per-source report a
+    dataset release ships (HuggingFace dataset-card / Datasheets posture,
+    public) — volume, duplication exposure, and language mix, composed
+    from the kernels this module already certifies:
+
+      n_docs, total_tokens,
+      exact_dup_share   — share of docs whose md5(text) occurs >= 2 times
+                          CORPUS-wide (cross-source duplication counts),
+      dup_token_share   — repeated-span token mass / total tokens (the
+                          repeated_span_report kernel, corpus-wide grams),
+      n_langs, lang_entropy — Shannon entropy (nats, 6dp) of the source's
+                          language distribution.
+
+    Scale: every input is an existing linear kernel (md5-keyed fp counts,
+    gram counts, per-doc islands); the final fold is one groupBy(source)
+    with decimal-exact token sums.  Entropy sums <= |langs| doubles per
+    source — bounded, order-stable at 6dp.
+    """
+    base = docs.select(
+        F.col(id_col), F.col(source_col), F.col(lang_col),
+        tokens(F.col(text_col)).alias("words"),
+        F.md5(F.col(text_col)).alias("fp"),
+    )
+    dup_fp = (
+        base.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("fp")
+    )
+    flagged = base.join(dup_fp.withColumn("_dup", F.lit(1)), "fp", "left")
+    rep = repeated_span_report(docs, n, min_count, id_col, text_col).select(
+        id_col, "dup_tokens"
+    )
+    j = flagged.join(rep, id_col, "left")
+    per_source = j.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("words")).cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(F.coalesce("_dup", F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("exact_dup_share"),
+        F.when(
+            F.sum(F.size("words")) > 0,
+            F.round(
+                F.sum(F.coalesce("dup_tokens", F.lit(0)))
+                / F.sum(F.size("words")),
+                6,
+            ),
+        ).alias("dup_token_share"),
+        F.countDistinct(lang_col).cast("bigint").alias("n_langs"),
+    )
+    lang_counts = base.groupBy(source_col, lang_col).agg(
+        F.count(F.lit(1)).alias("lc")
+    )
+    ent = (
+        lang_counts.withColumn(
+            "tot", F.sum("lc").over(Window.partitionBy(source_col))
+        )
+        .groupBy(source_col)
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("lc") / F.col("tot"))
+                    * F.log(F.col("lc") / F.col("tot"))
+                ),
+                6,
+            ).alias("lang_entropy")
+        )
+    )
+    return per_source.join(ent, source_col)

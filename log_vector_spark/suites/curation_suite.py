@@ -1088,6 +1088,78 @@ def repeated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_data_card",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, lang, {_WORDS} AS words,
+                      md5(text) AS fp FROM documents),
+    dupfp AS (SELECT fp FROM w GROUP BY fp HAVING count(*) >= 2),
+    g AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) - 1 AS pos,
+             md5(words[t.i] || ' ' || words[t.i+1] || ' ' || words[t.i+2] || ' '
+                 || words[t.i+3] || ' ' || words[t.i+4] || ' ' || words[t.i+5]
+                 || ' ' || words[t.i+6] || ' ' || words[t.i+7]) AS h
+      FROM w, unnest(range(1, greatest(len(words) - 6, 1))) AS t(i)
+      WHERE len(words) >= 8
+    ),
+    hot AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+    rp AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (h)),
+    fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM rp
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM fl
+    ),
+    spans AS (
+      SELECT doc_id, island, max(pos) - min(pos) + 8 AS span_tokens
+      FROM isl GROUP BY doc_id, island
+    ),
+    rep AS (SELECT doc_id, sum(span_tokens) AS dup_tokens
+            FROM spans GROUP BY doc_id),
+    per AS (
+      SELECT w.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(w.words)) AS BIGINT) AS total_tokens,
+             round(sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END)
+                   / count(*), 6) AS exact_dup_share,
+             CASE WHEN sum(len(w.words)) > 0
+                  THEN round(sum(coalesce(rep.dup_tokens, 0))
+                             / sum(len(w.words)), 6) END AS dup_token_share,
+             CAST(count(DISTINCT w.lang) AS BIGINT) AS n_langs
+      FROM w LEFT JOIN dupfp d USING (fp) LEFT JOIN rep USING (doc_id)
+      GROUP BY w.source
+    ),
+    lc AS (SELECT source, lang, count(*) AS n FROM w GROUP BY source, lang),
+    ent AS (
+      SELECT source,
+             round(-sum((n / tot) * ln(n / tot)), 6) AS lang_entropy
+      FROM (SELECT source, lang, CAST(n AS DOUBLE) AS n,
+                   CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE) AS tot
+            FROM lc)
+      GROUP BY source
+    )
+    SELECT per.*, ent.lang_entropy FROM per JOIN ent USING (source)
+    """,
+    doc="Per-source training-data CARD (dataset-card / Datasheets posture, "
+    "public): one row per source with volume (docs, tokens), duplication "
+    "exposure (exact_dup_share = docs whose md5(text) repeats corpus-wide; "
+    "dup_token_share = repeated-8-gram span token mass / total tokens, the "
+    "repeated_span_report kernel), and language mix (n_langs + Shannon "
+    "entropy in nats).  Composes three certified linear kernels into one "
+    "groupBy(source) fold — the release-gate report a 100 TB corpus ships "
+    "with.  operators/curation.py:source_data_card.",
+)
+def source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.source_data_card(table(spark, "documents", sf_dir))
+
+
+@register(
     "clip_repeated_spans",
     oracle=f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
