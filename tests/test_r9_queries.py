@@ -112,3 +112,19 @@ def test_clip_preserves_order_and_unique_text(spark):
     ]
     assert rows[1]["clean_words"][:2] == ["start", "here"]
     assert rows[1]["n_removed"] == 12
+
+
+@pytest.mark.spark
+def test_source_data_card_invariants(spark):
+    import __spark_entry__ as m
+    from log_vector_spark.catalog import table
+
+    rows = m.queries()["source_data_card"](spark, SF).collect()
+    assert rows
+    n_total = table(spark, "documents", SF).count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    for r in rows:
+        assert 0.0 <= r["exact_dup_share"] <= 1.0
+        assert r["dup_token_share"] is None or 0.0 <= r["dup_token_share"] <= 1.0
+        assert r["lang_entropy"] >= 0.0
+        assert r["n_langs"] >= 1
