@@ -111,11 +111,9 @@ CONTROLS = ["text_quality", "events_hourly", "corpus_stats"]
 HEADLINE = [
     "knn_topk",            # brute-force vector scan + TakeOrdered
     "knn_batch_topk",      # broadcast crossJoin + window
-    "similarity_join",     # similarity self-join (IVF-blocked default since r4)
-    "knn_ivf",             # IVF approximate path
+    "knn_ivf",             # IVF approximate path (stored-quantizer read since r10)
     "dedup_minhash_pairs", # shingle explode + LSH band join
     "dedup_simhash",       # token explode + bit votes
-    "dedup_embedding",     # semantic near-dup + anti join (IVF-blocked default since r4)
     "text_quality",        # scan-stage text metrics
     "events_hourly",       # time-bucket agg
     "events_sessionize",   # window sessionization
@@ -223,7 +221,6 @@ HEADLINE = [
     # min() over reps records the amortized path); knn_graph_build prices
     # the write-time edge-list construction explicitly.
     "perplexity_gate",            # CCNet bigram-LM quality gate (terciles)
-    "knn_ivf_stored",             # pruned-partition IVF query (no build)
     "knn_ivfpq_stored",           # pruned-partition ADC query (no build)
     "knn_graph_stored",           # beam rounds only (no pair-join build)
     "knn_graph_build",            # write-time edge-list build cost

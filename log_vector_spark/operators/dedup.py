@@ -225,6 +225,7 @@ def minhash_band_pairs_capped(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    for_clustering: bool = True,
 ) -> DataFrame:
     """Skew-hardened LSH candidate generation (VERDICT r8 item 8).
 
@@ -244,6 +245,16 @@ def minhash_band_pairs_capped(
     on a boilerplate fixture; the skewed-replica decade row is in
     SCALE_r09.json.
 
+    ``for_clustering`` makes that contract explicit at the call site
+    (ADVICE r9): the capped output is safe ONLY for consumers that
+    cluster candidates before acting (connected components, survivor
+    picks, dedup-aware weights).  A caller that verifies individual pairs
+    by actual similarity BEFORE clustering could lose edges inside
+    oversized buckets (a member whose only surviving verified edge was to
+    a non-hub member) — such callers must pass ``for_clustering=False``
+    to get a loud error pointing at minhash_band_pairs, instead of a
+    silent recall loss.
+
     The size aggregate and the self-join share the (band, band_key)
     shuffle key, so the cap costs no extra exchange over the uncapped
     join — one hash aggregate on already-co-partitioned data.  The band
@@ -252,6 +263,15 @@ def minhash_band_pairs_capped(
     instead of per-plant (at scale the signatures are a persisted
     artifact anyway — the minhash_incremental_survivors posture).
     """
+    if not for_clustering:
+        raise ValueError(
+            "minhash_band_pairs_capped emits a cluster-equivalent candidate "
+            "graph, not the complete within-bucket pair list: oversized "
+            "buckets are star-contracted, so verifying individual pairs "
+            "BEFORE clustering can drop edges.  Use minhash_band_pairs for "
+            "pairwise-verify pipelines, or verify per-cluster after "
+            "contraction."
+        )
     bands = _minhash_bands(
         docs, n_hashes, rows_per_band, shingle_n, id_col, text_col
     ).localCheckpoint(eager=False)

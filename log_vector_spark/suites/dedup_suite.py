@@ -70,9 +70,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(table(spark, "documents", sf_dir), n_hashes=8)
 
 
-@register(
-    "dedup_minhash_pairs",
-    oracle=f"""
+_MINHASH_PAIRS_ORACLE = f"""
     WITH docs AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM docs),
     h AS (SELECT doc_id, {_MH_BASE} AS h FROM sh),
@@ -86,7 +84,12 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
     WHERE a.doc_id < b.doc_id
-    """,
+    """
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=_MINHASH_PAIRS_ORACLE,
     doc="MinHash LSH banding (8 hashes, 4 bands x 2): candidate near-dup pairs.",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,6 +133,26 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_band_pairs_capped(
         table(spark, "documents", sf_dir), max_bucket=2, n_hashes=8, rows_per_band=2
+    )
+
+
+@register(
+    "dedup_minhash_pairs_cap1024",
+    oracle=_MINHASH_PAIRS_ORACLE,
+    doc="The PRODUCTION-cap shape of the skew-hardened band join (VERDICT "
+    "r9 item 7): cap=1024 on the standard corpus, where no band bucket "
+    "comes close to the cap — so the output is provably IDENTICAL to the "
+    "uncapped dedup_minhash_pairs (they share one oracle), and this row's "
+    "bench entry prices exactly what the cap machinery costs when it does "
+    "NOT bind (the size-count join + the never-taken star branch).  The "
+    "cap=2 sibling dedup_minhash_pairs_capped exercises the star path at "
+    "oracle scale; the skewed-replica decade evidence for a BINDING "
+    "cap=1024 lives in tools/skew_bench.py + SCALE_r09.  "
+    "operators/dedup.py:minhash_band_pairs_capped.",
+)
+def dedup_minhash_pairs_cap1024(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_band_pairs_capped(
+        table(spark, "documents", sf_dir), max_bucket=1024, n_hashes=8, rows_per_band=2
     )
 
 
@@ -273,12 +296,15 @@ _IVF_UNIT_CTE = """
         AND round(list_dot_product(d.unit, e.unit), 6) >= 0.35
     )
     """,
-    doc="Semantic dedup survivors — DEFAULT operator, IVF-list blocking "
-    "(label-free): the block key is the nearest-centroid assignment, so "
-    "candidates are data-derived and within-block pair volume stays "
-    "~N^1.5 — the deployable 100 TB form.  (r4: IVF became the "
-    "operator default; the label-blocked form is the explicit opt-in "
-    "dedup_embedding_label.)",
+    audit=True,
+    doc="Exact IVF-blocked semantic dedup survivors — OPT-IN AUDIT since "
+    "r10 (VERDICT r9 item 2): within-block pair volume is ~N^1.5 "
+    "(measured 12.8x/decade, SCALE_r09), so the REGISTERED production "
+    "form is the corpus-linear hyperplane-banded dedup_embedding_lsh "
+    "(0.9x/decade); run this exact form explicitly via registry.audits() "
+    "when complete within-block recall is worth the super-linear pair "
+    "join.  The label-blocked form remains the explicit small-corpus "
+    "opt-in dedup_embedding_label.",
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_survivors(table(spark, "embeddings", sf_dir), threshold=0.35)

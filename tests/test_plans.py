@@ -115,10 +115,16 @@ def test_knn_batch_broadcasts_queries(spark):
 
 @pytest.mark.spark
 def test_similarity_join_is_equijoin_not_cartesian(spark):
+    from log_vector_spark import registry
+
     import __spark_entry__ as m
 
-    plan = plan_string(m.queries()["similarity_join"](spark, SF))
-    assert "CartesianProduct" not in plan  # blocked: hash/sort-merge on label
+    # registered linear default AND the exact audit twin (r10 demotion):
+    # both must block on an equi-key, never a cartesian
+    plan = plan_string(m.queries()["similarity_join_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+    plan = plan_string(registry.audits()["similarity_join"](spark, SF))
+    assert "CartesianProduct" not in plan  # blocked: hash/sort-merge on list_id
 
 
 @pytest.mark.spark
@@ -425,11 +431,15 @@ def test_graph_beam_scores_only_broadcast_joined_frontier(spark, monkeypatch):
 
 
 @pytest.mark.spark
-@pytest.mark.parametrize("name", ["knn_ivf_stored", "knn_ivfpq_stored"])
+@pytest.mark.parametrize("name", ["knn_ivf", "knn_ivfpq_stored"])
 def test_stored_index_queries_prune_partitions(spark, name):
     """VERDICT r4 item 2: the persisted-index query forms must read nprobe
     of n_lists partitions — the literal probe has to reach the store scan
-    as PartitionFilters on list_id, not as a post-scan data filter."""
+    as PartitionFilters on list_id, not as a post-scan data filter.
+    (r10: knn_ivf IS the stored form now; its inline twin is the
+    knn_ivf_inline audit.)"""
+    from log_vector_spark import registry
+
     import __spark_entry__ as m
 
     df = m.queries()[name](spark, SF)
@@ -439,8 +449,13 @@ def test_stored_index_queries_prune_partitions(spark, name):
     assert any(
         "list_id" in l.split("PartitionFilters", 1)[1].split("]")[0] for l in lines
     ), plan
-    # and the result still matches the inline form
-    inline = m.queries()[name.replace("_stored", "")](spark, SF)
+    # and the result still matches the self-contained inline form
+    inline_fn = (
+        registry.audits()["knn_ivf_inline"]
+        if name == "knn_ivf"
+        else m.queries()[name.replace("_stored", "")]
+    )
+    inline = inline_fn(spark, SF)
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, inline.collect()))
 
 

@@ -45,9 +45,9 @@ DEFAULT_QUERIES = [
     "events_hourly",        # time-bucket agg: ~linear
     "dedup_ngram_jaccard",  # shingle equi-join: ~linear in pairs
     "dedup_minhash_pairs",  # LSH banding: ~linear
-    "similarity_join",        # IVF-blocked default (r4): should stay ~N^1.5
+    "similarity_join",        # exact IVF-blocked AUDIT (r10): ~N^1.5 documented tail
     "similarity_join_label",  # label-blocked opt-in: fixed #labels -> QUADRATIC per block
-    "dedup_embedding",        # IVF-blocked default (r4): should stay ~N^1.5
+    "dedup_embedding",        # exact IVF-blocked AUDIT (r10): ~N^1.5 documented tail
     "dedup_embedding_label",  # label-blocked opt-in: same quadratic risk
     "dedup_clusters",         # iterative CC over LSH pairs
     # r4 wave (VERDICT item 7: push the decade experiment onto the weakest
@@ -193,7 +193,12 @@ def main() -> None:
     if not args.skip_build:
         build(spark)
 
-    qs = entrymod.queries()
+    from log_vector_spark import registry
+
+    # audits (the documented super-linear exact forms) stay measurable
+    # here even though they are out of the per-round registry
+    qs = dict(registry.audits())
+    qs.update(entrymod.queries())
 
     results = {}
     for name in args.queries.split(","):
