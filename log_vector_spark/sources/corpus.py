@@ -157,18 +157,25 @@ def read_corpus_text(spark: SparkSession, root: str) -> DataFrame:
     return out
 
 
+# collision-resistant corrupt-column name (ADVICE r9): a real document
+# carrying its own "_corrupt" key must not be falsely quarantined, so the
+# internal marker uses a namespaced name no interchange corpus would emit
+_JSONL_CORRUPT_COL = "__lvs_corrupt__"
+
 JSONL_DOC_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("text", T.StringType()),
         T.StructField("lang", T.StringType()),
         T.StructField("source", T.StringType()),
-        T.StructField("_corrupt", T.StringType()),
+        T.StructField(_JSONL_CORRUPT_COL, T.StringType()),
     ]
 )
 
 
-def read_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
+def read_jsonl_corpus(
+    spark: SparkSession, path: str, with_file: bool = False
+) -> DataFrame:
     """JSON-lines corpus reader with per-LINE error isolation — the
     interchange format LLM training corpora actually arrive in (one JSON
     document per line, gzip-splittable at scale).
@@ -183,24 +190,38 @@ def read_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
     plans that reference only the internal corrupt column (a pruned
     ``filter(error).count()`` hits that rule), while the from_json form
     keeps the flag an ordinary column.  The explicit schema avoids a
-    schema-inference pre-pass over 100 TB; a type-mismatched FIELD inside
-    valid JSON degrades to NULL for that field (PERMISSIVE semantics),
-    not a corrupt row.
+    schema-inference pre-pass over 100 TB.
 
-    Returns (doc_id, text, lang, source, error, corrupt_record).
+    Semantics pinned by tests/test_jsonl_source.py: blank/whitespace-only
+    lines are dropped at the scan (from_json returns a NULL struct for
+    them — they are formatting, not documents); non-object JSON (scalars,
+    arrays) and type-mismatched fields quarantine the WHOLE line
+    (``error = true``, raw line preserved) — Spark's PERMISSIVE mode
+    records the malformed input in the corrupt column even when other
+    fields parsed; a parse that yields a NULL struct for a non-blank line
+    is also flagged (ADVICE r9).  ``with_file=True`` appends the source
+    file's basename — the per-file quarantine report key
+    (jsonl_quarantine_stats).
+
+    Returns (doc_id, text, lang, source, error, corrupt_record[, file]).
     """
-    raw = spark.read.text(path)
+    raw = spark.read.text(path).filter(F.length(F.trim(F.col("value"))) > 0)
     j = F.from_json(
         F.col("value"),
         JSONL_DOC_SCHEMA,
-        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _JSONL_CORRUPT_COL},
     )
-    err = j.getField("_corrupt").isNotNull()
-    return raw.select(
+    err = j.isNull() | j.getField(_JSONL_CORRUPT_COL).isNotNull()
+    cols = [
         j.getField("doc_id").alias("doc_id"),
         j.getField("text").alias("text"),
         j.getField("lang").alias("lang"),
         j.getField("source").alias("source"),
         err.alias("error"),
         F.when(err, F.col("value")).alias("corrupt_record"),
-    )
+    ]
+    if with_file:
+        cols.append(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file")
+        )
+    return raw.select(*cols)

@@ -1159,6 +1159,69 @@ def source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.source_data_card(table(spark, "documents", sf_dir))
 
 
+import os as _os
+
+_JSONL_FIXTURE = _os.path.abspath(
+    _os.path.join(
+        _os.path.dirname(__file__), "..", "..", "tests", "fixtures", "jsonl_corpus"
+    )
+)
+
+
+@register(
+    "jsonl_quarantine_stats",
+    oracle=f"""
+    WITH files AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+             unnest(string_split(content, chr(10))) AS value
+      FROM read_text('{_JSONL_FIXTURE}/*.jsonl')
+    ),
+    lines AS (SELECT file, value FROM files WHERE length(trim(value)) > 0),
+    judged AS (
+      SELECT file,
+             CASE WHEN NOT json_valid(value) THEN true
+                  WHEN json_type(value::JSON) <> 'OBJECT' THEN true
+                  WHEN json_type(value::JSON, '$.doc_id') IS NOT NULL
+                       AND json_type(value::JSON, '$.doc_id')
+                           NOT IN ('BIGINT', 'UBIGINT', 'NULL') THEN true
+                  ELSE false END AS corrupt
+      FROM lines
+    )
+    SELECT file,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           round(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS corrupt_share
+    FROM judged GROUP BY file
+    """,
+    doc="Per-file quarantine report over the JSONL corpus source (VERDICT "
+    "r9 item 4): one row per ingested file with non-blank line count, "
+    "quarantined-line count, and corrupt share — the source_data_card "
+    "posture applied to the INGEST boundary, so a bad dump announces "
+    "itself before it pollutes the corpus.  Runs read_jsonl_corpus "
+    "(sources/corpus.py) with_file=True over the committed fixture at "
+    "tests/fixtures/jsonl_corpus (mixed valid lines, structural garbage, "
+    "non-object JSON, a type-mismatched doc_id, blank/whitespace lines, "
+    "and a decoy '_corrupt' user key), grouped by input file.  The "
+    "DuckDB oracle re-judges every raw line independently (json_valid + "
+    "object check + doc_id type check), so the PERMISSIVE from_json "
+    "quarantine semantics are pinned line-for-line, not just counted.  "
+    "Fixture-backed by design: sf_dir carries no malformed JSONL, and "
+    "the quarantine contract is scale-free.",
+)
+def jsonl_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.sources.corpus import read_jsonl_corpus
+
+    rows = read_jsonl_corpus(spark, _JSONL_FIXTURE, with_file=True)
+    return rows.groupBy("file").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("error").cast("int")).cast("bigint").alias("n_corrupt"),
+        F.round(
+            F.sum(F.col("error").cast("int")) / F.count(F.lit(1)), 6
+        ).alias("corrupt_share"),
+    )
+
+
 @register(
     "clip_repeated_spans",
     oracle=f"""

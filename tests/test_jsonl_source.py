@@ -51,3 +51,50 @@ def test_jsonl_reader_round_trips_documents_table(spark, tmp_path):
     a = sorted(map(tuple, src.collect()))
     b = sorted(map(tuple, back.select("doc_id", "text", "lang", "source").collect()))
     assert a == b
+
+
+@pytest.mark.spark
+def test_jsonl_reader_blank_lines_and_corrupt_key_decoy(spark, tmp_path):
+    """ADVICE r9 fixes: blank/whitespace lines are dropped at the scan
+    (never emitted as all-NULL unquarantined rows), a document carrying
+    its own '_corrupt' key is NOT falsely flagged, and a type-mismatched
+    field quarantines the whole line."""
+    p = str(tmp_path / "dump.jsonl")
+    lines = [
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "web"}',
+        "",
+        "   ",
+        '{"doc_id": 2, "text": "decoy", "lang": "en", "source": "web", "_corrupt": "x"}',
+        '{"doc_id": "abc", "text": "bad id", "lang": "en", "source": "web"}',
+        "123",
+    ]
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    out = read_jsonl_corpus(spark, p)
+    rows = out.collect()
+    assert len(rows) == 4  # the two blank-ish lines never materialize
+    by_err = {bool(r["error"]) for r in rows}
+    assert by_err == {True, False}
+    good = [r for r in rows if not r["error"]]
+    bad = [r for r in rows if r["error"]]
+    assert {r["doc_id"] for r in good} == {1, 2}  # decoy key stays clean
+    assert len(bad) == 2
+    # type mismatch + non-object scalar both preserved verbatim
+    assert {r["corrupt_record"] for r in bad} == {lines[4], "123"}
+
+
+@pytest.mark.spark
+def test_jsonl_quarantine_stats_fixture(spark):
+    """The registered per-file quarantine report over the committed
+    fixture: known corrupt counts per file."""
+    import __spark_entry__ as m
+
+    rows = {
+        r["file"]: r
+        for r in m.queries()["jsonl_quarantine_stats"](spark, "unused").collect()
+    }
+    assert set(rows) == {"dump_a.jsonl", "dump_b.jsonl"}
+    a, b = rows["dump_a.jsonl"], rows["dump_b.jsonl"]
+    assert (a["n_rows"], a["n_corrupt"]) == (6, 2)
+    assert (b["n_rows"], b["n_corrupt"]) == (5, 2)
