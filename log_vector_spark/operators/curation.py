@@ -1280,8 +1280,15 @@ def source_data_card(
         .select("fp")
     )
     flagged = base.join(dup_fp.withColumn("_dup", F.lit(1)), "fp", "left")
-    rep = repeated_span_report(docs, n, min_count, id_col, text_col).select(
-        id_col, "dup_tokens"
+    # feed the ALREADY-tokenized words into the span kernel (_repeated_spans
+    # accepts the (id, words) relation) instead of re-tokenizing the corpus
+    # through repeated_span_report(docs) — at 100 TB the tokenize+gram-hash
+    # pass is the dominant cost and must run once per card (ADVICE r9)
+    rep = (
+        _repeated_spans(base.select(id_col, "words"), n, min_count, id_col)
+        .withColumn("span_tokens", F.col("e") - F.col("s") + 1)
+        .groupBy(id_col)
+        .agg(F.sum("span_tokens").cast("bigint").alias("dup_tokens"))
     )
     j = flagged.join(rep, id_col, "left")
     per_source = j.groupBy(source_col).agg(

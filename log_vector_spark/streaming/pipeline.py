@@ -1246,21 +1246,30 @@ def prior_fps_pruned(
     return df.filter(pfx_filter & (F.col("epoch") < epoch_id)).select("fp")
 
 
-def _fps_store_is_legacy(fps_dir: str) -> bool:
-    """True when `fps_dir` holds the pre-r8 epoch-only layout (top-level
-    epoch= directories, no fp_pfx= level).  A legacy store must keep
+def _fps_store_is_legacy(spark: SparkSession, fps_dir: str) -> bool:
+    """True when `fps_dir` holds the pre-r8 epoch-only layout (epoch=
+    directories with no fp_pfx= level).  A legacy store must keep
     receiving legacy-layout epochs — mixing partition depths in one root
     breaks Spark's partition discovery — so the sink consults this once at
-    stream start.  Remote (URI) stores can't be listed driver-side and are
-    assumed current-layout."""
-    import os as _os
+    stream start.
 
-    if "://" in fps_dir or not _os.path.isdir(fps_dir):
+    Detection is FILESYSTEM-AGNOSTIC (ADVICE r9): the layout question is
+    answered by whether the partition-discovered schema carries
+    FP_PFX_COL, via one metadata-only spark.read of the store — a
+    driver-side os.listdir cannot see URI stores (s3://, hdfs://), and
+    assuming current-layout there would silently append mixed-depth
+    epochs into an epoch-only root, the exact corruption this guard
+    exists to prevent.  An empty/missing store is current-layout by
+    definition (first epoch writes the new layout)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        cols = spark.read.parquet(fps_dir).columns
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         return False
-    names = _os.listdir(fps_dir)
-    if any(n.startswith(f"{FP_PFX_COL}=") for n in names):
-        return False
-    return any(n.startswith("epoch=") for n in names)
+    return "epoch" in cols and FP_PFX_COL not in cols
 
 
 def run_stream_training_ingest(
@@ -1351,7 +1360,7 @@ def run_stream_training_ingest(
     centroids_dir = _os.path.join(out_path, "centroids")
     # Pre-r8 stores are epoch-only; keep writing that layout (mixed depths
     # break partition discovery) and let prior_fps_pruned row-filter.
-    legacy_fps = _fps_store_is_legacy(fps_dir)
+    legacy_fps = _fps_store_is_legacy(spark, fps_dir)
 
     def _epoch_write(df: DataFrame, path: str, extra_parts: tuple[str, ...] = ()) -> None:
         (

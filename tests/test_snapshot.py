@@ -102,3 +102,59 @@ def test_manifest_is_relative_and_atomic(tmp_path):
         doc = json.load(fh)
     assert doc == {"snapshot": 0, "artifacts": {"docs": "docs_v0"}}
     assert not os.path.exists(os.path.join(root, "_snapshot.json.tmp"))
+
+
+def test_gc_skips_stray_nonnumeric_history_file(tmp_path):
+    """ADVICE r9: an editor backup like _snapshot_old.json must not abort
+    gc with ValueError after some version dirs were already removed."""
+    root = str(tmp_path / "deploy")
+    for v in range(3):
+        d = os.path.join(root, f"docs_v{v}")
+        os.makedirs(d)
+        snap.publish_snapshot(root, {"docs": d})
+    with open(os.path.join(root, "_snapshot_old.json"), "w") as fh:
+        fh.write("{}")
+    removed = snap.gc_snapshots(root, keep=2)
+    assert removed == ["docs_v0"]
+    assert os.path.exists(os.path.join(root, "_snapshot_old.json"))
+
+
+def test_gc_refuses_while_another_maintainer_publishes(tmp_path):
+    """VERDICT r9 item 6, two-process case: while THIS process holds the
+    maintainer lock (a publish in flight), a second process running gc
+    must fail loudly instead of deleting landed-but-unpublished dirs."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "deploy")
+    d = os.path.join(root, "docs_v0")
+    os.makedirs(d)
+    snap.publish_snapshot(root, {"docs": d})
+    with snap._maintainer_lock(root):  # the in-flight publish
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import sys; sys.path.insert(0, %r); "
+                "from log_vector_spark.sources import snapshot; "
+                "snapshot.gc_snapshots(%r)" % (os.getcwd(), root),
+            ],
+            capture_output=True,
+            text=True,
+        )
+    assert proc.returncode != 0
+    assert "another maintainer" in proc.stderr
+    # and once the lock is released, gc works again
+    assert snap.gc_snapshots(root) == []
+
+
+def test_stale_lock_from_dead_maintainer_is_stolen(tmp_path):
+    root = str(tmp_path / "deploy")
+    d = os.path.join(root, "docs_v0")
+    os.makedirs(d)
+    # a crashed maintainer left its lock behind; pid 2**22+1 is not a
+    # plausible live pid inside the test container
+    with open(os.path.join(root, "_maintainer.lock"), "w") as fh:
+        fh.write(str(2**22 + 1))
+    assert snap.publish_snapshot(root, {"docs": d}) == 0
+    assert not os.path.exists(os.path.join(root, "_maintainer.lock"))

@@ -201,7 +201,9 @@ def test_resume_over_legacy_epoch_only_fps_store(spark, tmp_path):
         .write.partitionBy("epoch")
         .parquet(fps_dir)
     )
-    assert _fps_store_is_legacy(fps_dir)
+    assert _fps_store_is_legacy(spark, fps_dir)
+    # and a missing store is current-layout by definition
+    assert not _fps_store_is_legacy(spark, str(tmp_path / "nope"))
 
     for p in paths[1:]:
         shutil.copy2(p, os.path.join(src, os.path.basename(p)))
