@@ -86,9 +86,15 @@ class _maintainer_lock:
         except (OSError, ValueError):
             alive = False  # unreadable/vanished lock: treat as stale
         if not alive:
-            # stale lock from a crashed maintainer: steal once
+            # stale lock from a crashed maintainer: steal once — but only
+            # if the file still names the SAME dead pid (a concurrent
+            # maintainer may have stolen it and written a live lock since
+            # the check above; never remove a lock we didn't verify)
             try:
-                os.remove(self.path)
+                with open(self.path) as fh:
+                    still_same = fh.read().strip() == str(holder)
+                if still_same:
+                    os.remove(self.path)
             except FileNotFoundError:
                 pass
             if self._try_acquire():

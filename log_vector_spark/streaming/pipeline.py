@@ -1266,7 +1266,18 @@ def _fps_store_is_legacy(spark: SparkSession, fps_dir: str) -> bool:
     try:
         cols = spark.read.parquet(fps_dir).columns
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+        msg = str(e)
+        if not any(
+            t in msg
+            for t in (
+                "PATH_NOT_FOUND",
+                "Path does not exist",
+                # an aborted first epoch can leave an empty dir: no files,
+                # no schema — current-layout by the same first-write rule
+                "UNABLE_TO_INFER_SCHEMA",
+                "Unable to infer schema",
+            )
+        ):
             raise
         return False
     return "epoch" in cols and FP_PFX_COL not in cols

@@ -1404,3 +1404,138 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.join(blk_stats, "phase").select(
         "phase", "n_docs", "n_sources", "avg_quality", "n_blocks", "max_block_size"
     )
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('shuffle42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS skey
+      FROM documents
+    )
+    SELECT doc_id, CAST(skey % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY skey % 8
+                                   ORDER BY skey, doc_id) AS INTEGER) AS pos
+    FROM k
+    """,
+    doc="Deterministic global training-order shuffle (beyond-reference: "
+    "the step between curation and sharded export every training run "
+    "needs): each document draws a uniform 32-bit key from "
+    "md5(seed || doc_id), shard = key % n_shards, pos = rank of the key "
+    "within its shard — a seeded, engine-portable, reproducible total "
+    "order with no RNG state.  At scale this is exactly ONE shuffle "
+    "(partition by shard) plus a per-shard sort — the physical layout of "
+    "the shuffled corpus write itself, so materializing the order costs "
+    "nothing beyond the write.  Content-free keys mean no length/source "
+    "bias survives into batch composition (the well-known curriculum "
+    "leak of unshuffled crawl order).",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, "documents", sf_dir)
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shuffle42:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    k = docs.select("doc_id", key.alias("skey"), (key % 8).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return k.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("int").alias("pos"),
+    )
+
+
+@register(
+    "padding_waste_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    arrival AS (
+      SELECT n_tokens,
+             CAST((row_number() OVER (ORDER BY doc_id) - 1) // 16 AS BIGINT) AS batch
+      FROM t
+    ),
+    srt AS (
+      SELECT n_tokens,
+             CAST((row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 16 AS BIGINT) AS batch
+      FROM t
+    ),
+    a AS (SELECT sum(mx * n) AS padded FROM (
+            SELECT max(n_tokens) AS mx, count(*) AS n FROM arrival GROUP BY batch)),
+    s AS (SELECT sum(mx * n) AS padded FROM (
+            SELECT max(n_tokens) AS mx, count(*) AS n FROM srt GROUP BY batch)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM t)
+    SELECT n_docs, total_tokens,
+           CAST(a.padded AS BIGINT) AS arrival_padded,
+           round((a.padded - total_tokens) * 1.0 / a.padded, 6) AS arrival_waste_share,
+           CAST(s.padded AS BIGINT) AS sorted_padded,
+           round((s.padded - total_tokens) * 1.0 / s.padded, 6) AS sorted_waste_share,
+           round((a.padded - s.padded) * 1.0 / a.padded, 6) AS savings_share
+    FROM tot, a, s
+    """,
+    doc="Pad-to-max batching waste report (beyond-reference: the "
+    "length-grouped batching trade every fine-tuning pipeline prices): "
+    "batches of 16 formed in ARRIVAL order (doc_id) vs LENGTH-SORTED "
+    "order, each batch padded to its max token count; reports padded "
+    "token mass, waste share per scheme, and the savings share sorted "
+    "batching buys.  Exact integer window math (two rank windows + two "
+    "per-batch aggs + one 1-row join of bounded sides) — no sampling, no "
+    "floats until the final shares.  The arrival-order window is a "
+    "global rank: at 100 TB you compute it per shard (the "
+    "corpus_shuffle_shards partitioning) — shares are shard-decomposable "
+    "since batches never span shards.",
+)
+def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from log_vector_spark.functions.text import tokens as _tokens
+
+    t = table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+
+    def padded(order_cols: list) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        batched = t.select(
+            "n_tokens",
+            ((F.row_number().over(w) - 1) / 16).cast("bigint").alias("batch"),
+        )
+        per = batched.groupBy("batch").agg(
+            F.max("n_tokens").alias("mx"), F.count(F.lit(1)).alias("n")
+        )
+        return per.agg(F.sum(F.col("mx") * F.col("n")).alias("padded"))
+
+    a = padded([F.col("doc_id")]).withColumnRenamed("padded", "a_padded")
+    s = padded([F.col("n_tokens"), F.col("doc_id")]).withColumnRenamed(
+        "padded", "s_padded"
+    )
+    tot = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    j = tot.crossJoin(F.broadcast(a)).crossJoin(F.broadcast(s))
+    return j.select(
+        "n_docs",
+        "total_tokens",
+        F.col("a_padded").cast("bigint").alias("arrival_padded"),
+        F.round(
+            (F.col("a_padded") - F.col("total_tokens")) / F.col("a_padded"), 6
+        ).alias("arrival_waste_share"),
+        F.col("s_padded").cast("bigint").alias("sorted_padded"),
+        F.round(
+            (F.col("s_padded") - F.col("total_tokens")) / F.col("s_padded"), 6
+        ).alias("sorted_waste_share"),
+        F.round(
+            (F.col("a_padded") - F.col("s_padded")) / F.col("a_padded"), 6
+        ).alias("savings_share"),
+    )

@@ -467,6 +467,59 @@ def _register_clusters_capped() -> None:
 _register_clusters_capped()
 
 
+def _register_leakage_safe_splits() -> None:
+    """Splits assigned per CLUSTER, not per doc — oracle shares the full
+    transitive-closure CTE, so the hash equality certifies both the
+    component labels and the split function."""
+    from log_vector_spark.registry import REGISTRY
+
+    @register(
+        "leakage_safe_splits",
+        oracle=f"""
+        SELECT doc_id, cluster_id,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, cluster_id,
+                 ('0x' || substr(md5('split42:' || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS b
+          FROM ({REGISTRY["dedup_clusters"].oracle})
+        )
+        """,
+        doc="Leakage-safe train/val/test assignment (beyond-reference: the "
+        "eval-integrity step a dedup pipeline must END with): the holdout "
+        "hash is keyed on the near-dup CLUSTER label, not the doc id, so "
+        "an entire connected component of near-duplicates lands in ONE "
+        "split — a per-doc hash split leaks every near-dup pair that "
+        "straddles the boundary (the train/test contamination "
+        "split_contamination then measures after the fact; this prevents "
+        "it by construction).  Same append-stable md5-bucket function as "
+        "assign_split (operators/sampling.py), applied to the "
+        "connected-components output; the oracle replays the full "
+        "transitive closure + the split function, so cluster-atomicity "
+        "of splits is hash-certified, not asserted.",
+    )
+    def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from log_vector_spark.operators.sampling import hash_bucket
+
+        docs = table(spark, "documents", sf_dir)
+        pairs = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2)
+        cc = dedup.connected_components(pairs, docs, id_col="doc_id")
+        b = hash_bucket(
+            F.concat(F.lit("split42:"), F.col("cluster_id").cast("string")), 100
+        )
+        split = (
+            F.when(b < 80, F.lit("train"))
+            .when(b < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+        return cc.select("doc_id", "cluster_id", split.alias("split"))
+
+
+_register_leakage_safe_splits()
+
+
 @register(
     "dedup_cluster_survivors",
     oracle=f"""

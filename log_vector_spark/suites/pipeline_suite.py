@@ -1980,6 +1980,59 @@ def stream_training_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_training_ingest_batched",
+    oracle=_CLEAN_CORPUS_ORACLE.replace(
+        "FROM documents",
+        "FROM documents WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 = 0",
+    ),
+    audit=True,
+    doc="Batched-trigger twin of stream_training_ingest (VERDICT r9 item "
+    "5): identical composed job, identical folded output and oracle, but "
+    "maxFilesPerTrigger covers the whole source listing in ONE micro-"
+    "batch — the availableNow-style catch-up shape a backfill runs.  "
+    "Exists to MEASURE (not annotate) the decade harness's claim that "
+    "the registered form's 11.5x/decade is per-trigger harness overhead "
+    "(the sf1 replica has 16 part files = 16 micro-batches vs 1 at "
+    "sf0.1), not data-scaled work: this form's trigger count is constant "
+    "across scales, so its decade ratio IS the data work.  Audit, not "
+    "registry: one composed streaming job in the per-round window is "
+    "enough; run via registry.audits() or tools/scale_bench.py.",
+)
+def stream_training_ingest_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from log_vector_spark.streaming.pipeline import run_stream_training_ingest
+
+    out = tempfile.mkdtemp(prefix="stream_training_b_")
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    src_dir, glob = (
+        (docs_path, "*.parquet")
+        if os.path.isdir(docs_path)
+        else (sf_dir, "documents.parquet")
+    )
+    sample = (
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) "
+        "as bigint) % 4 = 0"
+    )
+    try:
+        folded = run_stream_training_ingest(
+            spark, src_dir, out, max_files_per_trigger=64, glob=glob, where=sample
+        )
+        rows = [
+            (src, n, tot, avgq)
+            for src, (n, tot, avgq) in sorted(folded["stats"].items())
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "source string, n_docs bigint, total_tokens bigint, avg_quality double",
+    )
+
+
+@register(
     "multimodal_curation_pipeline",
     # Composition of three independently-oracle-paired stages in one lazy
     # plan; the oracle replays pixels, hash bits, and caption quality

