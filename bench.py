@@ -634,6 +634,27 @@ BASELINE_CPU_R8 = {
 }
 BASELINE_SEC.update(BASELINE_SEC_R8)
 
+# r10 additions, measured in the r10 close FULL window
+# (BENCH_local_r10.json: 276 queries, 0 throttle, 0 regression,
+# cpu_drift 0.75 — clean; min wall / min-wall CPU).  knn_ivf keeps its
+# 0.70 baseline: the r10 stored-quantizer re-plan measured 0.689 in the
+# same window, so the old number still describes the row.
+BASELINE_SEC_R10 = {
+    "dedup_minhash_pairs_cap1024": 1.07,
+    "leakage_safe_splits": 2.21,
+    "corpus_shuffle_shards": 0.15,
+    "padding_waste_report": 0.35,
+    "jsonl_quarantine_stats": 0.10,
+}
+BASELINE_CPU_R10 = {
+    "dedup_minhash_pairs_cap1024": 2.26,
+    "leakage_safe_splits": 4.34,
+    "corpus_shuffle_shards": 0.34,
+    "padding_waste_report": 0.68,
+    "jsonl_quarantine_stats": 0.11,
+}
+BASELINE_SEC.update(BASELINE_SEC_R10)
+
 # r7 re-base: the r6 event-time-timeout eviction pass added real CPU
 # (watermark tracking + idle flush) — composed-min wall 4.16 s / CPU
 # 14.1 s across the two r6 full windows vs the 3.22 s / 8.8 s
@@ -720,6 +741,7 @@ BASELINE_CPU = {
 }
 BASELINE_CPU.update(BASELINE_CPU_R7)
 BASELINE_CPU.update(BASELINE_CPU_R8)
+BASELINE_CPU.update(BASELINE_CPU_R10)
 
 # r8 re-base (VERDICT r7 item 6): the r6 clean-window CPU minima for these
 # two sub-second rows (0.37 / 0.51) never reproduced — three later clean

@@ -755,7 +755,27 @@ def retrain_ivf_store(
     the assignment pass is exact GIVEN centroids at any scale.
 
     Returns {'version', 'n_vectors', 'n_lists_before', 'n_lists_after'}.
+
+    The whole version-read -> write -> swap -> retention sequence runs
+    under the snapshot module's O_EXCL maintainer lock (r10): two
+    concurrent retrains would otherwise both read version N and both
+    write _v{N+1}, the second clobbering the first mid-read — the same
+    single-maintainer assumption gc_snapshots enforces.
     """
+    import shutil as _shutil
+
+    from log_vector_spark.sources.snapshot import _maintainer_lock
+
+    with _maintainer_lock(store_root):
+        return _retrain_ivf_store_locked(spark, store_root, iters, keep_versions)
+
+
+def _retrain_ivf_store_locked(
+    spark: SparkSession,
+    store_root: str,
+    iters: int,
+    keep_versions: int,
+) -> dict:
     import shutil as _shutil
 
     vecs = spark.read.schema(_VECTORS_SCHEMA).parquet(

@@ -102,3 +102,32 @@ def test_capped_for_clustering_contract_is_loud(spark):
     )
     with pytest.raises(ValueError, match="cluster"):
         dedup.minhash_band_pairs_capped(docs, for_clustering=False)
+
+
+def test_build_pricing_rows_register_before_their_stored_queries():
+    """Registration ORDER is load-bearing for the bench: the build-pricing
+    rows must run before the stored-query rows so the one-off store build
+    never lands in an amortized row's reps (knn_ivfpq_build precedent;
+    knn_ivf joined it in r10)."""
+    import __spark_entry__ as m
+
+    names = list(m.queries())
+    assert names.index("ivf_build_metrics") < names.index("knn_ivf")
+    assert names.index("knn_ivfpq_build") < names.index("knn_ivfpq_stored")
+
+
+def test_retrain_refused_while_maintainer_lock_held(tmp_path):
+    """retrain_ivf_store runs under the snapshot maintainer lock (r10):
+    a held lock means a loud refusal, not a clobbered version."""
+    import os
+
+    import pytest as _pytest
+
+    from log_vector_spark.sources import index_store
+    from log_vector_spark.sources.snapshot import _maintainer_lock
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    with _maintainer_lock(root):
+        with _pytest.raises(RuntimeError, match="another maintainer"):
+            index_store.retrain_ivf_store(None, root)
