@@ -55,6 +55,13 @@ _CACHE: dict[tuple[str, str], str] = {}
 # to empty results instead of failing (pinned by the empty-corpus sweep).
 _VECTORS_SCHEMA = "vec_id long, embedding array<float>, label int, list_id bigint"
 _CENTROIDS_SCHEMA = "list_id bigint, centroid array<float>"
+# per-list population, computed at BUILD time (index health is write-time
+# metadata: the assignment relation is materialized during the build, so
+# the counts are one extra tiny agg there — while computing them at
+# monitor time means scanning n_lists partition dirs per tick, which is
+# file-count-bound, not data-bound: measured 3.9x/decade before this
+# artifact existed, r10)
+_SIZES_SCHEMA = "list_id bigint, n bigint"
 _CODES_SCHEMA = "vec_id long, subspace int, code_id int, list_id bigint"
 _CODEBOOK_SCHEMA = "subspace int, code_id int, center array<double>"
 
@@ -75,10 +82,16 @@ def _ensure(spark: SparkSession, sf_dir: str, kind: str, builder) -> str:
 # ---------------------------------------------------------------- IVF ----
 
 
+def _list_sizes(assigned: DataFrame) -> DataFrame:
+    return assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
 def _build_ivf(spark: SparkSession, sf_dir: str, path: str) -> None:
     emb = table(spark, "embeddings", sf_dir)
     cents = search.make_centroids(emb).localCheckpoint(eager=True)
-    assigned = search.ivf_assign(emb, cents)
+    assigned = search.ivf_assign(emb, cents).localCheckpoint(eager=True)
     (
         assigned.select("vec_id", "embedding", "label", "list_id")
         .write.mode("overwrite")
@@ -86,6 +99,9 @@ def _build_ivf(spark: SparkSession, sf_dir: str, path: str) -> None:
         .parquet(os.path.join(path, "vectors"))
     )
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    _list_sizes(assigned).write.mode("overwrite").parquet(
+        os.path.join(path, "sizes")
+    )
 
 
 def ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
@@ -709,11 +725,12 @@ def resolve_ivf_snapshot(store_root: str) -> dict[str, str]:
     never been retrained.
     """
     mp = _ivf_meta_path(store_root)
+    names = ("vectors", "centroids", "sizes")
     if os.path.exists(mp):
         with open(mp) as fh:
             v = _json.load(fh)["version"]
-        return {n: os.path.join(store_root, f"{n}_v{v}") for n in ("vectors", "centroids")}
-    return {n: os.path.join(store_root, n) for n in ("vectors", "centroids")}
+        return {n: os.path.join(store_root, f"{n}_v{v}") for n in names}
+    return {n: os.path.join(store_root, n) for n in names}
 
 
 def resolve_ivf_artifact(store_root: str, name: str) -> str:
@@ -823,6 +840,11 @@ def _retrain_ivf_store_locked(
     cents.write.mode("overwrite").parquet(
         os.path.join(store_root, f"centroids_v{version}")
     )
+    _list_sizes(
+        spark.read.schema(_VECTORS_SCHEMA).parquet(
+            os.path.join(store_root, f"vectors_v{version}")
+        )
+    ).write.mode("overwrite").parquet(os.path.join(store_root, f"sizes_v{version}"))
     tmp = mp + ".tmp"
     with open(tmp, "w") as fh:
         _json.dump({"version": version}, fh)
@@ -830,10 +852,10 @@ def _retrain_ivf_store_locked(
     live = {
         f"{n}_v{v}"
         for v in range(max(0, version - keep_versions + 1), version + 1)
-        for n in ("vectors", "centroids")
+        for n in ("vectors", "centroids", "sizes")
     }
     for d in os.listdir(store_root):
-        if ("_v" in d and d.split("_v")[0] in ("vectors", "centroids")
+        if ("_v" in d and d.split("_v")[0] in ("vectors", "centroids", "sizes")
                 and d not in live):
             _shutil.rmtree(os.path.join(store_root, d))
     stored = spark.read.schema(_VECTORS_SCHEMA).parquet(

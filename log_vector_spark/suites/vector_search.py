@@ -189,13 +189,17 @@ _CENTROIDS_CTE = f"""
     "population — list count, max/min/empty lists, and the imbalance "
     "factor (max list / mean list), THE number that predicts tail latency "
     "for probe queries.  Re-planned in r10 onto the stored quantizer "
-    "(VERDICT r9 item 1, the ivf_drift_report precedent): the monitor "
-    "reads the stored (vec_id, list_id) assignment — a LINEAR column-"
-    "pruned scan left-joined to the bounded centroid table — instead of "
-    "re-running the N·k inline quantization per tick.  Registered BEFORE "
-    "knn_ivf on purpose (the knn_ivfpq_build precedent): this row's first "
-    "rep prices the one-off ensure_ivf_store build, so the stored query "
-    "rows measure the amortized path alone.",
+    "(VERDICT r9 item 1): the monitor reads the per-list SIZES artifact "
+    "the build lands next to the vectors (index health is write-time "
+    "metadata — the assignment relation is materialized during the build, "
+    "so the counts cost one tiny agg there), left-joined to the bounded "
+    "centroid table for empty lists.  Per tick this touches O(n_lists) "
+    "rows — never the corpus, and never the n_lists partition DIRECTORIES "
+    "a stored-assignment scan pays (that form measured 3.9x/decade, "
+    "file-count-bound; this one is flat).  Registered BEFORE knn_ivf on "
+    "purpose (the knn_ivfpq_build precedent): this row's first rep prices "
+    "the one-off ensure_ivf_store build, so the stored query rows measure "
+    "the amortized path alone.",
 )
 def ivf_build_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.sources import index_store
@@ -207,15 +211,9 @@ def ivf_build_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(snap["centroids"])
         .select("list_id")
     )
-    assigned = (
-        spark.read.schema(index_store._VECTORS_SCHEMA)
-        .parquet(snap["vectors"])
-        .select("vec_id", "list_id")
-    )
-    sizes = (
-        cents.join(assigned, "list_id", "left")
-        .groupBy("list_id")
-        .agg(F.count("vec_id").cast("bigint").alias("n"))
+    counts = spark.read.schema(index_store._SIZES_SCHEMA).parquet(snap["sizes"])
+    sizes = cents.join(counts, "list_id", "left").select(
+        "list_id", F.coalesce("n", F.lit(0).cast("bigint")).alias("n")
     )
     return sizes.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lists"),
