@@ -32,6 +32,7 @@ swap is one rename on the store — cost independent of data size.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
@@ -45,71 +46,58 @@ def _manifest_path(root: str) -> str:
 
 
 class _maintainer_lock:
-    """O_EXCL lock enforcing the single-maintainer assumption (VERDICT r9
-    item 6): publish and gc both take it, so a second process gc-ing
+    """flock(2) lock enforcing the single-maintainer assumption (VERDICT
+    r9 item 6): publish and gc both take it, so a second process gc-ing
     mid-publish fails loudly instead of deleting the writer's
     landed-but-unpublished version directories.
 
-    The lock file carries the holder's pid; a lock whose holder is no
-    longer alive (crash between publish and release) is stolen once, so a
-    dead maintainer can't wedge the deployment.  This is a same-host
-    protocol — exactly the scope of the assumption it enforces (one
-    maintainer process per store root); cross-host coordination belongs
-    to a real lock service.
+    The lock is the KERNEL's, not the file's existence (ADVICE r10: the
+    old O_EXCL create + pid-liveness steal had a two-stealer interleaving
+    where B could remove A's freshly stolen lock).  flock closes the whole
+    class: acquisition is atomic with exactly one winner, a crashed
+    holder's lock is released by the kernel the instant the process dies
+    (no staleness, no steal protocol, no pid probing), and a second
+    acquire in the SAME process is denied too (flock locks are per open
+    file description).  The file itself is never unlinked — unlinking
+    would let a late opener lock a dead inode while a fresh creator locks
+    the new one; a leftover empty ``_maintainer.lock`` carries no lock.
+    The pid inside is a diagnostic for the refusal message only.
+
+    This is a same-host protocol — exactly the scope of the assumption it
+    enforces (one maintainer process per store root); cross-host
+    coordination belongs to a real lock service.
     """
 
     def __init__(self, root: str):
         self.path = os.path.join(root, _LOCK)
-
-    def _try_acquire(self) -> bool:
-        try:
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as fh:
-            fh.write(str(os.getpid()))
-        return True
+        self._fd: int | None = None
 
     def __enter__(self):
-        if self._try_acquire():
-            return self
-        holder = None
+        fd = os.open(self.path, os.O_CREAT | os.O_RDWR)
         try:
-            with open(self.path) as fh:
-                holder = int(fh.read().strip() or "0")
-            os.kill(holder, 0)  # ProcessLookupError iff the holder is gone
-            alive = True
-        except ProcessLookupError:
-            alive = False
-        except PermissionError:
-            alive = True  # exists, owned by another user
-        except (OSError, ValueError):
-            alive = False  # unreadable/vanished lock: treat as stale
-        if not alive:
-            # stale lock from a crashed maintainer: steal once — but only
-            # if the file still names the SAME dead pid (a concurrent
-            # maintainer may have stolen it and written a live lock since
-            # the check above; never remove a lock we didn't verify)
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
             try:
-                with open(self.path) as fh:
-                    still_same = fh.read().strip() == str(holder)
-                if still_same:
-                    os.remove(self.path)
-            except FileNotFoundError:
-                pass
-            if self._try_acquire():
-                return self
-        raise RuntimeError(
-            f"another maintainer (pid {holder}) holds {self.path}; "
-            "publish/gc are single-maintainer operations — wait for it or "
-            "remove the lock if you know it is dead"
-        )
+                holder = os.read(fd, 64).decode(errors="replace").strip()
+            except OSError:
+                holder = ""
+            os.close(fd)
+            raise RuntimeError(
+                f"another maintainer (pid {holder or 'unknown'}) holds "
+                f"{self.path}; publish/gc are single-maintainer operations "
+                "— wait for it (a crashed holder's lock releases itself)"
+            ) from None
+        os.ftruncate(fd, 0)
+        os.write(fd, str(os.getpid()).encode())
+        self._fd = fd
+        return self
 
     def __exit__(self, *exc):
-        try:
-            os.remove(self.path)
-        except FileNotFoundError:
-            pass
+        if self._fd is not None:
+            os.ftruncate(self._fd, 0)  # no holder: empty diagnostic
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
+            os.close(self._fd)
+            self._fd = None
 
 
 def publish_snapshot(root: str, artifacts: dict[str, str]) -> int:

@@ -148,13 +148,56 @@ def test_gc_refuses_while_another_maintainer_publishes(tmp_path):
     assert snap.gc_snapshots(root) == []
 
 
-def test_stale_lock_from_dead_maintainer_is_stolen(tmp_path):
+def test_stale_lock_from_dead_maintainer_cannot_wedge(tmp_path):
+    """A crashed maintainer must not wedge the deployment.  Under flock
+    (ADVICE r10) the kernel releases the lock with the process, so a
+    leftover _maintainer.lock FILE carries no lock at all — publish
+    proceeds without any steal protocol, and the file persists (never
+    unlinked: unlink would let a late opener lock a dead inode)."""
     root = str(tmp_path / "deploy")
     d = os.path.join(root, "docs_v0")
     os.makedirs(d)
-    # a crashed maintainer left its lock behind; pid 2**22+1 is not a
-    # plausible live pid inside the test container
+    # the dead maintainer's leftover file, pid diagnostic and all
     with open(os.path.join(root, "_maintainer.lock"), "w") as fh:
         fh.write(str(2**22 + 1))
     assert snap.publish_snapshot(root, {"docs": d}) == 0
-    assert not os.path.exists(os.path.join(root, "_maintainer.lock"))
+    assert os.path.exists(os.path.join(root, "_maintainer.lock"))
+
+
+def test_two_simultaneous_acquirers_exactly_one_wins(tmp_path):
+    """The ADVICE r10 two-stealer interleaving, closed by flock: many
+    processes racing for the SAME (leftover, unheld) lock file — exactly
+    one must acquire, every loser must refuse loudly, and the loser class
+    must never dislodge the winner's live lock."""
+    import subprocess
+    import sys
+    import textwrap
+
+    root = str(tmp_path / "deploy")
+    os.makedirs(root)
+    # leftover file from a dead maintainer: the racy-steal setup
+    with open(os.path.join(root, "_maintainer.lock"), "w") as fh:
+        fh.write(str(2**22 + 1))
+    prog = textwrap.dedent(
+        """
+        import sys, time
+        sys.path.insert(0, %r)
+        from log_vector_spark.sources.snapshot import _maintainer_lock
+        try:
+            with _maintainer_lock(%r):
+                print("ACQUIRED", flush=True)
+                time.sleep(1.0)  # hold so the race window overlaps
+        except RuntimeError:
+            print("REFUSED", flush=True)
+        """
+        % (os.getcwd(), root)
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", prog], stdout=subprocess.PIPE, text=True
+        )
+        for _ in range(4)
+    ]
+    outs = [p.communicate()[0].strip() for p in procs]
+    assert sorted(outs).count("ACQUIRED") == 1, outs
+    assert outs.count("REFUSED") == 3, outs
