@@ -1539,3 +1539,114 @@ def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a_padded") - F.col("s_padded")) / F.col("a_padded"), 6
         ).alias("savings_share"),
     )
+
+
+@register(
+    "padding_waste_by_shard",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5('shuffle42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS skey
+      FROM documents
+    ),
+    k AS (SELECT doc_id, n_tokens, skey, CAST(skey % 8 AS BIGINT) AS shard FROM t),
+    arr AS (
+      SELECT shard, n_tokens,
+             CAST((row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1) // 16 AS BIGINT) AS batch
+      FROM k
+    ),
+    srt AS (
+      SELECT shard, n_tokens,
+             CAST((row_number() OVER (PARTITION BY shard ORDER BY n_tokens, doc_id) - 1) // 16 AS BIGINT) AS batch
+      FROM k
+    ),
+    a AS (SELECT shard, sum(mx * n) AS padded FROM (
+            SELECT shard, batch, max(n_tokens) AS mx, count(*) AS n
+            FROM arr GROUP BY shard, batch) GROUP BY shard),
+    s AS (SELECT shard, sum(mx * n) AS padded FROM (
+            SELECT shard, batch, max(n_tokens) AS mx, count(*) AS n
+            FROM srt GROUP BY shard, batch) GROUP BY shard),
+    tot AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM k GROUP BY shard)
+    SELECT tot.shard, n_docs, total_tokens,
+           CAST(a.padded AS BIGINT) AS shuffled_padded,
+           round((a.padded - total_tokens) * 1.0 / a.padded, 6) AS shuffled_waste_share,
+           CAST(s.padded AS BIGINT) AS sorted_padded,
+           round((s.padded - total_tokens) * 1.0 / s.padded, 6) AS sorted_waste_share,
+           round((a.padded - s.padded) * 1.0 / a.padded, 6) AS savings_share
+    FROM tot JOIN a ON tot.shard = a.shard JOIN s ON tot.shard = s.shard
+    ORDER BY tot.shard
+    """,
+    doc="Shard-decomposed padding-waste report (ADVICE r10: the "
+    "padding_waste_report docstring promised the shard decomposition; "
+    "this registers it).  Documents take the corpus_shuffle_shards "
+    "assignment (md5(seed||doc_id) key, shard = key % 8), batches of 16 "
+    "form WITHIN each shard — first in shuffle order (skey), i.e. the "
+    "order the sharded export actually feeds the trainer, then "
+    "length-sorted — and each shard reports its own padded mass and "
+    "waste shares.  Every window is Window.partitionBy(shard): no "
+    "single-task global sort anywhere, so the plan scales with "
+    "shards x shard size, and the per-shard shares compose into the "
+    "global report because batches never span shards.  One row per "
+    "shard (bounded output).",
+)
+def padding_waste_by_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from log_vector_spark.functions.text import tokens as _tokens
+
+    docs = table(spark, "documents", sf_dir)
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shuffle42:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    k = docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        key.alias("skey"),
+        (key % 8).cast("bigint").alias("shard"),
+    )
+
+    def padded(order_cols: list, out: str) -> DataFrame:
+        w = Window.partitionBy("shard").orderBy(*order_cols)
+        batched = k.select(
+            "shard",
+            "n_tokens",
+            ((F.row_number().over(w) - 1) / 16).cast("bigint").alias("batch"),
+        )
+        per = batched.groupBy("shard", "batch").agg(
+            F.max("n_tokens").alias("mx"), F.count(F.lit(1)).alias("n")
+        )
+        return per.groupBy("shard").agg(
+            F.sum(F.col("mx") * F.col("n")).alias(out)
+        )
+
+    a = padded([F.col("skey"), F.col("doc_id")], "a_padded")
+    s = padded([F.col("n_tokens"), F.col("doc_id")], "s_padded")
+    tot = k.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    j = tot.join(a, "shard").join(s, "shard")
+    return j.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        F.col("a_padded").cast("bigint").alias("shuffled_padded"),
+        F.round(
+            (F.col("a_padded") - F.col("total_tokens")) / F.col("a_padded"), 6
+        ).alias("shuffled_waste_share"),
+        F.col("s_padded").cast("bigint").alias("sorted_padded"),
+        F.round(
+            (F.col("s_padded") - F.col("total_tokens")) / F.col("s_padded"), 6
+        ).alias("sorted_waste_share"),
+        F.round(
+            (F.col("a_padded") - F.col("s_padded")) / F.col("a_padded"), 6
+        ).alias("savings_share"),
+    ).orderBy("shard")

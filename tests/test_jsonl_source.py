@@ -98,3 +98,41 @@ def test_jsonl_quarantine_stats_fixture(spark):
     a, b = rows["dump_a.jsonl"], rows["dump_b.jsonl"]
     assert (a["n_rows"], a["n_corrupt"]) == (6, 2)
     assert (b["n_rows"], b["n_corrupt"]) == (5, 2)
+
+
+@pytest.mark.spark
+def test_jsonl_string_fields_coerce_scalars_not_quarantine(spark, tmp_path):
+    """ADVICE r10 pin: from_json COERCES any JSON scalar/object to string
+    for StringType fields (42 -> "42", true -> "true", nested object ->
+    its raw JSON text) — only the TYPED field (doc_id: long) quarantines
+    on mismatch.  jsonl_quarantine_stats' oracle checks exactly doc_id's
+    type today; if JSONL_DOC_SCHEMA ever grows typed numeric fields, this
+    test fails on the new field's coercion row and the oracle's type
+    clause must grow with the schema (the documented co-evolution
+    contract)."""
+    from log_vector_spark.sources.corpus import read_jsonl_corpus
+
+    p = tmp_path / "coerce.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                # string fields fed non-strings: coerced, NOT quarantined
+                '{"doc_id": 1, "text": 42, "lang": true, "source": {"a": 1}}',
+                # the one typed field fed a non-long: whole line quarantined
+                '{"doc_id": "not a number", "text": "x", "lang": "en", "source": "s"}',
+            ]
+        )
+    )
+    rows = {r["doc_id"]: r for r in read_jsonl_corpus(spark, str(p)).collect()}
+    ok = rows[1]
+    assert not ok["error"]
+    assert ok["text"] == "42"
+    assert ok["lang"] == "true"
+    assert ok["source"] == '{"a":1}'
+    bad = rows[None]
+    assert bad["error"] and bad["corrupt_record"] is not None
+    # the schema the pin protects: doc_id is the ONLY non-string field
+    from log_vector_spark.sources.corpus import JSONL_DOC_SCHEMA
+
+    typed = [f.name for f in JSONL_DOC_SCHEMA.fields if f.dataType.typeName() != "string"]
+    assert typed == ["doc_id"]

@@ -131,3 +131,36 @@ def test_retrain_refused_while_maintainer_lock_held(tmp_path):
     with _maintainer_lock(root):
         with _pytest.raises(RuntimeError, match="another maintainer"):
             index_store.retrain_ivf_store(None, root)
+
+
+@pytest.mark.spark
+def test_padding_by_shard_windows_are_all_partitioned(spark):
+    """ADVICE r10: the shard-decomposed padding report must carry NO
+    global window — every windowspecdefinition in the plan partitions by
+    shard, so no single-task whole-corpus sort survives at scale."""
+    import __spark_entry__ as m
+
+    from log_vector_spark.plans.explain import plan_string
+
+    df = m.queries()["padding_waste_by_shard"](spark, SF)
+    plan = plan_string(df, "simple")
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert specs, plan
+    for ln in specs:
+        assert "windowspecdefinition(shard" in ln, ln
+
+
+@pytest.mark.spark
+def test_padding_by_shard_composes_to_the_global_report(spark):
+    """The decomposition claim itself: per-shard token/doc totals sum to
+    the global report's totals (batches never span shards), and each
+    shard's padded mass bounds its token mass."""
+    import __spark_entry__ as m
+
+    per = m.queries()["padding_waste_by_shard"](spark, SF).collect()
+    glob = m.queries()["padding_waste_report"](spark, SF).collect()[0]
+    assert sum(r["n_docs"] for r in per) == glob["n_docs"]
+    assert sum(r["total_tokens"] for r in per) == glob["total_tokens"]
+    for r in per:
+        assert r["shuffled_padded"] >= r["total_tokens"]
+        assert r["sorted_padded"] <= r["shuffled_padded"]
