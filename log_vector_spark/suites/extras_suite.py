@@ -447,6 +447,106 @@ def events_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "zorder_pruning_report",
+    oracle=(lambda _z: """
+    WITH d AS (
+      SELECT user_id % 256 AS x,
+             (dayofyear(ts) * 24 + hour(ts)) % 256 AS y,
+             dayofyear(ts) * 24 + hour(ts) AS h
+      FROM events
+    ),
+    hr AS (SELECT min(h) AS hmin, max(h) AS hmax FROM d),
+    b AS (
+      SELECT 'linear' AS layout,
+             CAST((h - hmin) * 64 // (hmax - hmin + 1) AS BIGINT) AS bucket,
+             x, y
+      FROM d, hr
+      UNION ALL
+      SELECT 'zorder' AS layout, CAST(zv >> 10 AS BIGINT) AS bucket, x, y
+      FROM (SELECT x, y, __ZEXPR__ AS zv FROM d)
+    ),
+    boxes AS (
+      SELECT layout, bucket,
+             max(x) - min(x) + 1 AS xw,
+             max(y) - min(y) + 1 AS yw
+      FROM b GROUP BY layout, bucket
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           round(avg(xw), 6) AS avg_x_width,
+           round(avg(yw), 6) AS avg_y_width,
+           round(avg(xw) / 256, 6) AS x_scan_share,
+           round(avg(yw) / 256, 6) AS y_scan_share
+    FROM boxes GROUP BY layout ORDER BY layout
+    """.replace("__ZEXPR__", _z))(__import__("log_vector_spark.operators.layout", fromlist=["zvalue_sql"]).zvalue_sql("x", "y", bits=8)),
+    doc="Data-skipping effectiveness of the Z-order layout vs a plain "
+    "time-ordered write (beyond-reference: the measurement that justifies "
+    "paying the clustering shuffle before a 100 TB write).  Both layouts "
+    "assign every event to one of ~64 write buckets — the time-ordered "
+    "writer by hour range, the clustered writer by the top-6 z-bits of "
+    "the Morton-interleaved (user bucket, hour bucket) — and each "
+    "bucket's min/max bounding box stands in for a parquet file's "
+    "column statistics.  x_scan_share / y_scan_share = expected fraction "
+    "of files a uniform point filter on that column must read (avg box "
+    "width / domain): the linear layout is near-perfect on time and "
+    "unprunable on user; z-order pays a little on time to make BOTH "
+    "dims prune.  One scan (the two layouts share it via a union of "
+    "scan-stage bucket expressions), one bounded agg over <=128 boxes; "
+    "the hour range rides a broadcast 1-row aggregate.",
+)
+def zorder_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.layout import zvalue
+
+    ev = table(spark, "events", sf_dir)
+    h = (F.dayofyear("ts") * 24 + F.hour("ts")).cast("bigint")
+    d = ev.select(
+        (F.col("user_id") % 256).alias("x"),
+        (h % 256).alias("y"),
+        h.alias("h"),
+    )
+    hr = d.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    lin = d.crossJoin(F.broadcast(hr)).select(
+        F.lit("linear").alias("layout"),
+        F.floor(
+            (F.col("h") - F.col("hmin"))
+            * 64
+            / (F.col("hmax") - F.col("hmin") + 1)
+        )
+        .cast("bigint")
+        .alias("bucket"),
+        "x",
+        "y",
+    )
+    zed = d.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright(zvalue(F.col("x"), F.col("y"), bits=8), 10)
+        .cast("bigint")
+        .alias("bucket"),
+        "x",
+        "y",
+    )
+    boxes = (
+        lin.unionByName(zed)
+        .groupBy("layout", "bucket")
+        .agg(
+            (F.max("x") - F.min("x") + 1).alias("xw"),
+            (F.max("y") - F.min("y") + 1).alias("yw"),
+        )
+    )
+    return (
+        boxes.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.round(F.avg("xw"), 6).alias("avg_x_width"),
+            F.round(F.avg("yw"), 6).alias("avg_y_width"),
+            F.round(F.avg("xw") / 256, 6).alias("x_scan_share"),
+            F.round(F.avg("yw") / 256, 6).alias("y_scan_share"),
+        )
+        .orderBy("layout")
+    )
+
+
 def _projection_oracle() -> str:
     cols = ", ".join(
         f"round(list_dot_product(embedding::DOUBLE[], "

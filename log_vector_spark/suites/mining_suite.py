@@ -881,3 +881,75 @@ def chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_join(lines10, "\n").alias("text")
     )
     return chunk_documents_tokens(docs10, pieces, token_budget=64)
+
+
+@register(
+    "oov_rate_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, tok
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        ORDER BY n DESC, tok ASC LIMIT 16)
+    ),
+    per AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS n,
+             tok IN (SELECT tok FROM vocab) AS in_vocab
+      FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN in_vocab THEN 0 ELSE n END) AS BIGINT) AS oov_tokens,
+           round(sum(CASE WHEN in_vocab THEN 0 ELSE n END) * 1.0 / sum(n), 6) AS oov_share,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS oov_types
+    FROM per GROUP BY source ORDER BY source
+    """,
+    doc="Tokenizer-vocabulary coverage per source (beyond-reference: the "
+    "fit-check run before committing a tokenizer to a corpus mix): a "
+    "frequency-ranked top-K vocabulary (K=16 here — the committed corpus "
+    "has 31 types; production K is the tokenizer budget) is mined from "
+    "the corpus itself, then each SOURCE reports its out-of-vocabulary "
+    "token-occurrence share and distinct-type exposure.  Sources with "
+    "high OOV share are the ones a fixed tokenizer will fragment into "
+    "byte fallbacks (inflating sequence length and cost).  Shape: one "
+    "exploded scan feeds BOTH aggs — the global vocab agg shuffles "
+    "|vocab| rows and lands in a broadcast; the per-(source, token) agg "
+    "shuffles |source x vocab|; no row-level join, no window.",
+)
+def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(16)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    per = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    j = per.join(F.broadcast(vocab), "tok", "left").withColumn(
+        "in_vocab", F.coalesce(F.col("in_vocab"), F.lit(False))
+    )
+    oov_n = F.sum(F.when(F.col("in_vocab"), F.lit(0)).otherwise(F.col("n")))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            oov_n.cast("bigint").alias("oov_tokens"),
+            F.round(oov_n / F.sum("n"), 6).alias("oov_share"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("in_vocab"), F.lit(0)).otherwise(F.lit(1)))
+            .cast("bigint")
+            .alias("oov_types"),
+        )
+        .orderBy("source")
+    )

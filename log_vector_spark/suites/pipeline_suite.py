@@ -762,6 +762,94 @@ def pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_ops.pack_next_fit(table(spark, "documents", sf_dir), budget=256)
 
 
+@register(
+    "pack_boundary_report",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS toks
+      FROM documents
+    ), c AS (
+      SELECT *, CAST(sum(toks) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_toks
+      FROM t
+    ), seg AS (
+      SELECT source,
+             CAST(b AS BIGINT) AS bin,
+             least(cum_toks, (b + 1) * 256) - greatest(cum_toks - toks, b * 256) AS seg
+      FROM c, unnest(generate_series(
+             CAST(floor((cum_toks - toks) / 256.0) AS BIGINT),
+             CAST(floor((cum_toks - 1) / 256.0) AS BIGINT))) AS u(b)
+    ), bins AS (
+      SELECT source, bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(seg) AS BIGINT) AS s,
+             CAST(sum(seg * (seg + 1) / 2) AS BIGINT) AS within_pairs
+      FROM seg GROUP BY source, bin
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS multi_doc_bins,
+           round(avg(n_docs), 6) AS avg_docs_per_bin,
+           CAST(sum(s * (s + 1) / 2) AS BIGINT) AS total_pairs,
+           CAST(sum(s * (s + 1) / 2 - within_pairs) AS BIGINT) AS cross_pairs,
+           round(sum(s * (s + 1) / 2 - within_pairs) * 1.0
+                 / sum(s * (s + 1) / 2), 6) AS cross_attention_share
+    FROM bins GROUP BY source ORDER BY source
+    """,
+    doc="Cross-document attention contamination of mask-free concat-then-"
+    "split packing (beyond-reference: THE number that decides whether a "
+    "packed pretraining shard needs boundary attention masks / EOS "
+    "resets): pack_offsets' 256-token bins are decomposed into per-"
+    "document segments (a doc spanning k bins explodes into k segment "
+    "rows — output is linear, <= n_docs + n_bins rows), and for each bin "
+    "with segment lengths L1..Lk under causal attention the cross-doc "
+    "attention-pair share is 1 - sum(Li(Li+1)/2) / (S(S+1)/2).  Reported "
+    "per source: bins, multi-doc bin share, and the token-pair-weighted "
+    "cross-attention share — all exact integer math until the final "
+    "shares.  Same single window shuffle as pack_offsets plus one "
+    "bounded hash agg; no joins.",
+)
+def pack_boundary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    offs = packing_ops.pack_offsets(table(spark, "documents", sf_dir), budget=256)
+    seg_len = F.least(
+        F.col("cum_toks"), (F.col("bin") + 1) * 256
+    ) - F.greatest(F.col("cum_toks") - F.col("toks"), F.col("bin") * 256)
+    seg = offs.select(
+        "source",
+        F.explode(
+            F.sequence(
+                F.col("first_bin").cast("bigint"), F.col("last_bin").cast("bigint")
+            )
+        ).alias("bin"),
+        "cum_toks",
+        "toks",
+    ).select("source", "bin", seg_len.cast("bigint").alias("seg"))
+    bins = seg.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("seg").cast("bigint").alias("s"),
+        F.sum((F.col("seg") * (F.col("seg") + 1) / 2).cast("bigint"))
+        .cast("bigint")
+        .alias("within_pairs"),
+    )
+    tp = F.col("s") * (F.col("s") + 1) / 2
+    return (
+        bins.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("multi_doc_bins"),
+            F.round(F.avg("n_docs"), 6).alias("avg_docs_per_bin"),
+            F.sum(tp).cast("bigint").alias("total_pairs"),
+            F.sum(tp - F.col("within_pairs")).cast("bigint").alias("cross_pairs"),
+            F.round(
+                F.sum(tp - F.col("within_pairs")) / F.sum(tp), 6
+            ).alias("cross_attention_share"),
+        )
+        .orderBy("source")
+    )
+
+
 _RERANK_TERMS = ("table", "scan", "join", "filter", "query")
 
 
