@@ -2121,6 +2121,73 @@ def stream_training_ingest_batched(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "stream_neardup_ingest",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, greatest(len(words) - 1, 1)),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+           FROM docs),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+          FROM sh),
+    seeded AS (SELECT doc_id, h, unnest(range(0, 8)) AS seed FROM h),
+    sig AS (SELECT doc_id, seed,
+                   min((h * (__MH_AS__[CAST(seed AS INTEGER) + 1]) + seed) % 2147483647) AS minhash
+            FROM seeded GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY 1, 2)
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE b.doc_id = d.doc_id AND a.doc_id < d.doc_id)
+    ORDER BY d.doc_id
+    """.replace("__MH_AS__", f"[{', '.join(str(a) for a in __import__('log_vector_spark.operators.dedup', fromlist=['minhash_coeffs']).minhash_coeffs(8))}]"),
+    doc="Cross-epoch NEAR-dup gate under a stream (beyond-reference: the "
+    "MinHash-LSH analog of stream_training_ingest's exact-fingerprint "
+    "dedup — yesterday's near-copies must not re-enter today's shard).  "
+    "A document survives iff no earlier-arriving document shares any LSH "
+    "band bucket (the dedup_minhash_pairs hash family), so the streamed "
+    "survivor set is closed-form: NOT EXISTS a lower-id band collision.  "
+    "Probe is history-BOUNDED: broadcast Bloom over stored band keys "
+    "clears definitely-unseen buckets (no false negatives), probable "
+    "hits confirm against a (band, key-nibble) partition-pruned store "
+    "scan — per batch O(collisions + Bloom FP), never O(history) "
+    "(streaming/pipeline.py:run_stream_neardup_ingest).  Multi-epoch "
+    "arrival-order parity, replay idempotence and the pruning pin live "
+    "in tests/test_stream_neardup.py.",
+)
+def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from log_vector_spark.streaming.pipeline import run_stream_neardup_ingest
+
+    out = tempfile.mkdtemp(prefix="stream_neardup_")
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    src_dir, glob = (
+        (docs_path, "*.parquet")
+        if os.path.isdir(docs_path)
+        else (sf_dir, "documents.parquet")
+    )
+    try:
+        surv = run_stream_neardup_ingest(spark, src_dir, out, glob=glob)
+        rows = surv.orderBy("doc_id").collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["doc_id"], r["source"]) for r in rows], "doc_id long, source string"
+    )
+
+
+@register(
     "multimodal_curation_pipeline",
     # Composition of three independently-oracle-paired stages in one lazy
     # plan; the oracle replays pixels, hash bits, and caption quality
