@@ -1650,3 +1650,95 @@ def padding_waste_by_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a_padded") - F.col("s_padded")) / F.col("a_padded"), 6
         ).alias("savings_share"),
     ).orderBy("shard")
+
+
+@register(
+    "quality_psi_report",
+    oracle=f"""
+    WITH q AS (
+      SELECT source,
+             round(len(list_filter({_WORDS}, t -> t IN ('the','a','of','to','and')))
+                   * 1.0 / len({_WORDS}) * 0.5
+                   + least(len({_WORDS}), 100) / 100.0 * 0.5, 6) AS quality
+      FROM documents
+      WHERE len({_WORDS}) > 0
+    ),
+    b AS (SELECT source, CAST(least(floor(quality * 10), 9) AS INTEGER) AS bin FROM q),
+    per AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY source, bin),
+    grid AS (
+      SELECT s.source, g.bin, coalesce(per.n, 0) AS n
+      FROM (SELECT DISTINCT source FROM per) s
+      CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g
+      LEFT JOIN per ON per.source = s.source AND per.bin = g.bin
+    ),
+    tot AS (SELECT source, sum(n) AS ns FROM grid GROUP BY source),
+    gm AS (SELECT bin, sum(n) AS ng FROM grid GROUP BY bin),
+    gtot AS (SELECT sum(n) AS nt FROM grid),
+    terms AS (
+      SELECT g.source, g.bin, tot.ns,
+             (g.n + 0.5) / (tot.ns + 5.0) AS pa,
+             (gm.ng + 0.5) / (gtot.nt + 5.0) AS pe
+      FROM grid g JOIN tot USING (source) JOIN gm USING (bin) CROSS JOIN gtot
+    )
+    SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+           round(sum((pa - pe) * ln(pa / pe)), 6) AS psi
+    FROM terms GROUP BY source ORDER BY source
+    """,
+    doc="Population-stability-index quality drift per source "
+    "(beyond-reference: the distribution-shift gate a continuously-"
+    "ingesting pipeline runs before a source's share of the mixture is "
+    "trusted): each doc's rational quality score lands in one of 10 "
+    "fixed bins; a source's PSI vs the whole-corpus distribution is "
+    "sum((p_src - p_corpus) * ln(p_src / p_corpus)) over bins, with "
+    "+0.5/+5 Laplace smoothing so empty bins are defined.  PSI < 0.1 is "
+    "the classic 'no shift' band.  Shape: one scan-stage score + ONE "
+    "|sources x 10|-row hash agg; the bin grid, global marginals and "
+    "PSI fold are all bounded-relation arithmetic (no second corpus "
+    "pass, no window over data rows).  Zero-token docs carry NULL "
+    "quality and are excluded (the degenerate-doc contract of "
+    "text_quality).",
+)
+def quality_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.operators.textops import text_quality
+
+    q = text_quality(
+        table(spark, "documents", sf_dir), carry_cols=("source",)
+    ).filter(F.col("n_tokens") > 0)
+    b = q.select(
+        "source",
+        F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("int").alias("bin"),
+    )
+    per = b.groupBy("source", "bin").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # bounded from here on: |sources| x 10 grid with zero-filled bins
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    sources = per.select("source").distinct()
+    grid = (
+        sources.crossJoin(F.broadcast(bins))
+        .join(per, ["source", "bin"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0).cast("bigint")))
+    )
+    tot = grid.groupBy("source").agg(F.sum("n").alias("ns"))
+    glob = grid.groupBy("bin").agg(F.sum("n").alias("ng"))
+    gtot = grid.agg(F.sum("n").alias("nt"))
+    terms = (
+        grid.join(F.broadcast(tot), "source")
+        .join(F.broadcast(glob), "bin")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            "ns",
+            ((F.col("n") + 0.5) / (F.col("ns") + 5.0)).alias("pa"),
+            ((F.col("ng") + 0.5) / (F.col("nt") + 5.0)).alias("pe"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("ns").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum((F.col("pa") - F.col("pe")) * F.log(F.col("pa") / F.col("pe"))),
+                6,
+            ).alias("psi"),
+        )
+        .orderBy("source")
+    )

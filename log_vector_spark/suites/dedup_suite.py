@@ -1856,3 +1856,85 @@ def lsh_band_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.pair_evidence(table(spark, "documents", sf_dir))
+
+
+@register(
+    "simhash_hamming_eval",
+    oracle=f"""
+    WITH sdocs AS (SELECT * FROM documents WHERE {_DOC_SAMPLE_PRED}),
+    {_SIMHASH_CTE.replace("FROM documents", "FROM sdocs")},
+    t AS (SELECT doc_id, source, list_distinct({_WORDS}) AS toks FROM sdocs),
+    j AS (SELECT s.doc_id, s.simhash, t.source, t.toks
+          FROM sim s JOIN t USING (doc_id)),
+    pairs AS (
+      SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
+             round(len(list_intersect(a.toks, b.toks)) * 1.0
+                   / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+      FROM j a JOIN j b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+    )
+    SELECT hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_jaccard,
+           round(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS share_ge_05
+    FROM pairs GROUP BY hamming ORDER BY hamming
+    """,
+    doc="SimHash estimator calibration (the minhash_estimator_eval "
+    "discipline applied to the bit-vote sketch): for every within-source "
+    "candidate pair at hamming <= 16, the exact token-set Jaccard — "
+    "SimHash votes on the distinct token set, so token-set overlap is "
+    "its ground truth — aggregated per hamming distance: pair count, "
+    "mean Jaccard (decimal-summed for cross-engine float parity) and "
+    "the share above the 0.5 near-dup bar.  THE empirical curve behind "
+    "choosing dedup_simhash_pairs' hamming threshold: where share_ge_05 "
+    "collapses is where the threshold stops meaning 'near-dup'.  "
+    "Candidates stay block-bounded (the salted simhash_pairs join); the "
+    "per-pair Jaccard is one array_intersect over already-carried token "
+    "arrays, JVM-side; the rollup is a <=17-row hash agg.  Runs on the "
+    "deterministic 25% md5 doc sample (the lsh_candidate_pr_eval_sampled "
+    "posture): within the sample the pair population is complete, so the "
+    "per-hamming curve is an unbiased estimate while the block-quadratic "
+    "pair volume drops ~16x — per-ingest runnable.",
+)
+def simhash_hamming_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir).filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    )
+    pairs = dedup.simhash_pairs(docs, max_hamming=16)
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("toks"),
+    )
+    p = (
+        pairs.join(toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta")), "id_a")
+        .join(toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb")), "id_b")
+        .select(
+            "hamming",
+            F.round(
+                F.size(F.array_intersect("ta", "tb"))
+                / F.size(F.array_distinct(F.concat("ta", "tb"))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        p.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_jaccard"),
+            F.round(
+                F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("share_ge_05"),
+        )
+        .orderBy("hamming")
+    )
