@@ -342,3 +342,92 @@ def run_heavy_hitters_stream(
     finally:
         q.stop()
     return spark.table(name)
+
+
+# --- streaming CUSUM drift monitor (round 10) -------------------------------
+
+CUSUM_MU = 50.0  # reference mean of `value` (the monitored baseline)
+CUSUM_K = 5.0    # slack: drift smaller than K per event is ignored
+CUSUM_H = 100.0  # alarm threshold on the one-sided statistics
+
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, direction string, alarm_ts timestamp, "
+    "stat double, alarm_seq long"
+)
+CUSUM_STATE_SCHEMA = "c_pos double, c_neg double, alarm_seq long"
+
+
+def _cusum_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Page CUSUM per event_type: state is TWO floats and a counter —
+    O(1) per key regardless of stream length, the textbook case for
+    applyInPandasWithState (no window retains rows; the batch form would
+    re-fold the whole history every refresh).
+
+    Fold per event (event-time order within the batch; cross-batch order
+    is the ordered-ingest contract, as for the sessionizer's staged
+    replays): c_pos = max(0, c_pos + v - MU - K), c_neg symmetric.  A
+    side crossing H emits ONE alarm row and resets that side — emitted
+    rows are alarms only, so output volume is bounded by drift events,
+    not stream volume."""
+    (etype,) = key
+    if state.exists:
+        c_pos, c_neg, seq = state.get
+    else:
+        c_pos, c_neg, seq = 0.0, 0.0, 0
+    alarms: list[tuple] = []
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values("ts")
+        for ts, v in zip(pdf["ts"], pdf["value"]):
+            v = float(v)
+            c_pos = max(0.0, c_pos + v - CUSUM_MU - CUSUM_K)
+            c_neg = max(0.0, c_neg + CUSUM_MU - v - CUSUM_K)
+            if c_pos > CUSUM_H:
+                seq += 1
+                alarms.append((etype, "up", ts, c_pos, seq))
+                c_pos = 0.0
+            if c_neg > CUSUM_H:
+                seq += 1
+                alarms.append((etype, "down", ts, c_neg, seq))
+                c_neg = 0.0
+    state.update((c_pos, c_neg, seq))
+    yield pd.DataFrame(
+        alarms, columns=["event_type", "direction", "alarm_ts", "stat", "alarm_seq"]
+    )
+
+
+def cusum_monitor_stream(events: DataFrame) -> DataFrame:
+    """events (streaming) -> Page-CUSUM drift alarms per event_type.
+
+    No timeout mode: unlike the sessionizer (whose state grows with idle
+    USERS), CUSUM state is a fixed-size struct per event TYPE — a bounded
+    key domain — so there is nothing to evict."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _cusum_fn,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_cusum_monitor_stream(spark, sf_dir: str) -> DataFrame:
+    """Drive the CUSUM monitor over the events table; returns all alarms."""
+    from log_vector_spark.streaming.pipeline import stream_events
+
+    name = f"stateful_cusum_{next(_counter)}"
+    q = (
+        cusum_monitor_stream(stream_events(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

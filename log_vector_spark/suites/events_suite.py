@@ -1885,3 +1885,116 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.fixed_bin_histogram(table(spark, "events", sf_dir))
+
+
+@register(
+    "events_cusum_monitor",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    cut AS (
+      SELECT event_type, min(hour) + INTERVAL 168 HOUR AS t0 FROM h GROUP BY 1
+    ),
+    base AS (
+      SELECT h.event_type, CAST(count(*) AS BIGINT) AS c1, CAST(sum(n) AS BIGINT) AS s1
+      FROM h JOIN cut USING (event_type) WHERE h.hour < cut.t0 GROUP BY 1
+    ),
+    mon AS (
+      SELECT h.event_type, h.hour, 10 * base.c1 * h.n - 11 * base.s1 AS inc,
+             base.c1, base.s1
+      FROM h JOIN cut USING (event_type) JOIN base USING (event_type)
+      WHERE h.hour >= cut.t0
+    ),
+    walk AS (
+      SELECT event_type, hour, c1, s1,
+             sum(inc) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk
+      FROM mon
+    ),
+    s AS (
+      SELECT event_type, hour, c1, s1, sk,
+             least(0, min(sk) OVER w) AS lo,
+             greatest(0, max(sk) OVER w) AS hi
+      FROM walk
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           CAST(max(c1) AS BIGINT) AS base_hours,
+           CAST(max(s1) AS BIGINT) AS base_events,
+           CAST(count(*) AS BIGINT) AS mon_hours,
+           CAST(max(sk - lo) AS BIGINT) AS peak_up_scaled,
+           CAST(max(hi - sk) AS BIGINT) AS peak_down_scaled
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Prospective CUSUM drift monitor on hourly volumes (the batch "
+    "twin of streaming/stateful.cusum_monitor_stream, and the "
+    "forward-looking cousin of events_cusum_changepoint's retrospective "
+    "argmax): the first 168 hours per type form the reference baseline; "
+    "every later hour contributes a slack-adjusted deviation, and the "
+    "report is the PEAK one-sided CUSUM each type ever reached — "
+    "max-drawup/drawdown of the deviation walk, which equals the Page "
+    "statistic's supremum without resets.  Deviations are scaled by "
+    "10*c1 (inc = 10*c1*n - 11*s1 ≡ n - mean - mean/10 slack) so the "
+    "whole walk is exact BIGINT — no float cumsum drift, bit-identical "
+    "in any engine.  Per-type ordered windows over the |type x hour| "
+    "rollup only.",
+)
+def events_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "events", sf_dir)
+    h = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cut = h.groupBy("event_type").agg(
+        (F.min("hour") + F.expr("INTERVAL 168 HOURS")).alias("t0")
+    )
+    hb = h.join(F.broadcast(cut), "event_type")
+    base = (
+        hb.filter(F.col("hour") < F.col("t0"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c1"),
+            F.sum("n").cast("bigint").alias("s1"),
+        )
+    )
+    mon = (
+        hb.filter(F.col("hour") >= F.col("t0"))
+        .join(F.broadcast(base), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "c1",
+            "s1",
+            (10 * F.col("c1") * F.col("n") - 11 * F.col("s1")).alias("inc"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = mon.select(
+        "event_type",
+        "hour",
+        "c1",
+        "s1",
+        F.sum("inc").over(w).alias("sk"),
+    ).select(
+        "event_type",
+        "c1",
+        "s1",
+        "sk",
+        F.least(F.lit(0).cast("bigint"), F.min("sk").over(w)).alias("lo"),
+        F.greatest(F.lit(0).cast("bigint"), F.max("sk").over(w)).alias("hi"),
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.max("c1").cast("bigint").alias("base_hours"),
+            F.max("s1").cast("bigint").alias("base_events"),
+            F.count(F.lit(1)).cast("bigint").alias("mon_hours"),
+            F.max(F.col("sk") - F.col("lo")).cast("bigint").alias("peak_up_scaled"),
+            F.max(F.col("hi") - F.col("sk")).cast("bigint").alias("peak_down_scaled"),
+        )
+        .orderBy("event_type")
+    )

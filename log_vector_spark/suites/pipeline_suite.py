@@ -2188,6 +2188,42 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_neardup_ingest_batched",
+    audit=True,
+    doc="Batched-trigger twin of stream_neardup_ingest (the "
+    "stream_training_ingest_batched precedent): identical job and "
+    "survivor semantics, but maxFilesPerTrigger covers the whole source "
+    "listing in one micro-batch — the backfill shape, and the form whose "
+    "decade ratio measures data work rather than per-trigger harness "
+    "overhead on multi-part replicas.",
+)
+def stream_neardup_ingest_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from log_vector_spark.streaming.pipeline import run_stream_neardup_ingest
+
+    out = tempfile.mkdtemp(prefix="stream_neardup_b_")
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    src_dir, glob = (
+        (docs_path, "*.parquet")
+        if os.path.isdir(docs_path)
+        else (sf_dir, "documents.parquet")
+    )
+    try:
+        surv = run_stream_neardup_ingest(
+            spark, src_dir, out, max_files_per_trigger=64, glob=glob
+        )
+        rows = surv.orderBy("doc_id").collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["doc_id"], r["source"]) for r in rows], "doc_id long, source string"
+    )
+
+
+@register(
     "multimodal_curation_pipeline",
     # Composition of three independently-oracle-paired stages in one lazy
     # plan; the oracle replays pixels, hash bits, and caption quality
