@@ -1722,6 +1722,9 @@ def run_stream_neardup_ingest(
         q.processAllAvailable()
     finally:
         q.stop()
+    if "://" not in surv_dir and not _os.path.isdir(surv_dir):
+        # every batch was empty (degenerate/empty corpus): no store, no rows
+        return spark.createDataFrame([], "doc_id long, source string")
     return spark.read.parquet(surv_dir).select("doc_id", "source")
 
 

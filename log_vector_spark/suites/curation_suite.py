@@ -1571,10 +1571,10 @@ def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM k GROUP BY shard)
     SELECT tot.shard, n_docs, total_tokens,
            CAST(a.padded AS BIGINT) AS shuffled_padded,
-           round((a.padded - total_tokens) * 1.0 / a.padded, 6) AS shuffled_waste_share,
+           CASE WHEN a.padded > 0 THEN round((a.padded - total_tokens) * 1.0 / a.padded, 6) END AS shuffled_waste_share,
            CAST(s.padded AS BIGINT) AS sorted_padded,
-           round((s.padded - total_tokens) * 1.0 / s.padded, 6) AS sorted_waste_share,
-           round((a.padded - s.padded) * 1.0 / a.padded, 6) AS savings_share
+           CASE WHEN s.padded > 0 THEN round((s.padded - total_tokens) * 1.0 / s.padded, 6) END AS sorted_waste_share,
+           CASE WHEN a.padded > 0 THEN round((a.padded - s.padded) * 1.0 / a.padded, 6) END AS savings_share
     FROM tot JOIN a ON tot.shard = a.shard JOIN s ON tot.shard = s.shard
     ORDER BY tot.shard
     """,
@@ -1634,20 +1634,27 @@ def padding_waste_by_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
     j = tot.join(a, "shard").join(s, "shard")
+    # a shard of only zero-token docs has padded = 0: NULL shares, never
+    # an ANSI divide-by-zero (the text_quality degenerate-doc contract)
+    nz_a = F.col("a_padded") > 0
+    nz_s = F.col("s_padded") > 0
     return j.select(
         "shard",
         "n_docs",
         "total_tokens",
         F.col("a_padded").cast("bigint").alias("shuffled_padded"),
-        F.round(
-            (F.col("a_padded") - F.col("total_tokens")) / F.col("a_padded"), 6
+        F.when(
+            nz_a,
+            F.round((F.col("a_padded") - F.col("total_tokens")) / F.col("a_padded"), 6),
         ).alias("shuffled_waste_share"),
         F.col("s_padded").cast("bigint").alias("sorted_padded"),
-        F.round(
-            (F.col("s_padded") - F.col("total_tokens")) / F.col("s_padded"), 6
+        F.when(
+            nz_s,
+            F.round((F.col("s_padded") - F.col("total_tokens")) / F.col("s_padded"), 6),
         ).alias("sorted_waste_share"),
-        F.round(
-            (F.col("a_padded") - F.col("s_padded")) / F.col("a_padded"), 6
+        F.when(
+            nz_a,
+            F.round((F.col("a_padded") - F.col("s_padded")) / F.col("a_padded"), 6),
         ).alias("savings_share"),
     ).orderBy("shard")
 
