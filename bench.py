@@ -655,6 +655,31 @@ BASELINE_CPU_R10 = {
 }
 BASELINE_SEC.update(BASELINE_SEC_R10)
 
+# r10 wave-2 additions, measured in the r10 FINAL close window
+# (BENCH_local_r10.json: 284 queries, 1 trivial throttle, 0 regression,
+# cpu_drift 0.72 — clean; min wall / min-wall CPU).
+BASELINE_SEC_R10B = {
+    "padding_waste_by_shard": 0.46,
+    "oov_rate_report": 0.36,
+    "pack_boundary_report": 0.37,
+    "zorder_pruning_report": 0.52,
+    "stream_neardup_ingest": 3.34,
+    "quality_psi_report": 0.68,
+    "simhash_hamming_eval": 0.91,
+    "events_cusum_monitor": 0.53,
+}
+BASELINE_CPU_R10B = {
+    "padding_waste_by_shard": 1.51,
+    "oov_rate_report": 0.62,
+    "pack_boundary_report": 0.36,
+    "zorder_pruning_report": 0.71,
+    "stream_neardup_ingest": 3.55,
+    "quality_psi_report": 1.66,
+    "simhash_hamming_eval": 2.53,
+    "events_cusum_monitor": 1.61,
+}
+BASELINE_SEC.update(BASELINE_SEC_R10B)
+
 # r7 re-base: the r6 event-time-timeout eviction pass added real CPU
 # (watermark tracking + idle flush) — composed-min wall 4.16 s / CPU
 # 14.1 s across the two r6 full windows vs the 3.22 s / 8.8 s
@@ -740,6 +765,7 @@ BASELINE_CPU = {
     "vector_norms": 1.14, "vocab_topk": 0.85, "winnow_density_report": 9.02,
 }
 BASELINE_CPU.update(BASELINE_CPU_R7)
+BASELINE_CPU.update(BASELINE_CPU_R10B)
 BASELINE_CPU.update(BASELINE_CPU_R8)
 BASELINE_CPU.update(BASELINE_CPU_R10)
 
