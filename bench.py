@@ -667,6 +667,7 @@ BASELINE_SEC_R10B = {
     "quality_psi_report": 0.68,
     "simhash_hamming_eval": 0.91,
     "events_cusum_monitor": 0.53,
+    "training_sequences": 1.05,
 }
 BASELINE_CPU_R10B = {
     "padding_waste_by_shard": 1.51,
@@ -677,6 +678,7 @@ BASELINE_CPU_R10B = {
     "quality_psi_report": 1.66,
     "simhash_hamming_eval": 2.53,
     "events_cusum_monitor": 1.61,
+    "training_sequences": 2.93,
 }
 BASELINE_SEC.update(BASELINE_SEC_R10B)
 

@@ -2334,3 +2334,100 @@ def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_luma"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+@register(
+    "training_sequences",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, words,
+             CAST(sum(len(words)) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+               - len(words) AS doc_off
+      FROM d
+    ),
+    tok AS (
+      SELECT source,
+             doc_off + u.i - 1 AS gpos,
+             ('0x' || substr(md5(u.tok), 1, 8))::BIGINT % 50257 AS tid
+      FROM c, LATERAL (
+        SELECT unnest(words) AS tok, unnest(range(1, len(words) + 1)) AS i
+      ) AS u
+    ),
+    seq AS (
+      SELECT source, CAST(gpos // 256 AS BIGINT) AS bin,
+             CAST(gpos % 256 AS BIGINT) AS off, tid
+      FROM tok
+    )
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT) AS seq_len,
+           md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY off)) AS seq_md5
+    FROM seq GROUP BY source, bin ORDER BY source, bin
+    """,
+    doc="Materialized training-ready packed sequences — the TERMINAL "
+    "operator of the pipeline (corpus in, trainer-shaped sequences out): "
+    "per source, documents concatenate in doc_id order as deterministic "
+    "hash token ids (md5-derived, vocab 50257) and the stream is cut "
+    "into 256-token sequences — the same arithmetic pack_offsets proves "
+    "at doc grain, materialized at TOKEN grain, with each sequence's "
+    "content certified by an order-exact md5 over its ids (a defect in "
+    "tokenization, offsets, bin math, or within-bin order breaks the "
+    "hash).  Shape: one doc-grain window (the pack_offsets shuffle) + "
+    "one token explode + one hash agg keyed (source, bin) — token rows "
+    "cross the shuffle once, which IS the cost of writing shards; no "
+    "sort beyond the per-sequence 256-element aggregation.  At 100 TB "
+    "this plan's output partitioning (source, bin) is exactly the "
+    "physical layout of the packed .bin export.",
+)
+def training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from log_vector_spark.functions.text import tokens as _tokens
+
+    d = table(spark, "documents", sf_dir).select(
+        "doc_id", "source", _tokens(F.col("text")).alias("words")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    c = d.withColumn(
+        "doc_off",
+        F.sum(F.size("words")).over(w).cast("bigint") - F.size("words"),
+    )
+    tok = c.select(
+        "source",
+        "doc_off",
+        F.posexplode("words").alias("i", "tok"),
+    ).select(
+        "source",
+        (F.col("doc_off") + F.col("i")).alias("gpos"),
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % 50257
+        ).alias("tid"),
+    )
+    seq = tok.select(
+        "source",
+        (F.col("gpos") / 256).cast("bigint").alias("bin"),
+        (F.col("gpos") % 256).cast("bigint").alias("off"),
+        "tid",
+    )
+    return (
+        seq.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("seq_len"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("off", "tid"))
+                        ),
+                        lambda s: s["tid"].cast("string"),
+                    ),
+                )
+            ).alias("seq_md5"),
+        )
+        .orderBy("source", "bin")
+    )

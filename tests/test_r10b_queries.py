@@ -91,3 +91,27 @@ def test_zorder_pruning_tradeoff_direction(spark):
     assert zo["x_scan_share"] < lin["x_scan_share"]
     # and z-order keeps BOTH dims prunable (each far below full scan)
     assert zo["x_scan_share"] < 0.5 and zo["y_scan_share"] < 0.5
+
+
+@pytest.mark.spark
+def test_training_sequences_agree_with_pack_offsets(spark):
+    """The terminal operator must agree with the doc-grain packing proof:
+    per source, every sequence except the last is exactly 256 tokens, and
+    the bin count equals pack_offsets' max(last_bin) + 1."""
+    import __spark_entry__ as m
+
+    seqs = m.queries()["training_sequences"](spark, SF).collect()
+    offs = m.queries()["pack_offsets"](spark, SF).collect()
+    max_bin = {}
+    for r in offs:
+        max_bin[r["source"]] = max(max_bin.get(r["source"], -1), r["last_bin"])
+    per_src = {}
+    for r in seqs:
+        per_src.setdefault(r["source"], []).append((r["bin"], r["seq_len"]))
+    assert set(per_src) == set(max_bin)
+    for src, rows in per_src.items():
+        rows.sort()
+        assert [b for b, _ in rows] == list(range(len(rows)))  # dense bins
+        assert len(rows) == max_bin[src] + 1
+        assert all(n == 256 for _, n in rows[:-1])  # full sequences
+        assert 1 <= rows[-1][1] <= 256  # the tail
