@@ -225,3 +225,55 @@ def read_jsonl_corpus(
             F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file")
         )
     return raw.select(*cols)
+
+
+def read_tsv_corpus(
+    spark: SparkSession, path: str, with_file: bool = False
+) -> DataFrame:
+    """Tab-separated corpus reader with per-LINE error isolation — the
+    other interchange format corpus dumps arrive in (one record per line,
+    ``doc_id \\t text \\t lang \\t source``, no header, no quoting: plain
+    TSV's contract is that fields cannot contain tabs or newlines, which
+    is what makes it line-splittable at 100 TB).
+
+    Beyond-reference source, the read_jsonl_corpus posture applied to
+    TSV: a text scan + a literal split per line (``split(value, '\\t',
+    -1)`` so trailing empty fields survive), NOT spark.read.csv — the
+    PERMISSIVE csv reader applies full CSV quoting/escape rules no TSV
+    dump writer uses, and its internal corrupt column carries the
+    pruned-reference restriction the JSONL reader documents.
+
+    Quarantine contract (pinned by tests/test_tsv_source.py): blank/
+    whitespace-only lines are dropped at the scan (formatting, not
+    records); a line is corrupt — ``error = true``, raw line preserved in
+    ``corrupt_record``, fields NULL — iff its arity is not exactly 4
+    (which also catches embedded tabs, the format's documented
+    limitation) or a NON-EMPTY doc_id field is not a [+-]?digits integer (an
+    explicit regex, not cast semantics — engines disagree on float
+    strings).  An
+    EMPTY doc_id field is a NULL id on a valid row (the JSONL null
+    semantics: missing, not mangled).
+
+    Returns (doc_id, text, lang, source, error, corrupt_record[, file]).
+    """
+    raw = spark.read.text(path).filter(F.length(F.trim(F.col("value"))) > 0)
+    parts = F.split(F.col("value"), "\t", -1)
+    fid = F.element_at(parts, 1)
+    # explicit integer REGEX, not try_cast: engines disagree on float
+    # strings (DuckDB TRY_CAST('1.5' AS BIGINT) rounds to 2, Spark yields
+    # NULL) — the digits-only rule is the same everywhere
+    bad_id = (fid != "") & (~fid.rlike(r"^[+-]?[0-9]+$"))
+    err = (F.size(parts) != 4) | bad_id
+    cols = [
+        F.when(~err & (fid != ""), fid.cast("bigint")).alias("doc_id"),
+        F.when(~err, F.element_at(parts, 2)).alias("text"),
+        F.when(~err, F.element_at(parts, 3)).alias("lang"),
+        F.when(~err, F.element_at(parts, 4)).alias("source"),
+        err.alias("error"),
+        F.when(err, F.col("value")).alias("corrupt_record"),
+    ]
+    if with_file:
+        cols.append(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file")
+        )
+    return raw.select(*cols)

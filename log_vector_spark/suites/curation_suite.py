@@ -1749,3 +1749,61 @@ def quality_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_TSV_FIXTURE = _os.path.abspath(
+    _os.path.join(
+        _os.path.dirname(__file__), "..", "..", "tests", "fixtures", "tsv_corpus"
+    )
+)
+
+
+@register(
+    "tsv_quarantine_stats",
+    oracle=f"""
+    WITH files AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+             unnest(string_split(content, chr(10))) AS value
+      FROM read_text('{_TSV_FIXTURE}/*.tsv')
+    ),
+    lines AS (SELECT file, value FROM files WHERE length(trim(value)) > 0),
+    judged AS (
+      SELECT file,
+             (len(string_split(value, chr(9))) <> 4
+              OR (string_split(value, chr(9))[1] <> ''
+                  AND NOT regexp_matches(string_split(value, chr(9))[1],
+                                         '^[+-]?[0-9]+$'))
+             ) AS corrupt
+      FROM lines
+    )
+    SELECT file,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           round(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS corrupt_share
+    FROM judged GROUP BY file
+    """,
+    doc="Per-file quarantine report over the TSV corpus source — the "
+    "jsonl_quarantine_stats posture for the OTHER interchange format "
+    "dumps arrive in: one row per ingested file with non-blank line "
+    "count, quarantined-line count, and corrupt share.  Runs "
+    "read_tsv_corpus (sources/corpus.py) with_file=True over the "
+    "committed fixture at tests/fixtures/tsv_corpus (valid lines, wrong "
+    "arity, an embedded tab, non-numeric and float doc_ids, an EMPTY "
+    "doc_id — a valid NULL id, not corruption — blank lines, and an "
+    "empty lang field).  The DuckDB oracle re-judges every raw line "
+    "independently (arity + integer regex), pinning the quarantine contract "
+    "line-for-line.  Fixture-backed by design, like the JSONL row: the "
+    "contract is scale-free.",
+)
+def tsv_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.sources.corpus import read_tsv_corpus
+
+    rows = read_tsv_corpus(spark, _TSV_FIXTURE, with_file=True)
+    return rows.groupBy("file").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("error").cast("int")).cast("bigint").alias("n_corrupt"),
+        F.round(
+            F.sum(F.col("error").cast("int")) / F.count(F.lit(1)), 6
+        ).alias("corrupt_share"),
+    )
