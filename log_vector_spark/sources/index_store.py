@@ -867,3 +867,74 @@ def _retrain_ivf_store_locked(
         "n_lists_before": n_lists_before,
         "n_lists_after": stored.select("list_id").distinct().count(),
     }
+
+
+def maintain_ivf(
+    spark: SparkSession,
+    store_root: str,
+    drift_threshold: float = 1.2,
+    iters: int = 2,
+    keep_versions: int = 2,
+) -> dict:
+    """The maintenance TICK that closes the IVF lifecycle loop: measure
+    quantizer drift on the live store, retrain only when it exceeds the
+    threshold.
+
+    Drift statistic (the ivf_drift_report posture on the store's own
+    stored assignment — one linear scan + broadcast centroid join, never
+    an N·k re-assignment): per-vector quantization error qerr = 1 − cosine
+    against the vector's OWN centroid, cohorted by vec_id order (newest
+    half = arrival proxy vs oldest half = train proxy).  ``drift`` =
+    mean_qerr(arrivals) / mean_qerr(train); a fresh quantizer reads ~1.0,
+    a stale one grows as the distribution moves.  When drift >
+    ``drift_threshold`` this calls :func:`retrain_ivf_store` (which takes
+    the snapshot maintainer lock and swaps an immutable version).
+
+    Returns {'drift', 'retrained', 'mean_qerr_train', 'mean_qerr_arrivals',
+    and retrain_ivf_store's fields when a retrain ran}.  Idempotent per
+    tick: two consecutive calls with no new data retrain at most once
+    (the refreshed quantizer reads ~1.0 drift).
+    """
+    from log_vector_spark.functions.vector import dot_product, l2_norm
+
+    snap = resolve_ivf_snapshot(store_root)
+    vecs = spark.read.schema(_VECTORS_SCHEMA).parquet(snap["vectors"])
+    cents = spark.read.schema(_CENTROIDS_SCHEMA).parquet(snap["centroids"])
+    half = vecs.groupBy().agg(
+        F.floor(F.count(F.lit(1)) / 2).alias("h")
+    ).first()["h"]
+    scored = vecs.join(F.broadcast(cents), "list_id").select(
+        F.when(F.col("vec_id") < half, F.lit("train"))
+        .otherwise(F.lit("arrivals"))
+        .alias("cohort"),
+        (
+            1
+            - F.coalesce(
+                F.try_divide(
+                    dot_product(F.col("embedding"), F.col("centroid")),
+                    l2_norm(F.col("embedding")) * l2_norm(F.col("centroid")),
+                ),
+                F.lit(0.0),
+            )
+        ).alias("qerr"),
+    )
+    means = {
+        r["cohort"]: r["m"]
+        for r in scored.groupBy("cohort").agg(F.avg("qerr").alias("m")).collect()
+    }
+    train = means.get("train") or 0.0
+    arrivals = means.get("arrivals") or 0.0
+    drift = (arrivals / train) if train > 0 else 1.0
+    out = {
+        "drift": round(drift, 6),
+        "mean_qerr_train": round(train, 6),
+        "mean_qerr_arrivals": round(arrivals, 6),
+        "retrained": False,
+    }
+    if drift > drift_threshold:
+        info = retrain_ivf_store(
+            spark, store_root, iters=iters, keep_versions=keep_versions
+        )
+        out.update(info)
+        out["retrained"] = True
+    return out

@@ -134,3 +134,43 @@ def test_kmeans_train_cap_samples_training_but_assigns_exact(spark):
     )
     assert a1 == a2
     assert len(a1) == n
+
+
+@pytest.mark.spark
+def test_maintain_ivf_tick_thresholds_and_retrains(spark, tmp_path, monkeypatch):
+    """The lifecycle tick (r10): below threshold the tick is a read-only
+    drift measurement (no new version); above it, it retrains under the
+    maintainer lock and the refreshed quantizer's next tick reads lower
+    drift than the trigger."""
+    from log_vector_spark.sources import index_store
+
+    root = _build_private_store(spark, tmp_path, monkeypatch)
+
+    # a freshly built quantizer: drift ~ 1.0, a sane threshold holds
+    out = index_store.maintain_ivf(spark, root, drift_threshold=10.0)
+    assert not out["retrained"]
+    assert out["mean_qerr_train"] > 0 and out["mean_qerr_arrivals"] > 0
+    assert not os.path.exists(os.path.join(root, "_current.json"))  # read-only tick
+
+    # force the trigger: any drift exceeds a sub-1 threshold
+    out2 = index_store.maintain_ivf(spark, root, drift_threshold=0.0)
+    assert out2["retrained"] and out2["version"] == 0
+    assert os.path.exists(os.path.join(root, "vectors_v0"))
+
+    # idempotence-per-tick: the refreshed quantizer reads ~stable drift and
+    # a sane threshold does not re-fire
+    out3 = index_store.maintain_ivf(spark, root, drift_threshold=10.0)
+    assert not out3["retrained"]
+
+
+@pytest.mark.spark
+def test_maintain_ivf_refuses_under_held_lock(spark, tmp_path, monkeypatch):
+    """A triggered retrain inherits retrain_ivf_store's single-maintainer
+    lock: a held lock means a loud refusal, never a clobbered version."""
+    from log_vector_spark.sources import index_store
+    from log_vector_spark.sources.snapshot import _maintainer_lock
+
+    root = _build_private_store(spark, tmp_path, monkeypatch)
+    with _maintainer_lock(root):
+        with pytest.raises(RuntimeError, match="another maintainer"):
+            index_store.maintain_ivf(spark, root, drift_threshold=0.0)
