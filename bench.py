@@ -668,6 +668,7 @@ BASELINE_SEC_R10B = {
     "simhash_hamming_eval": 0.91,
     "events_cusum_monitor": 0.53,
     "training_sequences": 1.05,
+    "tsv_quarantine_stats": 0.25,
 }
 BASELINE_CPU_R10B = {
     "padding_waste_by_shard": 1.51,
@@ -679,6 +680,7 @@ BASELINE_CPU_R10B = {
     "simhash_hamming_eval": 2.53,
     "events_cusum_monitor": 1.61,
     "training_sequences": 2.93,
+    "tsv_quarantine_stats": 0.78,
 }
 BASELINE_SEC.update(BASELINE_SEC_R10B)
 
