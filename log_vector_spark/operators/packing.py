@@ -108,3 +108,111 @@ def pack_next_fit(
         f"{group_col} string, {order_col} bigint, toks bigint, bin_id int, bin_fill bigint"
     )
     return toks_df.groupBy(group_col).applyInPandas(assign, out_schema)
+
+
+def export_packed_shards(
+    docs: DataFrame,
+    out_path: str,
+    budget: int = 256,
+    vocab: int = 50257,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """The ACTION twin of the `training_sequences` view: materialize the
+    packed sequences as a parquet shard store plus an integrity manifest —
+    the terminal WRITE of the pipeline (what a trainer's dataloader mounts).
+
+    Layout: one directory partition per group (`source=` — the shard key;
+    sequences within a shard are the contiguous bins of that group's
+    concatenated token stream), rows (bin, seq_len, tids array<bigint>,
+    seq_md5).  The per-sequence md5 rides WITH the data so a reader can
+    verify any shard without recomputing the corpus; the manifest pins the
+    whole export with one order-insensitive corpus checksum (md5 of the
+    sorted per-sequence hashes), n_sequences, n_tokens, and the packing
+    parameters — the contract a resumed or mirrored download checks.
+
+    Plan shape: identical to training_sequences (one doc-grain window +
+    one token explode + one (group, bin) hash agg) plus the partitioned
+    write; at 100 TB the write inherits the agg's (group, bin) clustering,
+    so shards land contiguous without an extra sort.
+    """
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from log_vector_spark.functions.text import tokens as _tokens
+
+    spark = docs.sparkSession
+    d = docs.select(
+        order_col, group_col, _tokens(F.col(text_col)).alias("words")
+    )
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    c = d.withColumn(
+        "doc_off",
+        F.sum(F.size("words")).over(w).cast("bigint") - F.size("words"),
+    )
+    tok = c.select(
+        group_col,
+        "doc_off",
+        F.posexplode("words").alias("i", "tok"),
+    ).select(
+        group_col,
+        (F.col("doc_off") + F.col("i")).alias("gpos"),
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % vocab
+        ).alias("tid"),
+    )
+    seq = (
+        tok.select(
+            group_col,
+            (F.col("gpos") / budget).cast("bigint").alias("bin"),
+            (F.col("gpos") % budget).cast("bigint").alias("off"),
+            "tid",
+        )
+        .groupBy(group_col, "bin")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("off", "tid"))),
+                lambda s: s["tid"],
+            ).alias("tids")
+        )
+        .select(
+            group_col,
+            "bin",
+            F.size("tids").cast("bigint").alias("seq_len"),
+            "tids",
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform(F.col("tids"), lambda t: t.cast("string"))
+                )
+            ).alias("seq_md5"),
+        )
+    )
+    data_dir = _os.path.join(out_path, "shards")
+    seq.write.mode("overwrite").partitionBy(group_col).parquet(data_dir)
+    # manifest from the WRITTEN store (what landed, not what was planned)
+    back = spark.read.parquet(data_dir)
+    agg = back.agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.sum("seq_len").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("seq_md5")))).alias(
+            "checksum"
+        ),
+    ).first()
+    manifest = {
+        "n_sequences": agg["n_sequences"],
+        "n_tokens": agg["n_tokens"],
+        "checksum": agg["checksum"],
+        "budget": budget,
+        "vocab": vocab,
+        "group_col": group_col,
+        "order_col": order_col,
+    }
+    tmp = _os.path.join(out_path, "_manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(manifest, fh)
+    _os.replace(tmp, _os.path.join(out_path, "_manifest.json"))
+    return manifest

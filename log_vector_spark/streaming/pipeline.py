@@ -1776,3 +1776,104 @@ def read_training_ingest(spark: SparkSession, out_path: str) -> dict:
             for r in stats_rows
         },
     }
+
+
+def run_stream_psi_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    max_files_per_trigger: int = 1,
+    glob: str = "*.parquet",
+) -> DataFrame:
+    """Per-micro-batch quality-distribution drift gate: the streaming form
+    of quality_psi_report, with the BASELINE frozen at the first non-empty
+    batch and persisted (the centroid-freeze pattern of
+    run_stream_training_ingest — a restarted driver monitors against the
+    same reference, not a moving one).
+
+    Each batch's rational quality scores land in the same 10 fixed bins as
+    the batch report; PSI vs the frozen baseline uses the same +0.5/+5
+    Laplace smoothing.  Both histograms are bounded 10-row relations, so
+    the PSI fold is driver arithmetic on collected counts — O(1) per batch
+    regardless of batch size; the only distributed work is the scan-stage
+    score + one 10-row hash agg.  Emits one (epoch, n_docs, psi) row per
+    non-empty batch (epoch-partitioned dynamic overwrite: replay-safe).
+
+    The ingest gate a pipeline puts IN FRONT of run_stream_training_ingest:
+    a batch whose PSI blows past ~0.25 is a distribution break (format
+    change, wrong dump, upstream filter outage) to quarantine, not ingest.
+    """
+    import json as _json
+    import math as _math
+    import os as _os
+
+    from log_vector_spark.operators import textops
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    base_path = _os.path.join(out_path, "baseline_hist.json")
+    psi_dir = _os.path.join(out_path, "psi")
+
+    def _hist(batch_df: DataFrame) -> dict[int, int]:
+        q = textops.text_quality(batch_df).filter(F.col("n_tokens") > 0)
+        rows = (
+            q.select(
+                F.least(F.floor(F.col("quality") * 10), F.lit(9))
+                .cast("int")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {r["bin"]: r["n"] for r in rows}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hist = _hist(batch_df)
+        if not hist:
+            return
+        if not _os.path.exists(base_path):
+            tmp = base_path + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump({str(b): n for b, n in hist.items()}, fh)
+            _os.replace(tmp, base_path)
+        with open(base_path) as fh:
+            base = {int(b): n for b, n in _json.load(fh).items()}
+        na, nb = sum(hist.values()), sum(base.values())
+        psi = 0.0
+        for b in range(10):
+            pa = (hist.get(b, 0) + 0.5) / (na + 5.0)
+            pe = (base.get(b, 0) + 0.5) / (nb + 5.0)
+            psi += (pa - pe) * _math.log(pa / pe)
+        row = spark.createDataFrame(
+            [(int(na), round(psi, 6), int(epoch_id))],
+            "n_docs long, psi double, epoch long",
+        )
+        (
+            row.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(psi_dir)
+        )
+
+    q = (
+        src.writeStream.option(
+            "checkpointLocation", _os.path.join(out_path, "_checkpoint")
+        )
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if "://" not in psi_dir and not _os.path.isdir(psi_dir):
+        return spark.createDataFrame([], "n_docs long, psi double, epoch long")
+    return spark.read.parquet(psi_dir).select("epoch", "n_docs", "psi")

@@ -83,3 +83,48 @@ def test_next_fit_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, pack_next_fit(docs, budget=BUDGET).collect()))
     b = sorted(map(tuple, pack_next_fit(docs.repartition(13), budget=BUDGET).collect()))
     assert a == b
+
+
+@pytest.mark.spark
+def test_export_packed_shards_matches_view_and_verifies(spark, tmp_path):
+    """The ACTION equals the VIEW: every written sequence's md5 matches
+    training_sequences' certified hash for the same (source, bin); the
+    manifest checksum re-derives from the store; token mass conserves."""
+    import json
+    import os
+
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    from log_vector_spark.operators.packing import export_packed_shards
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = str(tmp_path / "export")
+    manifest = export_packed_shards(docs, out)
+
+    view = {
+        (r["source"], r["bin"]): (r["seq_len"], r["seq_md5"])
+        for r in m.queries()["training_sequences"](spark, sf).collect()
+    }
+    store = spark.read.parquet(os.path.join(out, "shards"))
+    written = {
+        (r["source"], r["bin"]): (r["seq_len"], r["seq_md5"], r["tids"])
+        for r in store.collect()
+    }
+    assert set(view) == set(written)
+    for k, (n, h) in view.items():
+        wn, wh, tids = written[k]
+        assert (wn, wh) == (n, h)
+        assert len(tids) == n
+        assert all(0 <= t < manifest["vocab"] for t in tids)
+
+    # manifest integrity: totals + order-insensitive checksum re-derive
+    assert manifest["n_sequences"] == len(written)
+    assert manifest["n_tokens"] == sum(n for n, _, _ in written.values())
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        assert json.load(fh) == manifest
+    rederived = store.agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("seq_md5"))))
+    ).first()[0]
+    assert rederived == manifest["checksum"]
