@@ -115,3 +115,23 @@ def test_training_sequences_agree_with_pack_offsets(spark):
         assert len(rows) == max_bin[src] + 1
         assert all(n == 256 for _, n in rows[:-1])  # full sequences
         assert 1 <= rows[-1][1] <= 256  # the tail
+
+
+@pytest.mark.spark
+def test_training_sequences_invariant_to_partitioning(spark, tmp_path):
+    """Distributed-correctness pin: the certified sequence hashes must not
+    depend on physical partitioning — collect_list is order-unstable, and
+    only the explicit array_sort((off, tid)) makes the export
+    deterministic.  Same corpus written as 1 file and as 13 shuffled
+    files -> identical (source, bin, seq_md5) sets."""
+    import __spark_entry__ as m
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    one = str(tmp_path / "one")
+    many = str(tmp_path / "many")
+    docs.coalesce(1).write.parquet(one + "/documents.parquet")
+    docs.repartition(13).write.parquet(many + "/documents.parquet")
+    q = m.queries()["training_sequences"]
+    a = {(r["source"], r["bin"]): r["seq_md5"] for r in q(spark, one).collect()}
+    b = {(r["source"], r["bin"]): r["seq_md5"] for r in q(spark, many).collect()}
+    assert a == b and len(a) > 0
