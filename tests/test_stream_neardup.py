@@ -156,3 +156,46 @@ def test_prior_bands_scan_is_partition_pruned(spark, tmp_path):
     bloom = spark.read.parquet(os.path.join(out, "band_bloom_deltas"))
     per_epoch = bloom.groupBy("epoch").count().collect()
     assert per_epoch and all(r["count"] <= INGEST_BLOOM_BITS for r in per_epoch)
+
+
+@pytest.mark.spark
+def test_neardup_mid_stream_restart_is_exactly_once(spark, tmp_path):
+    """Phase 1 ingests slice 0 and stops; slices 1-2 land; a RESTART on
+    the same checkpoint resumes from committed offsets — epoch 0's bands
+    are untouched, nothing re-ingests, and the final survivor set equals
+    the uninterrupted run's."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from log_vector_spark.streaming.pipeline import run_stream_neardup_ingest
+
+    staging = str(tmp_path / "staging")
+    _stage(spark, staging, _docs_pdf(spark))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    _sh.copy2(os.path.join(staging, "slice0.parquet"), os.path.join(src, "slice0.parquet"))
+    out = str(tmp_path / "out")
+    run_stream_neardup_ingest(spark, src, out)
+    bands = spark.read.parquet(os.path.join(out, "bands"))
+    epoch0_bands = bands.filter(F.col("epoch") == 0).count()
+    assert epoch0_bands > 0
+
+    for i in (1, 2):
+        _sh.copy2(
+            os.path.join(staging, f"slice{i}.parquet"),
+            os.path.join(src, f"slice{i}.parquet"),
+        )
+    surv = run_stream_neardup_ingest(spark, src, out)
+    got = {r["doc_id"] for r in surv.collect()}
+
+    bands = spark.read.parquet(os.path.join(out, "bands"))
+    assert bands.filter(F.col("epoch") == 0).count() == epoch0_bands
+    assert {r["epoch"] for r in bands.select("epoch").distinct().collect()} == {0, 1, 2}
+    # every doc's buckets stored exactly once across the restart
+    per_doc_band = bands.groupBy("doc_id", "band").count()
+    assert per_doc_band.filter(F.col("count") > 1).count() == 0
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert got == _batch_survivors(spark, docs)
