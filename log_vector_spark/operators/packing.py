@@ -192,6 +192,29 @@ def export_packed_shards(
         )
     )
     data_dir = _os.path.join(out_path, "shards")
+    if seq.isEmpty():
+        # an all-empty partitioned write leaves a parquet dir with no
+        # schema to infer, so the manifest read-back would crash; a
+        # zero-count manifest (checksum = md5 of the empty string, the
+        # same concat_ws("") the populated path hashes) is the honest
+        # terminal state of an empty corpus (ADVICE r10)
+        import hashlib as _hashlib
+
+        manifest = {
+            "n_sequences": 0,
+            "n_tokens": 0,
+            "checksum": _hashlib.md5(b"").hexdigest(),
+            "budget": budget,
+            "vocab": vocab,
+            "group_col": group_col,
+            "order_col": order_col,
+        }
+        _os.makedirs(out_path, exist_ok=True)
+        tmp = _os.path.join(out_path, "_manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(manifest, fh)
+        _os.replace(tmp, _os.path.join(out_path, "_manifest.json"))
+        return manifest
     seq.write.mode("overwrite").partitionBy(group_col).parquet(data_dir)
     # manifest from the WRITTEN store (what landed, not what was planned)
     back = spark.read.parquet(data_dir)

@@ -1611,6 +1611,8 @@ def run_stream_neardup_ingest(
     """
     import os as _os
 
+    from pyspark.errors import AnalysisException
+
     from log_vector_spark.operators.dedup import _minhash_bands
 
     schema = "doc_id long, text string, lang string, source string, n_chars long"
@@ -1648,6 +1650,13 @@ def run_stream_neardup_ingest(
         # band generation feeds the store write, the bloom delta, AND two
         # joins below; the store overwrite would invalidate a lazy read
         bands_b = bands_b.localCheckpoint(eager=True)
+        # a non-empty batch whose docs ALL have < 3 tokens yields no bands:
+        # its epoch write must be skipped or bands/ + band_bloom_deltas/
+        # would hold only _SUCCESS and the next batch's read would fail
+        # schema inference (the precedent documented at the survivors gate
+        # of run_stream_training_ingest; ADVICE r10).  Survivors are still
+        # written below — shingle-less docs trivially survive.
+        has_bands = not bands_b.isEmpty()
 
         # ---- within-batch seniors (arrival order = doc_id inside a batch)
         a = bands_b.select("band", "band_key", F.col("doc_id").alias("id_a"))
@@ -1658,39 +1667,53 @@ def run_stream_neardup_ingest(
             .select(F.col("id_b").alias("doc_id"))
         )
 
-        # ---- prior-epoch probe: Bloom pre-filter, then pruned exact scan
+        # ---- prior-epoch probe: Bloom pre-filter, then pruned exact scan.
+        # For an object-store out_path the "://" test is always true, so —
+        # exactly like the exact-dedup precedent above — the first batch's
+        # probe of the not-yet-existing store must fall through to "no
+        # prior drops" on PATH_NOT_FOUND rather than crash (ADVICE r10).
         dropped_prior = None
-        if "://" in bands_dir or _os.path.isdir(bands_dir):
-            probable_b = bands_b
-            if "://" in bloom_dir or _os.path.isdir(bloom_dir):
-                bits = (
-                    spark.read.parquet(bloom_dir)
-                    .filter(F.col("epoch") < epoch_id)  # replay-proof
-                    .select("pos")
-                    .distinct()
-                )
-                probes = bands_b.select(
-                    "bk",
-                    F.posexplode(F.array(*_fp_bloom_positions("bk"))).alias(
-                        "salt", "pos"
-                    ),
-                ).distinct()
-                probable = (
-                    probes.join(F.broadcast(bits), "pos", "left_semi")
-                    .groupBy("bk")
-                    .agg(F.count_distinct("salt").alias("nhit"))
-                    .filter(F.col("nhit") == INGEST_BLOOM_K)
-                    .select("bk")
-                )
-                probable_b = bands_b.join(probable, "bk", "left_semi")
-            pfx = [
-                r[0] for r in probable_b.select(BAND_PFX_COL).distinct().collect()
-            ]
-            if pfx:
-                prior = prior_bands_pruned(spark, bands_dir, pfx, epoch_id)
-                dropped_prior = probable_b.join(
-                    prior, ["band", "band_key"], "left_semi"
-                ).select("doc_id")
+        if has_bands and ("://" in bands_dir or _os.path.isdir(bands_dir)):
+            try:
+                probable_b = bands_b
+                if "://" in bloom_dir or _os.path.isdir(bloom_dir):
+                    bits = (
+                        spark.read.parquet(bloom_dir)
+                        .filter(F.col("epoch") < epoch_id)  # replay-proof
+                        .select("pos")
+                        .distinct()
+                    )
+                    probes = bands_b.select(
+                        "bk",
+                        F.posexplode(F.array(*_fp_bloom_positions("bk"))).alias(
+                            "salt", "pos"
+                        ),
+                    ).distinct()
+                    probable = (
+                        probes.join(F.broadcast(bits), "pos", "left_semi")
+                        .groupBy("bk")
+                        .agg(F.count_distinct("salt").alias("nhit"))
+                        .filter(F.col("nhit") == INGEST_BLOOM_K)
+                        .select("bk")
+                    )
+                    probable_b = bands_b.join(probable, "bk", "left_semi")
+                pfx = [
+                    r[0] for r in probable_b.select(BAND_PFX_COL).distinct().collect()
+                ]
+                if pfx:
+                    prior = prior_bands_pruned(spark, bands_dir, pfx, epoch_id)
+                    dropped_prior = probable_b.join(
+                        prior, ["band", "band_key"], "left_semi"
+                    ).select("doc_id")
+            except AnalysisException as e:
+                if (
+                    "PATH_NOT_FOUND" not in str(e)
+                    and "Path does not exist" not in str(e)
+                    and "UNABLE_TO_INFER_SCHEMA" not in str(e)
+                    and "Unable to infer schema" not in str(e)
+                ):
+                    raise
+                dropped_prior = None
         dropped = (
             dropped_batch
             if dropped_prior is None
@@ -1700,15 +1723,16 @@ def run_stream_neardup_ingest(
         survivors = batch_df.select("doc_id", "source").join(
             dropped, "doc_id", "left_anti"
         )
-        _epoch_write(
-            bands_b.withColumn("epoch", F.lit(epoch_id)),
-            bands_dir,
-            extra_parts=(BAND_PFX_COL,),
-        )
-        delta_bits = bands_b.select(
-            F.explode(F.array(*_fp_bloom_positions("bk"))).alias("pos")
-        ).distinct()
-        _epoch_write(delta_bits.withColumn("epoch", F.lit(epoch_id)), bloom_dir)
+        if has_bands:  # see the empty-bands guard above
+            _epoch_write(
+                bands_b.withColumn("epoch", F.lit(epoch_id)),
+                bands_dir,
+                extra_parts=(BAND_PFX_COL,),
+            )
+            delta_bits = bands_b.select(
+                F.explode(F.array(*_fp_bloom_positions("bk"))).alias("pos")
+            ).distinct()
+            _epoch_write(delta_bits.withColumn("epoch", F.lit(epoch_id)), bloom_dir)
         _epoch_write(survivors.withColumn("epoch", F.lit(epoch_id)), surv_dir)
 
     q = (

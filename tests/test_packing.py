@@ -128,3 +128,27 @@ def test_export_packed_shards_matches_view_and_verifies(spark, tmp_path):
         F.md5(F.concat_ws(",", F.sort_array(F.collect_list("seq_md5"))))
     ).first()[0]
     assert rederived == manifest["checksum"]
+
+
+@pytest.mark.spark
+def test_export_packed_shards_empty_corpus_writes_zero_manifest(spark, tmp_path):
+    """ADVICE r10: an empty input used to write an all-empty partitioned
+    store and then die reading it back for the manifest.  The empty corpus
+    short-circuits to a zero-count manifest whose checksum is md5("") —
+    the same concat_ws the populated path hashes over zero rows."""
+    import hashlib
+    import json
+    import os
+
+    from log_vector_spark.operators.packing import export_packed_shards
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "export")
+    manifest = export_packed_shards(docs, out)
+    assert manifest["n_sequences"] == 0
+    assert manifest["n_tokens"] == 0
+    assert manifest["checksum"] == hashlib.md5(b"").hexdigest()
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        assert json.load(fh) == manifest

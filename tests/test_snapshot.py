@@ -178,26 +178,39 @@ def test_two_simultaneous_acquirers_exactly_one_wins(tmp_path):
     # leftover file from a dead maintainer: the racy-steal setup
     with open(os.path.join(root, "_maintainer.lock"), "w") as fh:
         fh.write(str(2**22 + 1))
+    # the winner holds the flock until the parent closes its stdin — i.e.
+    # until EVERY child has reported — so the race window provably overlaps
+    # regardless of host load (a fixed-sleep hold was timing-flaky: a loser
+    # starting > hold-time after the winner would also acquire; ADVICE r10)
     prog = textwrap.dedent(
         """
-        import sys, time
+        import sys
         sys.path.insert(0, %r)
         from log_vector_spark.sources.snapshot import _maintainer_lock
         try:
             with _maintainer_lock(%r):
                 print("ACQUIRED", flush=True)
-                time.sleep(1.0)  # hold so the race window overlaps
+                sys.stdin.read()  # hold until the parent closes stdin
         except RuntimeError:
             print("REFUSED", flush=True)
+            sys.stdin.read()
         """
         % (os.getcwd(), root)
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", prog], stdout=subprocess.PIPE, text=True
+            [sys.executable, "-c", prog],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
         )
         for _ in range(4)
     ]
-    outs = [p.communicate()[0].strip() for p in procs]
+    # one verdict line per child, read while ALL four are still alive and
+    # the winner still holds the lock
+    outs = [p.stdout.readline().strip() for p in procs]
+    for p in procs:
+        p.stdin.close()
+        p.wait()
     assert sorted(outs).count("ACQUIRED") == 1, outs
     assert outs.count("REFUSED") == 3, outs

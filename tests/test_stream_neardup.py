@@ -199,3 +199,66 @@ def test_neardup_mid_stream_restart_is_exactly_once(spark, tmp_path):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert got == _batch_survivors(spark, docs)
+
+
+@pytest.mark.spark
+def test_first_epoch_all_shingleless_does_not_poison_the_store(spark, tmp_path):
+    """ADVICE r10: a non-empty first batch whose docs all have < 3 tokens
+    yields no bands; before the guard, its unconditional epoch writes left
+    bands/ and band_bloom_deltas/ holding only _SUCCESS, and the NEXT
+    batch's bloom read died on schema inference.  Now the empty epoch
+    skips the bands/bloom writes entirely (survivors still land), and the
+    stream folds on: shingle-less docs trivially survive, and the later
+    epochs' dup gate still works."""
+    import pandas as pd
+
+    from log_vector_spark.streaming.pipeline import run_stream_neardup_ingest
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            # n_slices=2 cuts {0,1} | {2,3}: epoch 0 is entirely < 3
+            # tokens (no shingles), epoch 1 holds an exact-dup pair
+            "text": ["hi there", "ok", long_a, long_a],
+            "lang": ["en"] * 4,
+            "source": ["s0"] * 4,
+            "n_chars": [8, 2, len(long_a), len(long_a)],
+        }
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    _stage(spark, src, pdf, n_slices=2)  # epoch0={0,1} shingle-less, epoch1={2,3}
+    surv = run_stream_neardup_ingest(spark, src, out)
+    got = {r["doc_id"] for r in surv.collect()}
+    # shingle-less docs survive; doc 3 (exact copy of 2, same epoch) drops
+    assert got == {0, 1, 2}
+    # the skipped epoch left no schema-less band artifacts behind
+    bands = spark.read.parquet(os.path.join(out, "bands"))
+    assert {r["epoch"] for r in bands.select("epoch").distinct().collect()} == {1}
+
+
+@pytest.mark.spark
+def test_every_epoch_shingleless_never_creates_band_dirs(spark, tmp_path):
+    """Degenerate corpus: NO doc ever has >= 3 tokens.  The bands/bloom
+    dirs must simply never exist, and every doc survives."""
+    import pandas as pd
+
+    from log_vector_spark.streaming.pipeline import run_stream_neardup_ingest
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["hi", "yo ho", "x"],
+            "lang": ["en"] * 3,
+            "source": ["s0"] * 3,
+            "n_chars": [2, 5, 1],
+        }
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    _stage(spark, src, pdf, n_slices=3)
+    surv = run_stream_neardup_ingest(spark, src, out)
+    assert {r["doc_id"] for r in surv.collect()} == {0, 1, 2}
+    assert not os.path.isdir(os.path.join(out, "bands"))
+    assert not os.path.isdir(os.path.join(out, "band_bloom_deltas"))
