@@ -495,3 +495,48 @@ def test_cms_probe_joins_broadcast_sketch(spark):
     df = m.queries()["events_cms_heavy_hitters"](spark, SF)
     assert has_broadcast_join(df)
     assert has_take_ordered(df)
+
+
+def test_no_unreviewed_collect_sites_in_engine_source():
+    """VERDICT r10 item 2's grep pin (alongside the cartesian invariant):
+    every `.collect()` in the engine package must be on this reviewed
+    allowlist of BOUNDED sites — distinct low-cardinality partition keys,
+    1-row aggregates, manifest reads, per-shard manifests.  A new collect
+    of a corpus-scaled relation (the removed stream_neardup wrapper shape:
+    survivors -> driver -> createDataFrame) fails here until it is either
+    re-planned or reviewed in as bounded."""
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "log_vector_spark")
+    allowed = {
+        # (file, stripped source line) — each reviewed as bounded
+        ("streaming/pipeline.py", "touched = [r.list_id for r in assigned.select(\"list_id\").distinct().collect()]"),
+        ("streaming/pipeline.py", ".collect()[0]"),
+        ("streaming/pipeline.py", "r[0] for r in probable_b.select(FP_PFX_COL).distinct().collect()"),
+        ("streaming/pipeline.py", "r[0] for r in probable_b.select(BAND_PFX_COL).distinct().collect()"),
+        ("streaming/pipeline.py", ".collect()"),  # read_training_ingest / psi fold: per-source rows
+        ("operators/maintenance.py", "epochs = sorted(r[0] for r in live.select(epoch_col).distinct().collect())"),
+        ("sources/export.py", "rows = src.mapInPandas(pack, _SHARD_SCHEMA).collect()  # bounded: 1/shard"),
+        ("sources/index_store.py", ".collect()"),
+        ("sources/index_store.py", "for r in scored.groupBy(\"cohort\").agg(F.avg(\"qerr\").alias(\"m\")).collect()"),
+        ("sources/store.py", "rows = spark.read.json(os.path.join(path, \"manifest\")).collect()"),
+        ("sources/store.py", "touched = [r[0] for r in docs.select(source_col).distinct().collect()]"),
+        ("sources/store.py", "touched = [r[0] for r in touched_df.collect()]"),
+        ("sources/store.py", "r[0] for r in out.select(source_col).distinct().collect()"),
+    }
+    found = set()
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(root, fn)
+            rel = os.path.relpath(p, pkg).replace(os.sep, "/")
+            with open(p) as fh:
+                for line in fh:
+                    if ".collect()" in line:
+                        found.add((rel, line.strip()))
+    extra = found - allowed
+    assert not extra, (
+        "unreviewed .collect() site(s) in engine source — re-plan them "
+        f"distributed or review them into the allowlist: {sorted(extra)}"
+    )
