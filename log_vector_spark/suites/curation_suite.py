@@ -1455,6 +1455,7 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "padding_waste_report",
+    audit=True,
     oracle=f"""
     WITH t AS (
       SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens FROM documents
@@ -1490,10 +1491,12 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token mass, waste share per scheme, and the savings share sorted "
     "batching buys.  Exact integer window math (two rank windows + two "
     "per-batch aggs + one 1-row join of bounded sides) — no sampling, no "
-    "floats until the final shares.  The arrival-order window is a "
-    "global rank: at 100 TB you compute it per shard (the "
-    "corpus_shuffle_shards partitioning) — shares are shard-decomposable "
-    "since batches never span shards.",
+    "floats until the final shares.  AUDIT, not registered (the "
+    "knn_ivf_inline precedent, VERDICT r10 item 3): both rank windows "
+    "are GLOBAL Window.orderBy — single-task at 100 TB.  The registered "
+    "form is padding_waste_by_shard, which computes the identical math "
+    "per corpus_shuffle_shards shard (every window partitioned; shares "
+    "compose because batches never span shards).",
 )
 def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -540,3 +540,48 @@ def test_no_unreviewed_collect_sites_in_engine_source():
         "unreviewed .collect() site(s) in engine source — re-plan them "
         f"distributed or review them into the allowlist: {sorted(extra)}"
     )
+
+
+def test_no_unreviewed_global_windows_in_engine_source():
+    """VERDICT r10 item 3's plan-pin extension: `Window.orderBy(...)`
+    without a partitionBy is a single-task global sort at scale, so every
+    such site must be on this reviewed allowlist — each is over a BOUNDED
+    relation (top-k shortlists, k seeds, hourly rollups, cumulative share
+    over a bounded group) or lives in an explicit audit (the demoted
+    padding_waste_report, whose registered twin padding_waste_by_shard
+    partitions every window by shard)."""
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "log_vector_spark")
+    allowed = {
+        # (file, line stripped) — each reviewed: bounded input or audit-only
+        ("suites/events_suite.py", 'w = Window.orderBy("hour").rowsBetween(-6, -1)'),  # <= |hours| rollup rows
+        ("suites/curation_suite.py", "w = Window.orderBy(*order_cols)"),  # AUDIT: padding_waste_report (demoted)
+        ("suites/pipeline_suite.py", '"rank", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("vec_id")))'),  # k-row shortlist
+        ("suites/pipeline_suite.py", 'Window.orderBy(F.desc("overlap"), F.desc("score"), F.asc("vec_id"))'),  # rerank candidates (bounded)
+        ("suites/relational_suite.py", 'w_cum = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween('),  # abc cumulative over parts agg
+        ("suites/retrieval_suite.py", '"vec_id", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("vec_id"))).cast("int").alias("vec_rank")'),  # k-row shortlist
+        ("suites/retrieval_suite.py", '"rank", F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("id"))).cast("int")'),  # fused k-row shortlist
+        ("operators/cluster.py", "seed_w = Window.orderBy(id_col)  # k rows only — single-partition window is fine"),
+        ("operators/cluster.py", "seed_w = Window.orderBy(id_col)"),  # k seed rows
+        ("operators/pq.py", 'F.row_number().over(Window.orderBy(F.asc(vec_id))).cast("int").alias("code_id"),'),  # k centroid rows
+        ("operators/rerank.py", 'w = Window.orderBy(F.desc("score"), F.asc("doc_id"))'),  # candidate shortlist
+        ("operators/multimodal.py", "w = Window.orderBy(F.col(\"score\"), F.col(id_col))"),  # filtered caption-gate shortlist
+        ("sources/index_store.py", 'w = Window.orderBy(F.desc("score"), F.asc("doc_id"))'),  # probe-pruned shortlist
+    }
+    found = set()
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(root, fn)
+            rel = os.path.relpath(p, pkg).replace(os.sep, "/")
+            with open(p) as fh:
+                for line in fh:
+                    if "Window.orderBy(" in line and not line.strip().startswith(("#", '"', "'")):
+                        found.add((rel, line.strip()))
+    extra = found - allowed
+    assert not extra, (
+        "unreviewed global Window.orderBy site(s) — partition the window "
+        f"or review it in as bounded: {sorted(extra)}"
+    )

@@ -83,9 +83,10 @@ def test_corpus_shuffle_is_deterministic_and_covers(spark):
 def test_padding_waste_sorted_never_worse(spark):
     """Length-sorted batching can never pad MORE than arrival order, and
     both pad at least the true token mass."""
-    import __spark_entry__ as m
+    from log_vector_spark import registry
 
-    r = m.queries()["padding_waste_report"](spark, SF).collect()[0]
+    # audit since r11 (global-window form; registered twin is by-shard)
+    r = registry.audits()["padding_waste_report"](spark, SF).collect()[0]
     assert r["sorted_padded"] <= r["arrival_padded"]
     assert r["arrival_padded"] >= r["total_tokens"]
     assert r["sorted_padded"] >= r["total_tokens"]
@@ -157,8 +158,10 @@ def test_padding_by_shard_composes_to_the_global_report(spark):
     shard's padded mass bounds its token mass."""
     import __spark_entry__ as m
 
+    from log_vector_spark import registry
+
     per = m.queries()["padding_waste_by_shard"](spark, SF).collect()
-    glob = m.queries()["padding_waste_report"](spark, SF).collect()[0]
+    glob = registry.audits()["padding_waste_report"](spark, SF).collect()[0]
     assert sum(r["n_docs"] for r in per) == glob["n_docs"]
     assert sum(r["total_tokens"] for r in per) == glob["total_tokens"]
     for r in per:
