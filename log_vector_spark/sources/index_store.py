@@ -34,6 +34,7 @@ inline forms and share their oracles.
 
 from __future__ import annotations
 
+import decimal as _decimal
 import os
 import tempfile
 from collections.abc import Sequence
@@ -894,8 +895,14 @@ def maintain_ivf(
     and retrain_ivf_store's fields when a retrain ran}.  Idempotent per
     tick: two consecutive calls with no new data retrain at most once
     (the refreshed quantizer reads ~1.0 drift).
+
+    Arithmetic is the ivf_drift_report contract exactly — qerr = 1 −
+    round(cosine, 6), decimal(18,6)-summed cohort means rounded to 6dp,
+    drift = the rounded ratio of the rounded means — so the tick is
+    deterministic across partitionings and SQL-replayable (the registered
+    maintain_ivf_tick query's oracle replays it closed-form).
     """
-    from log_vector_spark.functions.vector import dot_product, l2_norm
+    from log_vector_spark.functions.vector import cosine_similarity
 
     snap = resolve_ivf_snapshot(store_root)
     vecs = spark.read.schema(_VECTORS_SCHEMA).parquet(snap["vectors"])
@@ -903,32 +910,44 @@ def maintain_ivf(
     half = vecs.groupBy().agg(
         F.floor(F.count(F.lit(1)) / 2).alias("h")
     ).first()["h"]
+    qerr = F.round(
+        1 - F.round(cosine_similarity(F.col("embedding"), F.col("centroid")), 6), 6
+    )
     scored = vecs.join(F.broadcast(cents), "list_id").select(
         F.when(F.col("vec_id") < half, F.lit("train"))
         .otherwise(F.lit("arrivals"))
         .alias("cohort"),
-        (
-            1
-            - F.coalesce(
-                F.try_divide(
-                    dot_product(F.col("embedding"), F.col("centroid")),
-                    l2_norm(F.col("embedding")) * l2_norm(F.col("centroid")),
-                ),
-                F.lit(0.0),
-            )
-        ).alias("qerr"),
+        qerr.alias("qerr"),
     )
     means = {
         r["cohort"]: r["m"]
-        for r in scored.groupBy("cohort").agg(F.avg("qerr").alias("m")).collect()
+        for r in scored.groupBy("cohort")
+        .agg(
+            F.round(
+                F.sum(F.col("qerr").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+        .collect()
     }
     train = means.get("train") or 0.0
     arrivals = means.get("arrivals") or 0.0
-    drift = (arrivals / train) if train > 0 else 1.0
+    # HALF_UP, not Python's banker's rounding: SQL ROUND (the oracle's and
+    # F.round's mode) rounds halves away from zero
+    drift = (
+        float(
+            _decimal.Decimal(repr(arrivals / train)).quantize(
+                _decimal.Decimal("1e-6"), rounding=_decimal.ROUND_HALF_UP
+            )
+        )
+        if train > 0
+        else 1.0
+    )
     out = {
-        "drift": round(drift, 6),
-        "mean_qerr_train": round(train, 6),
-        "mean_qerr_arrivals": round(arrivals, 6),
+        "drift": drift,
+        "mean_qerr_train": train,
+        "mean_qerr_arrivals": arrivals,
         "retrained": False,
     }
     if drift > drift_threshold:

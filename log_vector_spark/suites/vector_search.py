@@ -2275,6 +2275,83 @@ def ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "maintain_ivf_tick",
+    # The lifecycle CLOSER under the gate (VERDICT r10 item 4): the
+    # maintenance tick's drift statistic is deterministic arithmetic on
+    # the stored assignment — the same cohort means as ivf_drift_report,
+    # then drift = round(arrivals / train, 6).  The threshold here is
+    # never-firing (pure read-side), so the shared drift store is never
+    # mutated; the FIRING path (retrain under the maintainer lock) stays
+    # pinned in tests/test_ivf_retrain.py.
+    oracle=f"""
+    WITH c AS (SELECT CAST(floor(count(*) / 2.0) AS BIGINT) AS half FROM embeddings),
+    a AS (SELECT vec_id, embedding FROM embeddings, c WHERE vec_id < c.half),
+    st AS (SELECT greatest(16, CAST(floor(sqrt(count(*)) / 4 + 0.5) AS BIGINT)) AS s
+           FROM a),
+    cents AS (
+      SELECT vec_id AS list_id, embedding AS centroid FROM a, st
+      WHERE vec_id % st.s = 0
+    ),
+    asn AS (
+      SELECT vec_id, cscore FROM (
+        SELECT e.vec_id, ct.list_id,
+               round({_cos('e.embedding', 'ct.centroid')}, 6) AS cscore,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round({_cos('e.embedding', 'ct.centroid')}, 6) DESC,
+                          ct.list_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT CASE WHEN asn.vec_id < c.half THEN 'train' ELSE 'arrivals' END AS cohort,
+             round(1 - asn.cscore, 6) AS qerr
+      FROM asn, c
+    ),
+    m AS (
+      SELECT cohort,
+             round(CAST(sum(CAST(qerr AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+               AS mq
+      FROM q GROUP BY cohort
+    )
+    SELECT round(ar.mq / tr.mq, 6) AS drift,
+           FALSE AS retrained,
+           tr.mq AS mean_qerr_train,
+           ar.mq AS mean_qerr_arrivals
+    FROM (SELECT mq FROM m WHERE cohort = 'train') tr,
+         (SELECT mq FROM m WHERE cohort = 'arrivals') ar
+    """,
+    doc="IVF maintenance tick under the correctness gate: "
+    "sources/index_store.maintain_ivf on the committed frozen-quantizer "
+    "drift store with a never-firing threshold — measures quantizer "
+    "drift (arrival-cohort mean qerr over train-cohort mean qerr, the "
+    "ivf_drift_report arithmetic on the STORED assignment: one linear "
+    "scan + broadcast centroid join per tick, never an N·k "
+    "re-quantization) and reports whether a retrain would have run.  "
+    "The firing path — retrain_ivf_store under the flock maintainer "
+    "lock, idempotence across consecutive ticks, held-lock refusal — is "
+    "pinned in tests/test_ivf_retrain.py; the retrain itself is the "
+    "oracle-paired retrain_ivf_store query.",
+)
+def maintain_ivf_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_vector_spark.sources import index_store as istore
+
+    root = istore.ensure_ivf_drift_store(spark, sf_dir)
+    out = istore.maintain_ivf(spark, root, drift_threshold=float("inf"))
+    return spark.createDataFrame(
+        [
+            (
+                out["drift"],
+                out["retrained"],
+                out["mean_qerr_train"],
+                out["mean_qerr_arrivals"],
+            )
+        ],
+        "drift double, retrained boolean, "
+        "mean_qerr_train double, mean_qerr_arrivals double",
+    )
+
+
 # -- k-means-refined PQ codebook (VERDICT r4 item 4, second half) ----------
 
 _PQK_ASSIGN = (

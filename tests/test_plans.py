@@ -517,8 +517,7 @@ def test_no_unreviewed_collect_sites_in_engine_source():
         ("streaming/pipeline.py", ".collect()"),  # read_training_ingest / psi fold: per-source rows
         ("operators/maintenance.py", "epochs = sorted(r[0] for r in live.select(epoch_col).distinct().collect())"),
         ("sources/export.py", "rows = src.mapInPandas(pack, _SHARD_SCHEMA).collect()  # bounded: 1/shard"),
-        ("sources/index_store.py", ".collect()"),
-        ("sources/index_store.py", "for r in scored.groupBy(\"cohort\").agg(F.avg(\"qerr\").alias(\"m\")).collect()"),
+        ("sources/index_store.py", ".collect()"),  # 1-row/cohort agg folds
         ("sources/store.py", "rows = spark.read.json(os.path.join(path, \"manifest\")).collect()"),
         ("sources/store.py", "touched = [r[0] for r in docs.select(source_col).distinct().collect()]"),
         ("sources/store.py", "touched = [r[0] for r in touched_df.collect()]"),
