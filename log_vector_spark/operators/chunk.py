@@ -50,13 +50,23 @@ def chunk_greedy_lines(text: str, chunk_size: int) -> list[str]:
 
 
 def make_chunk_udf(chunk_size: int = 2000):
-    """Arrow-batched pandas_udf: text -> array<string> of greedy chunks."""
+    """Arrow-batched pandas_udf: text -> array<string> of greedy chunks.
+
+    Marked nondeterministic ON PURPOSE (the function itself is pure):
+    downstream posexplode makes Catalyst infer a `size(chunks) > 0`
+    filter (InferFiltersFromGenerate) and CollapseProject then inlines
+    the UDF expression into that pushed filter — evaluating the chunker
+    over the whole corpus TWICE (two ArrowEvalPython nodes, measured
+    ~1.4x wall on index_pipeline).  The nondeterministic mark forbids
+    the duplication; Generate itself already emits nothing for empty or
+    null arrays, so dropping the inferred pre-filter changes no rows.
+    """
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def chunk_udf(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: chunk_greedy_lines(t, chunk_size) if t is not None else None)
 
-    return chunk_udf
+    return chunk_udf.asNondeterministic()
 
 
 def chunk_documents(
