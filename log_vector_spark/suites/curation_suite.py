@@ -1663,6 +1663,89 @@ def padding_waste_by_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "padding_waste_total",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5('shuffle42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS skey
+      FROM documents
+    ),
+    k AS (SELECT doc_id, n_tokens, skey, CAST(skey % 8 AS BIGINT) AS shard FROM t),
+    arr AS (
+      SELECT shard, n_tokens,
+             CAST((row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1) // 16 AS BIGINT) AS batch
+      FROM k
+    ),
+    srt AS (
+      SELECT shard, n_tokens,
+             CAST((row_number() OVER (PARTITION BY shard ORDER BY n_tokens, doc_id) - 1) // 16 AS BIGINT) AS batch
+      FROM k
+    ),
+    a AS (SELECT shard, sum(mx * n) AS padded FROM (
+            SELECT shard, batch, max(n_tokens) AS mx, count(*) AS n
+            FROM arr GROUP BY shard, batch) GROUP BY shard),
+    s AS (SELECT shard, sum(mx * n) AS padded FROM (
+            SELECT shard, batch, max(n_tokens) AS mx, count(*) AS n
+            FROM srt GROUP BY shard, batch) GROUP BY shard),
+    tot AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM k GROUP BY shard)
+    SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(total_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(a.padded) AS BIGINT) AS shuffled_padded,
+           CASE WHEN sum(a.padded) > 0 THEN
+             round((sum(a.padded) - sum(total_tokens)) * 1.0 / sum(a.padded), 6) END AS shuffled_waste_share,
+           CAST(sum(s.padded) AS BIGINT) AS sorted_padded,
+           CASE WHEN sum(s.padded) > 0 THEN
+             round((sum(s.padded) - sum(total_tokens)) * 1.0 / sum(s.padded), 6) END AS sorted_waste_share,
+           CASE WHEN sum(a.padded) > 0 THEN
+             round((sum(a.padded) - sum(s.padded)) * 1.0 / sum(a.padded), 6) END AS savings_share
+    FROM tot JOIN a ON tot.shard = a.shard JOIN s ON tot.shard = s.shard
+    """,
+    doc="Global padding-waste headline derived FROM the shard "
+    "decomposition (VERDICT r10 item 3's re-plan option, registered "
+    "alongside the audit demotion): the per-shard padded token masses of "
+    "padding_waste_by_shard sum to the corpus totals exactly — batches "
+    "never span shards — so the global shuffled/sorted waste shares and "
+    "the sorted-batching savings share come from one bounded 8-row "
+    "aggregate over the by-shard frame.  Every window in the lineage is "
+    "Window.partitionBy(shard); no global sort anywhere, unlike the "
+    "demoted padding_waste_report audit whose global-ordered batches "
+    "need a single-task rank.  This is the number the sharded export "
+    "actually realizes: waste under the trainer's real per-shard batch "
+    "formation, not under a fictitious global order.",
+)
+def padding_waste_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = padding_waste_by_shard(spark, sf_dir)
+    agg = per.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("shuffled_padded").cast("bigint").alias("a_padded"),
+        F.sum("sorted_padded").cast("bigint").alias("s_padded"),
+    )
+    nz_a = F.col("a_padded") > 0
+    nz_s = F.col("s_padded") > 0
+    return agg.select(
+        "n_docs",
+        "total_tokens",
+        F.col("a_padded").alias("shuffled_padded"),
+        F.when(
+            nz_a,
+            F.round((F.col("a_padded") - F.col("total_tokens")) / F.col("a_padded"), 6),
+        ).alias("shuffled_waste_share"),
+        F.col("s_padded").alias("sorted_padded"),
+        F.when(
+            nz_s,
+            F.round((F.col("s_padded") - F.col("total_tokens")) / F.col("s_padded"), 6),
+        ).alias("sorted_waste_share"),
+        F.when(
+            nz_a,
+            F.round((F.col("a_padded") - F.col("s_padded")) / F.col("a_padded"), 6),
+        ).alias("savings_share"),
+    )
+
+
+@register(
     "quality_psi_report",
     oracle=f"""
     WITH q AS (

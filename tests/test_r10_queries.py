@@ -167,3 +167,35 @@ def test_padding_by_shard_composes_to_the_global_report(spark):
     for r in per:
         assert r["shuffled_padded"] >= r["total_tokens"]
         assert r["sorted_padded"] <= r["shuffled_padded"]
+
+
+@pytest.mark.spark
+def test_padding_waste_total_matches_by_shard_sums(spark):
+    """padding_waste_total (VERDICT r10 item 3's re-plan option) must be
+    the exact bounded aggregate of the by-shard frame: summed masses and
+    shares recomputed from those sums, and no global window in its plan
+    (it inherits only the partitioned by-shard windows)."""
+    import __spark_entry__ as m
+
+    from log_vector_spark.plans.explain import plan_string
+
+    qs = m.queries()
+    per = qs["padding_waste_by_shard"](spark, SF).collect()
+    tot = qs["padding_waste_total"](spark, SF).collect()
+    assert len(tot) == 1
+    t = tot[0]
+    a = sum(r["shuffled_padded"] for r in per)
+    s = sum(r["sorted_padded"] for r in per)
+    tok = sum(r["total_tokens"] for r in per)
+    assert t["n_docs"] == sum(r["n_docs"] for r in per)
+    assert t["total_tokens"] == tok
+    assert t["shuffled_padded"] == a
+    assert t["sorted_padded"] == s
+    assert t["shuffled_waste_share"] == round((a - tok) / a, 6)
+    assert t["sorted_waste_share"] == round((s - tok) / s, 6)
+    assert t["savings_share"] == round((a - s) / a, 6)
+
+    plan = plan_string(qs["padding_waste_total"](spark, SF), "simple")
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "windowspecdefinition(shard" in ln, ln
