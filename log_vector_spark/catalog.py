@@ -127,6 +127,41 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
 # every later plan reuses it, so repeated index builds over the same input
 # stop paying an extra scan per query.
 
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Scale-adaptive derivation parallelism (optimization guide §2.5/§6).
+
+    Heavy per-row kernels (HOF chains, hash/winnow derivations, Arrow/pandas
+    stages, banded levenshtein under a broadcast join) execute in the stage
+    of the upstream SCAN, so their parallelism is the scan's SPLIT count —
+    and a single small parquet file (this testdata: one file, one row group
+    per table) yields exactly ONE task no matter how many cores the session
+    has.  `spark.sql.files.minPartitionNum` cannot help: splits cannot cross
+    a row-group boundary, so an unsplittable file pins the whole kernel to
+    one core.
+
+    This helper inserts ONE deterministic hash repartition (tiny: the rows
+    repartitioned are base rows, not derived/exploded ones) in front of such
+    a kernel — but only when the plan's input-file count is below the
+    session's core count.  At 100 TB every table arrives in thousands of
+    splits, the guard is false, and no exchange is ever added — the cluster
+    plan is unchanged.  Results are partition-invariant by the engine's own
+    certified-hash contract, so this never changes what a query computes.
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if cores <= 1:
+        return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 - e.g. non-file-backed frames
+        return df
+    if n_files == 0 or n_files >= cores:
+        return df
+    if key_cols:
+        return df.repartition(cores, *[F.col(c) for c in key_cols])
+    return df.repartition(cores)
+
+
 _COUNT_CACHE: dict[tuple, int] = {}
 
 

@@ -970,7 +970,15 @@ def edit_distance_pairs(
         F.floor(F.col(length_col) / length_bucket).cast("int").alias("lb"),
         F.length(text_col).alias("ln"),
     )
-    a, b = d.alias("a"), d.alias("b")
+    from log_vector_spark.catalog import spread
+
+    # The block join broadcasts the (tiny) right side, so the banded DP
+    # kernel executes in the LEFT side's scan stage — one task on a
+    # single-file input (measured 9.0 s serial exec at sf0.1, cpu/wall
+    # ~1.0 on 32 cores).  Spreading the left side by id parallelizes the
+    # kernel across every core; at scale the guard makes it a no-op
+    # (guide §2.5: compute-heavy, byte-light skew AQE cannot split).
+    a, b = spread(d, "id").alias("a"), d.alias("b")
     return (
         a.join(
             b,
@@ -1023,7 +1031,14 @@ def edit_distance_pairs_banded(
     density, and every stage is an equi-join or aggregate.  Verification is
     the threshold-banded JVM levenshtein, O(d*len) per pair.
     """
-    w = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    from log_vector_spark.catalog import spread
+
+    # shingle derivation (tokens -> md5 grams -> explode) is scan-stage
+    # work: spread it over the cores when the scan is single-split
+    # (no-op at scale — see catalog.spread)
+    w = spread(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id"
+    )
     # words materialized as a real column BEFORE shingling: an expression
     # argument re-evaluates inside the transform lambda per gram — the
     # quadratic re-split of BASELINE.md round-1 lesson 2 (measured here:
