@@ -1110,16 +1110,38 @@ def lsh_band_bits(n: int) -> int:
 def hyperplane_signature(vec_col, n_planes: int):
     """48-bit (max) random-hyperplane signature as ONE bigint column: bit i
     = sign(dot(vec, plane_i)), planes = the deterministic fixed_query_vector
-    family (seeds 100+i, shared with the knn_lsh suite)."""
-    from log_vector_spark.functions.vector import dot_product, fixed_query_vector, literal_vector
+    family (seeds 100+i, shared with the knn_lsh suite).
 
-    total = F.lit(0).cast("bigint")
+    Constructed as ONE parsed SQL string, not a Column-object tree: the 48
+    dot-product folds x 64-literal planes cost thousands of py4j round
+    trips when composed with `F.when`/`literal_vector` — measured 10-25 s
+    of query BUILD time per call at sf0.1 (optimization guide §4: shrink
+    the Python<->JVM boundary; the boundary includes plan construction).
+    The parsed tree is the IDENTICAL expression — zip_with/aggregate fold
+    per plane with the per-element CAST to DOUBLE, the same exact-decimal
+    plane literals, the same CASE bit packing, integer adds left-to-right
+    — so results are bit-equal to the old form (verified against the
+    unchanged DuckDB oracles).  `vec_col` is the column NAME (or any SQL
+    expression string yielding the vector).
+    """
+    from log_vector_spark.functions.vector import fixed_query_vector
+
+    if not isinstance(vec_col, str):
+        raise TypeError("hyperplane_signature takes the vector column NAME")
+    terms = ["CAST(0 AS BIGINT)"]
     for i in range(n_planes):
-        plane = literal_vector(fixed_query_vector(dim=64, seed=100 + i))
-        total = total + F.when(
-            dot_product(vec_col, plane) >= 0, F.lit(2**i).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return total
+        plane = fixed_query_vector(dim=64, seed=100 + i)
+        arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"(CASE WHEN {dot} >= 0 THEN CAST({2**i} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr(" + ".join(terms))
 
 
 def embedding_near_dup_lsh_survivors(
@@ -1173,12 +1195,17 @@ def lsh_band_verified_pairs(
     n = cached_count(vectors)
     bits = lsh_band_bits(n)
     mask = (1 << bits) - 1
+    from log_vector_spark.catalog import spread
+
     # normalize ONCE per vector (blocked_pairs discipline) so each candidate
-    # verify is a single dot fold
-    sig = vectors.select(
+    # verify is a single dot fold.  spread: the 48-fold signature scan runs
+    # inside the (single-split locally) scan stage and is materialized
+    # eagerly by the checkpoint below — parallelize it across the session's
+    # cores; no-op at production split counts (catalog.spread).
+    sig = spread(vectors, id_col).select(
         F.col(id_col),
         l2_normalize(F.col(vec_col)).alias("_unit"),
-        hyperplane_signature(F.col(vec_col), bands * LSH_MAX_BITS).alias("sig"),
+        hyperplane_signature(vec_col, bands * LSH_MAX_BITS).alias("sig"),
     )
     banded = (
         sig.select(
