@@ -93,14 +93,23 @@ def _build_ivf(spark: SparkSession, sf_dir: str, path: str) -> None:
     emb = table(spark, "embeddings", sf_dir)
     cents = search.make_centroids(emb).localCheckpoint(eager=True)
     assigned = search.ivf_assign(emb, cents).localCheckpoint(eager=True)
+    # one shuffle by the partition column before the write (the
+    # sources/store.py index_incremental discipline): without it every
+    # task writes a sliver into every list dir — n_tasks x n_lists small
+    # files (measured 3,134 files for this store at sf0.1; the listing
+    # cost then dominates every later snapshot read and the build itself)
     (
         assigned.select("vec_id", "embedding", "label", "list_id")
+        .repartition(F.col("list_id"))
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(os.path.join(path, "vectors"))
     )
-    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    _list_sizes(assigned).write.mode("overwrite").parquet(
+    # bounded index metadata (sqrt-N rows): one file, not one per task
+    cents.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    _list_sizes(assigned).repartition(1).write.mode("overwrite").parquet(
         os.path.join(path, "sizes")
     )
 
@@ -227,13 +236,19 @@ def _build_ivfpq(spark: SparkSession, sf_dir: str, path: str) -> None:
     codes = pq.pq_encode(res, codebook, vec_col="residual").join(
         res.select("vec_id", "list_id"), "vec_id"
     )
+    # shuffle by the partition column first — see _build_ivf's note
     (
-        codes.write.mode("overwrite")
+        codes.repartition(F.col("list_id"))
+        .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(os.path.join(path, "codes"))
     )
-    codebook.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
-    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    codebook.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(path, "codebook")
+    )
+    cents.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
 
 
 def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
@@ -832,20 +847,24 @@ def _retrain_ivf_store_locked(
     if os.path.exists(mp):
         with open(mp) as fh:
             version = _json.load(fh)["version"] + 1
+    # shuffle by the partition column first — see _build_ivf's note
     (
         assigned.select("vec_id", "embedding", "label", "list_id")
+        .repartition(F.col("list_id"))
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(os.path.join(store_root, f"vectors_v{version}"))
     )
-    cents.write.mode("overwrite").parquet(
+    cents.repartition(1).write.mode("overwrite").parquet(
         os.path.join(store_root, f"centroids_v{version}")
     )
     _list_sizes(
         spark.read.schema(_VECTORS_SCHEMA).parquet(
             os.path.join(store_root, f"vectors_v{version}")
         )
-    ).write.mode("overwrite").parquet(os.path.join(store_root, f"sizes_v{version}"))
+    ).repartition(1).write.mode("overwrite").parquet(
+        os.path.join(store_root, f"sizes_v{version}")
+    )
     tmp = mp + ".tmp"
     with open(tmp, "w") as fh:
         _json.dump({"version": version}, fh)
