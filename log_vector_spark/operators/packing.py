@@ -215,7 +215,12 @@ def export_packed_shards(
             _json.dump(manifest, fh)
         _os.replace(tmp, _os.path.join(out_path, "_manifest.json"))
         return manifest
-    seq.write.mode("overwrite").partitionBy(group_col).parquet(data_dir)
+    # shuffle by the partition column before the write (the store-write
+    # discipline): otherwise every upstream task writes a sliver into
+    # every shard dir — n_tasks x n_shards small files
+    seq.repartition(F.col(group_col)).write.mode("overwrite").partitionBy(
+        group_col
+    ).parquet(data_dir)
     # manifest from the WRITTEN store (what landed, not what was planned)
     back = spark.read.parquet(data_dir)
     agg = back.agg(

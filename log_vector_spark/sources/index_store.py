@@ -434,10 +434,13 @@ def _build_binary_ivf(spark: SparkSession, sf_dir: str, path: str) -> None:
     codes = assigned.select(
         "vec_id", binquant.sign_pack(F.col("embedding"), 64).alias("bcode"), "list_id"
     )
-    codes.write.mode("overwrite").partitionBy("list_id").parquet(
-        os.path.join(path, "codes")
+    # shuffle by the partition column first — see _build_ivf's note
+    codes.repartition(F.col("list_id")).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(os.path.join(path, "codes"))
+    cents.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
     )
-    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
 
 def ensure_binary_ivf_store(spark: SparkSession, sf_dir: str) -> str:
@@ -540,9 +543,16 @@ def corpus_stats_row(docs: DataFrame) -> DataFrame:
 
 def _build_bm25(spark: SparkSession, sf_dir: str, path: str) -> None:
     docs = table(spark, "documents", sf_dir)
-    corpus_stats_row(docs).write.mode("overwrite").parquet(os.path.join(path, "stats"))
-    postings_from_docs(docs).write.mode("overwrite").partitionBy("term_bucket").parquet(
-        os.path.join(path, "postings")
+    corpus_stats_row(docs).repartition(1).write.mode("overwrite").parquet(
+        os.path.join(path, "stats")
+    )
+    # shuffle by the partition column first — see _build_ivf's note
+    (
+        postings_from_docs(docs)
+        .repartition(F.col("term_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(path, "postings"))
     )
 
 
@@ -663,6 +673,7 @@ def _build_phrase(spark: SparkSession, sf_dir: str, path: str) -> None:
     docs = table(spark, "documents", sf_dir)
     (
         positional_postings_from_docs(docs)
+        .repartition(F.col("term_bucket"))
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(os.path.join(path, "postings"))

@@ -48,6 +48,11 @@ def write_chunks(
     documented incremental semantics."""
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be 'overwrite' or 'append'")
+    if partition_col and partition_col in chunks.columns:
+        # shuffle by the partition column so each source dir gets one
+        # file per write, not one per upstream task; the exchange sits
+        # ABOVE the chunk/embed projections, so their parallelism is kept
+        chunks = chunks.repartition(F.col(partition_col))
     writer = chunks.write.mode(mode)
     if partition_col and partition_col in chunks.columns:
         writer = writer.partitionBy(partition_col)
@@ -304,6 +309,8 @@ def write_chunks_versioned(
             cur = _json.load(fh)
     version = 0 if cur is None else cur["version"] + 1
     vdir = os.path.join(path, f"chunks_v{version}")
+    if partition_col and partition_col in chunks.columns:
+        chunks = chunks.repartition(F.col(partition_col))  # write_chunks note
     writer = chunks.write.mode("overwrite")
     if partition_col and partition_col in chunks.columns:
         writer = writer.partitionBy(partition_col)
