@@ -114,6 +114,15 @@ def winnow_fingerprints(
     per doc.  No shuffle happens here at all — consumers group the exploded
     relation as they need.
     """
+    from log_vector_spark.catalog import spread
+
+    # the gram-hash + window-min derivation is scan-stage work, and its
+    # consumers checkpoint the result — under AQE even a LAZY localCheckpoint
+    # executes every shuffle stage below it, so on a single-split scan the
+    # whole kernel runs serially at plan-build time.  spread parallelizes it
+    # across the session's cores; no-op at production split counts
+    # (catalog.spread).
+    docs = spread(docs, id_col)
     wds = tokens(F.col(text_col))
     n_grams = F.size(wds) - k + 1
     grams = F.when(
