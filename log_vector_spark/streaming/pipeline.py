@@ -403,6 +403,7 @@ def run_stream_ivf_ingest(
         (
             assigned.select("vec_id", "embedding", "label", "list_id")
             .withColumn("epoch", F.lit(epoch_id))
+            .repartition(F.col("list_id"))  # one file per leaf, not per task
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("list_id", "epoch")
@@ -500,6 +501,7 @@ def run_stream_graph_ingest(
         (
             assigned.select("vec_id", "embedding", "label", "list_id")
             .withColumn("epoch", F.lit(epoch_id))
+            .repartition(F.col("list_id"))  # one file per leaf, not per task
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("list_id", "epoch")
@@ -516,6 +518,7 @@ def run_stream_graph_ingest(
         )
         (
             edges.select("src", "dst", "escore", "list_id")
+            .repartition(F.col("list_id"))  # one file per leaf, not per task
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("list_id")
@@ -604,6 +607,7 @@ def run_stream_pq_ingest(
         (
             codes.select("vec_id", "subspace", "code_id", "list_id")
             .withColumn("epoch", F.lit(epoch_id))
+            .repartition(F.col("list_id"))  # one file per leaf, not per task
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("list_id", "epoch")
@@ -789,6 +793,7 @@ def run_stream_binary_ingest(
         )
         (
             codes.withColumn("epoch", F.lit(epoch_id))
+            .repartition(F.col("list_id"))  # one file per leaf, not per task
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("list_id", "epoch")
@@ -861,6 +866,7 @@ def run_stream_bm25_ingest(
         (
             postings_from_docs(batch_df)
             .withColumn("epoch", F.lit(epoch_id))
+            .repartition(F.col("term_bucket"))  # one file per leaf
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("term_bucket", "epoch")
@@ -950,6 +956,7 @@ def run_stream_nb_ingest(
             .agg(F.count(F.lit(1)).cast("bigint").alias("cw_delta"))
             .withColumn("tok_bucket", _term_bucket_col(F.col("tok")))
             .withColumn("epoch", F.lit(epoch_id))
+            .repartition(F.col("tok_bucket"))  # one file per leaf
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("tok_bucket", "epoch")
