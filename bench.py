@@ -902,7 +902,24 @@ def main() -> None:
     # prime the probe plan's codegen so the first recorded probe is warm
     _probe(-1)
     drift_probes.clear()
+    def _drop_leftover_blocks() -> None:
+        """Between-query hygiene, OUTSIDE every timed region: release the
+        localCheckpoint blocks the previous query parked in the block
+        manager (iterative plans — graph beam, Lloyd rounds, dedup star —
+        checkpoint intermediates that stay referenced until JVM GC).  287
+        queries in one session otherwise accumulate blocks for the whole
+        window and the growing heap/GC pressure stalls LATER queries'
+        timings (cross-query contamination, not plan cost).  This frees
+        state between queries only — every timed run still computes from
+        the parquet inputs; nothing is cached INTO a timed region."""
+        try:
+            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                rdd.unpersist(False)
+        except Exception:  # noqa: BLE001 - hygiene must never fail the bench
+            pass
+
     for q_idx, name in enumerate(names):
+        _drop_leftover_blocks()
         if q_idx % PROBE_EVERY == 0:
             _probe(q_idx)
         fn = qs[name]
