@@ -106,6 +106,41 @@ def _cpu_seconds(pid: int) -> float:
 # Include one in any --only re-bench that should carry trustworthy flags.
 CONTROLS = ["text_quality", "events_hourly", "corpus_stats"]
 
+# Final-line per-query budget (VERDICT r11 item 1).  The driver keeps only
+# the LAST ~2000 stdout chars, so the final JSON line must stay short to
+# parse (BENCH_r03's full mapping overflowed the tail and parsed as None).
+# A full 287-entry mapping serializes to ~7.3 KB — it cannot fit.  This
+# FROZEN priority list (drift controls first, then descending clean-window
+# baseline cost) selects which per-query walls ride in the final line;
+# ~51 entries serialize to ~1.4 KB, leaving headroom for the other summary
+# fields.  Frozen (not recomputed from measured walls) so the 32-core and
+# 8-core driver runs emit the SAME name set and per-query scaling is
+# computable; entries must never be removed or renamed, only appended
+# while the serialized line stays under TAIL_BUDGET.  The COMPLETE mapping
+# always rides in the detail-first stdout line and the detail artifacts.
+TAIL_QUERIES = [
+    "text_quality", "events_hourly", "corpus_stats",
+    "retrain_ivf_store", "ivf_kmeans_recall_at10", "dedup_edit_distance",
+    "cluster_silhouette", "winnow_density_report", "substring_dup_spans",
+    "stream_training_ingest", "lsh_band_recall_curve", "dedup_graph_stats",
+    "pq_kmeans_recall_at10", "index_incremental", "dedup_embedding_lsh",
+    "ivf_recall_curve", "similarity_join_lsh", "dedup_edit_distance_banded",
+    "stream_sessionize_stateful", "dedup_clusters_star", "jl_projection_recall",
+    "embedding_alignment_uniformity", "dedup_cluster_best_quality",
+    "doc_communities_lpa", "knn_graph", "stream_neardup_ingest",
+    "dedup_cluster_survivors", "dedup_aware_weights", "source_data_card",
+    "knn_ivfpq_refined", "dedup_clusters", "cluster_keywords",
+    "minhash_estimator_eval", "doc_pagerank", "dedup_embedding_label",
+    "repeated_span_report", "int4_compression_report",
+    "ivfpq_refined_recall_at10", "bitext_mining_margin",
+    "dedup_semantic_verified", "dedup_clusters_capped",
+    "embedding_top_component", "ivf_recall_at10", "doc_knn_pooled",
+    "leakage_safe_splits", "training_data_pipeline", "similarity_join_label",
+    "clip_repeated_spans", "ann_eval_metrics", "pq_recall_at10",
+    "orders_market_basket",
+]
+TAIL_BUDGET = 1600  # serialized chars allowed for the final-line mapping
+
 # Headline set: one per operator family, weighted toward scan/shuffle-heavy
 # shapes that dominate at 100 TB.
 HEADLINE = [
@@ -911,10 +946,19 @@ def main() -> None:
         window and the growing heap/GC pressure stalls LATER queries'
         timings (cross-query contamination, not plan cost).  This frees
         state between queries only — every timed run still computes from
-        the parquet inputs; nothing is cached INTO a timed region."""
+        the parquet inputs; nothing is cached INTO a timed region.
+
+        Contract (ADVICE r11): query functions must NOT memoize checkpointed
+        DataFrames across bench calls — an unpersisted localCheckpoint is
+        unrecoverable, so any module-level cache of one would fail on reuse
+        instead of recomputing.  Every registered query rebuilds its plan
+        from the parquet inputs each call, which is also the no-caching
+        rule of the bench itself.  unpersist(blocking=True) so removal
+        completes BEFORE the next timed region starts (async removal could
+        still be draining inside it)."""
         try:
             for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-                rdd.unpersist(False)
+                rdd.unpersist(True)
         except Exception:  # noqa: BLE001 - hygiene must never fail the bench
             pass
 
@@ -1112,6 +1156,10 @@ def main() -> None:
     n_throttled = sum(1 for r in results.values() if r["throttled"])
     sf = SF_DIR.rstrip("/").split("/")[-1].replace("sf", "")
     run_set = "only" if args.only else ("headline" if args.headline else "full")
+    # Complete per-query min-wall mapping (VERDICT r11 item 1): rides in
+    # the detail-first stdout line and both detail artifacts in full; the
+    # final line carries the TAIL_QUERIES subset that fits the driver tail.
+    walls_full = {n: round(r["wall"], 2) for n, r in results.items()}
     detail = {
         "metric": "suite_seconds_detail",
         "value": total,
@@ -1121,6 +1169,7 @@ def main() -> None:
         "n_regression": n_regression,
         "cpu_drift": round(cpu_drift, 3),
         "drift_probes": drift_probes,
+        "queries_wall_min": walls_full,
         "queries": results,
         "sf": float(sf),
         "set": run_set,
@@ -1138,27 +1187,58 @@ def main() -> None:
     # 4 / ADVICE r6: the overwrite destroyed BENCH_detail.json three times
     # in r6); only a full-registry run may replace BENCH_detail.json.
     out_path = DETAIL_PATH if run_set == "full" else SMOKE_PATH
-    tmp = out_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(detail, fh)
-    os.replace(tmp, out_path)
+    paths = [out_path]
+    if run_set == "full":
+        # Per-run filename too (VERDICT r11 item 1): the driver benches the
+        # same round at two core counts and the second run used to clobber
+        # the first's only per-query record.  The core count disambiguates.
+        ncpu = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
+        paths.append(
+            os.path.join(
+                os.path.dirname(DETAIL_PATH), f"BENCH_detail_c{ncpu}.json"
+            )
+        )
+    for p in paths:
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(detail, fh)
+        os.replace(tmp, p)
     # stdout: detail first, compact summary LAST (the driver captures only
-    # the final ~2000 chars; the last line is always complete, short JSON)
+    # the final ~2000 chars; the last line is always complete, short JSON).
     print(json.dumps(detail), flush=True)
+    # Final-line per-query walls: the frozen TAIL_QUERIES subset, trimmed
+    # to TAIL_BUDGET serialized chars so the line always parses from the
+    # driver's ~2000-char tail (BENCH_r03's unbounded mapping did not).
+    walls_tail: dict[str, float] = {}
+    used = 2
+    for n in TAIL_QUERIES:
+        if n not in walls_full:
+            continue
+        cost = len(json.dumps(n)) + len(repr(walls_full[n])) + 2
+        if used + cost > TAIL_BUDGET:
+            break
+        walls_tail[n] = walls_full[n]
+        used += cost
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
+                # drift-normalized total (VERDICT r11 item 8): value divided
+                # by the window's own control drift, so cross-round totals
+                # stay comparable on hosts whose speed varies between rounds.
+                "value_normalized": round(total / max(cpu_drift, 1.0), 3),
                 "cpu_total": cpu_total,
+                "cpu_drift": round(cpu_drift, 3),
                 "n_queries": len(results),
                 "n_throttled": n_throttled,
                 "n_regression": n_regression,
-                "queries_wall_min": {},  # see the detail artifact for per-query
+                "queries_wall_min": walls_tail,
                 "detail_file": os.path.basename(out_path),
                 "sf": float(sf),
-            }
+            },
+            separators=(",", ":"),
         ),
         flush=True,
     )
