@@ -151,16 +151,31 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     cores = spark.sparkContext.defaultParallelism
     if cores <= 1:
         return df
+    # ADVICE r11: memoize the input-file count per semantic plan (the
+    # cached_count idiom) so iterative callers don't pay plan analysis +
+    # file listing per invocation, and narrow the except so genuine
+    # analysis errors aren't masked as a silent no-op.  Safe because every
+    # spread() call site feeds an immutable input (the testdata scans /
+    # frames derived from them), never a growing store read-back.
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
     try:
-        n_files = len(df.inputFiles())
-    except Exception:  # noqa: BLE001 - e.g. non-file-backed frames
-        return df
+        key = df._jdf.semanticHash()
+        n_files = _SPREAD_FILES_CACHE.get(key)
+        if n_files is None:
+            n_files = len(df.inputFiles())
+            _SPREAD_FILES_CACHE[key] = n_files
+    except (PySparkException, Py4JJavaError, AttributeError):
+        return df  # non-file-backed / non-JVM frames: nothing to spread
     if n_files == 0 or n_files >= cores:
         return df
     if key_cols:
         return df.repartition(cores, *[F.col(c) for c in key_cols])
     return df.repartition(cores)
 
+
+_SPREAD_FILES_CACHE: dict[int, int] = {}
 
 _COUNT_CACHE: dict[tuple, int] = {}
 

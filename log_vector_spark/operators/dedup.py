@@ -1128,6 +1128,11 @@ def hyperplane_signature(vec_col, n_planes: int):
 
     if not isinstance(vec_col, str):
         raise TypeError("hyperplane_signature takes the vector column NAME")
+    # ADVICE r11: a plain identifier is backtick-quoted so column names that
+    # need quoting (spaces, dots, hyphens) keep working as they did via
+    # F.col; anything else must already be a valid SQL expression string.
+    if vec_col.isidentifier():
+        vec_col = f"`{vec_col}`"
     terms = ["CAST(0 AS BIGINT)"]
     for i in range(n_planes):
         plane = fixed_query_vector(dim=64, seed=100 + i)

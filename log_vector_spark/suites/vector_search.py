@@ -791,7 +791,14 @@ def cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_vector_spark.operators.cluster import cluster_silhouette as _sil
 
-    return _sil(table(spark, "embeddings", sf_dir), k=8, iters=2, dim=64)
+    # dim deliberately NOT passed (r12): squared_l2's own width caveat —
+    # a 64-term unrolled L2 tree overflows whole-stage codegen (the d*d
+    # subtree doubles the expression), drops the stage to the interpreter,
+    # and its giant generated classes thrash the JIT code cache for every
+    # later query in the session.  Measured same-session A/B at sf0.1:
+    # unrolled 23->31 s/rep (degrading), fold 3-5 s/rep (stable), results
+    # bit-identical (collect-compared + oracle hash).  BASELINE lesson 7.
+    return _sil(table(spark, "embeddings", sf_dir), k=8, iters=2)
 
 
 @register(

@@ -31,6 +31,7 @@ def _ids(df):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_ivf_full_probe_equals_exact(spark, emb):
     from log_vector_spark.functions.vector import fixed_query_vector
     from log_vector_spark.operators.search import knn_ivf, knn_topk, make_centroids
@@ -44,6 +45,7 @@ def test_ivf_full_probe_equals_exact(spark, emb):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_ivf_recall_monotone_and_useful(spark, emb):
     from log_vector_spark.functions.vector import fixed_query_vector
     from log_vector_spark.operators.search import knn_ivf, knn_topk, make_centroids
@@ -74,6 +76,7 @@ def test_multiprobe_identical_to_bitcount_form(spark):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_graph_beam_quality_improves_with_rounds(spark, emb):
     """Graph-ANN structural guardrails (knn_graph_beam):
 
@@ -121,6 +124,7 @@ def test_graph_beam_quality_improves_with_rounds(spark, emb):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_graph_edges_degree_bounded_and_deterministic(spark, emb):
     """Every node has at most `deg` out-edges, edges are distinct, and two
     independent builds produce the identical edge set (the determinism
@@ -139,6 +143,7 @@ def test_graph_edges_degree_bounded_and_deterministic(spark, emb):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_pq_structure_and_recall_floor(spark, emb):
     """PQ guardrails: every vector gets exactly one code per subspace, codes
     stay in [1, 16], two independent encodes agree (write-time artifact
@@ -173,6 +178,7 @@ def test_pq_structure_and_recall_floor(spark, emb):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_ivfpq_structure_and_within_probe_quality(spark, emb):
     """IVF-PQ guardrails: every hit comes from a probed list (the
     partition-pruning contract), results are deterministic, and ADC
@@ -226,6 +232,7 @@ def test_ivfpq_structure_and_within_probe_quality(spark, emb):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_kmeans_centroids_recall_not_worse_than_stride(spark):
     """VERDICT r4 item 4: the k-means-refined coarse quantizer must not
     lose recall vs the raw stride pick on the fixture (it measured
@@ -243,6 +250,7 @@ def test_kmeans_centroids_recall_not_worse_than_stride(spark):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_kmeans_codebook_recall_not_worse_than_stride(spark):
     """Second half of VERDICT r4 item 4: the per-subspace-Lloyd-refined PQ
     codebook must not lose ADC recall vs the stride codebook on the

@@ -14,6 +14,7 @@ def corpus(tmp_path):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_facade_lifecycle(spark, corpus, tmp_path):
     from log_vector_spark.api import LogVectorEngine
 
@@ -41,6 +42,7 @@ def test_facade_lifecycle(spark, corpus, tmp_path):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_facade_reindex_rebinds_ask(spark, corpus, tmp_path):
     from log_vector_spark.api import LogVectorEngine
 

@@ -220,6 +220,7 @@ def test_epoch_plan_never_exceeds_max_epochs(spark):
     assert sum(out2[d].final_tokens for d in ("a", "b")) == 2 * 500
 
 
+@pytest.mark.slow
 def test_adaptive_quality_gate_approx_matches_exact(spark):
     """approx=True (percentile_approx, the 100 TB form; VERDICT r5 item 5).
 

@@ -24,6 +24,7 @@ def _boilerplate_corpus(spark, n_boiler=40, n_normal=20):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_capped_pairs_same_components_linear_output(spark):
     docs = _boilerplate_corpus(spark)
     full = dedup.minhash_band_pairs(docs).localCheckpoint(eager=True)

@@ -17,6 +17,7 @@ def corpus(tmp_path):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_index_cli_builds_store_and_manifest(spark, corpus, tmp_path):
     from log_vector_spark.sources.store import read_chunks, read_manifest
     from tools.index_cli import build_index
@@ -43,6 +44,7 @@ def test_index_cli_builds_store_and_manifest(spark, corpus, tmp_path):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_index_cli_append_is_idempotent(spark, corpus, tmp_path):
     from log_vector_spark.sources.store import read_chunks
     from tools.index_cli import build_index

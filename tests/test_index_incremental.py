@@ -51,6 +51,7 @@ def _files(part_dir):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_incremental_reindex_only_touches_changed(spark, tmp_path):
     from log_vector_spark.operators.chunk import chunk_documents
     from log_vector_spark.sources.store import (
@@ -134,6 +135,7 @@ def test_incremental_reindex_only_touches_changed(spark, tmp_path):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_source_move_reindexes_and_drops_old_partition(spark, tmp_path):
     """ADVICE r7 (store.py fingerprint diff): a doc whose SOURCE changes
     must be re-indexed even when its text is unchanged, and its chunks

@@ -27,6 +27,7 @@ def _build_private_store(spark, tmp_path, monkeypatch):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_retrain_swaps_snapshot_and_preserves_parity(spark, tmp_path, monkeypatch):
     from log_vector_spark.functions.vector import fixed_query_vector
     from log_vector_spark.operators import search
@@ -74,6 +75,7 @@ def test_retrain_swaps_snapshot_and_preserves_parity(spark, tmp_path, monkeypatc
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_retrain_retention_and_crash_orphan(spark, tmp_path, monkeypatch):
     from log_vector_spark.sources import index_store
 
@@ -92,6 +94,7 @@ def test_retrain_retention_and_crash_orphan(spark, tmp_path, monkeypatch):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_kmeans_train_cap_samples_training_but_assigns_exact(spark):
     """Sample-bounded coarse-quantizer training (VERDICT r8 item 2).
 
@@ -137,6 +140,7 @@ def test_kmeans_train_cap_samples_training_but_assigns_exact(spark):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_maintain_ivf_tick_thresholds_and_retrains(spark, tmp_path, monkeypatch):
     """The lifecycle tick (r10): below threshold the tick is a read-only
     drift measurement (no new version); above it, it retrains under the

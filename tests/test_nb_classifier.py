@@ -1,6 +1,8 @@
 """Naive Bayes classifier guardrails: learnable fixture, prior-only docs,
 determinism across partitionings."""
 
+import pytest
+
 from pyspark.sql import Row
 
 from log_vector_spark.operators.textops import nb_lang_confusion
@@ -55,6 +57,7 @@ def test_nb_tokenless_doc_keeps_prior_only_row(spark):
             continue
 
 
+@pytest.mark.slow
 def test_nb_deterministic_across_partitionings(spark):
     rows = [(f"w{i % 17} w{(i * 3) % 17} common", ["aa", "bb", "cc"][i % 3]) for i in range(200)]
     df = _docs(spark, rows)

@@ -34,6 +34,7 @@ def _uf_components(pairs, vertices):
         max_size=30,
     )
 )
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, algorithm, edges):
     from log_vector_spark.operators.dedup import connected_components
 
@@ -103,6 +104,7 @@ def test_asof_matches_pandas_merge_asof(spark, left_ts, right_rows):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_star_contraction_handles_adversarial_long_chain(spark):
     """A 10k-node path graph is the adversarial case for per-cluster-diameter
     assumptions: label propagation without pointer jumping would need 10k
@@ -135,6 +137,7 @@ def test_star_contraction_handles_adversarial_long_chain(spark):
     n_u=st.integers(1, 5),
     cap=st.integers(1, 8),
 )
+@pytest.mark.slow
 def test_capped_band_pairs_preserve_components(spark, n_a, n_b, n_u, cap):
     """For ANY corpus and ANY cap, the star-capped LSH candidate graph has
     exactly the connected components of the uncapped all-pairs graph."""

@@ -1,5 +1,7 @@
 """SemDeDup keep-rule semantics (operators/dedup.py:semdedup_survivors)."""
 
+import pytest
+
 from pyspark.sql import Row
 
 from log_vector_spark.operators.dedup import semdedup_survivors
@@ -50,6 +52,7 @@ def test_semdedup_no_dups_keeps_all(spark):
     assert all(r.keep for r in out)
 
 
+@pytest.mark.slow
 def test_semdedup_tie_breaks_to_lower_id(spark):
     """Identical vectors have identical centroid_sim — the lower id wins."""
     vecs = [

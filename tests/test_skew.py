@@ -112,6 +112,7 @@ def test_connected_components_long_chain_converges(spark):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_ivf_near_dup_skewed_centroid_matches_bruteforce(spark):
     """One centroid owning 50% of the corpus — the IVF-blocked dedup must
     (a) produce exactly the brute-force per-list survivor set and (b) keep

@@ -15,6 +15,7 @@ SF = "/root/testdata/sf0.001"
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_stream_binary_multi_batch_equals_batch_pack(spark, tmp_path):
     from log_vector_spark.operators.binquant import sign_pack
     from log_vector_spark.operators.search import ivf_assign

@@ -58,6 +58,7 @@ def test_stream_graph_single_batch_parity(spark, tmp_path):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_stream_graph_multi_batch_converges_to_batch_graph(spark, tmp_path):
     """Three micro-batches, arbitrary arrival split: the final edge store
     must equal the batch graph built under the same frozen centroids."""

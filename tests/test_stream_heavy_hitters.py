@@ -41,6 +41,7 @@ def test_heavy_hitters_exact_at_full_capacity(spark):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_heavy_hitters_underestimate_guarantee_tight_capacity(spark, monkeypatch):
     """With CAPACITY = 16 the summary must stay bounded and satisfy
     est <= true <= est + decrement_total for every surviving key."""
@@ -66,6 +67,7 @@ def test_heavy_hitters_underestimate_guarantee_tight_capacity(spark, monkeypatch
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_heavy_hitters_idle_key_evicts_with_final_summary(spark, tmp_path):
     """r6 event-time timeout: a key idle past HH_IDLE_SECONDS emits one
     FINAL summary (batch_seq incremented, same counts) once another key's
@@ -118,6 +120,7 @@ def test_heavy_hitters_idle_key_evicts_with_final_summary(spark, tmp_path):
     assert len(vseqs) == 1
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_heavy_hitters_returning_key_selector(spark, tmp_path):
     """ADVICE r6 defect: after eviction a returning key's batch_seq restarts
     at 1, so a seq-only 'latest summary' selector kept landing on the stale

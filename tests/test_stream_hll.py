@@ -9,6 +9,7 @@ SF = "/root/testdata/sf0.001"
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_stream_hll_ingest_batch_parity(spark, tmp_path):
     from log_vector_spark.catalog import table
     from log_vector_spark.operators.events import hll_register_rows

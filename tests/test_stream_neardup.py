@@ -48,6 +48,7 @@ def _batch_survivors(spark, docs):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_multi_epoch_parity_with_batch_band_collisions(spark, tmp_path):
     """Survivors after 3 id-ordered epochs == the batch NOT-EXISTS set —
     the fold over epochs changes nothing about the survivor set."""
@@ -66,6 +67,7 @@ def test_multi_epoch_parity_with_batch_band_collisions(spark, tmp_path):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_dropped_doc_still_bars_later_copies(spark, tmp_path):
     """A arrives epoch 0; B (near-dup of A) arrives epoch 1 and is
     dropped; C (exact copy of B) arrives epoch 2 — C must ALSO drop,
@@ -96,6 +98,7 @@ def test_dropped_doc_still_bars_later_copies(spark, tmp_path):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_neardup_replay_is_idempotent(spark, tmp_path):
     """Checkpoint loss -> full re-ingest dynamic-overwrites each epoch's
     own leaves; survivors and stored bands identical."""
@@ -117,6 +120,7 @@ def test_neardup_replay_is_idempotent(spark, tmp_path):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_prior_bands_scan_is_partition_pruned(spark, tmp_path):
     """The bounded-probe pin: the prior band-bucket scan prunes BOTH
     partition levels — literal (band, key-nibble) buckets and epoch <
@@ -159,6 +163,7 @@ def test_prior_bands_scan_is_partition_pruned(spark, tmp_path):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_neardup_mid_stream_restart_is_exactly_once(spark, tmp_path):
     """Phase 1 ingests slice 0 and stops; slices 1-2 land; a RESTART on
     the same checkpoint resumes from committed offsets — epoch 0's bands

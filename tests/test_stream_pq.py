@@ -26,6 +26,7 @@ def _batch_codes(spark, emb, centroids, codebook):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_stream_pq_multi_batch_equals_batch_encode(spark, tmp_path):
     from log_vector_spark.streaming.pipeline import run_stream_pq_ingest
 

@@ -21,6 +21,7 @@ def _stage(spark, src_dir, slices):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_psi_zero_on_baseline_epoch_and_detects_shift(spark, tmp_path):
     """Epoch 0 defines the baseline (PSI identically 0 against itself);
     an identically-distributed epoch reads near 0; a deliberately

@@ -49,6 +49,7 @@ def _batch_parity_rows(spark):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_composed_ingest_batch_parity_and_restart(spark, tmp_path):
     from log_vector_spark.streaming.pipeline import run_stream_training_ingest
 
@@ -102,6 +103,7 @@ def test_composed_ingest_batch_parity_and_restart(spark, tmp_path):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_composed_ingest_replay_is_idempotent(spark, tmp_path):
     """Checkpoint loss -> full re-ingest dynamic-overwrites every epoch's
     own partitions: all folded artifacts identical, no duplicates."""
@@ -127,6 +129,7 @@ def test_composed_ingest_replay_is_idempotent(spark, tmp_path):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_prior_fps_scan_is_partition_pruned(spark, tmp_path):
     """VERDICT r7 item 3 pin: the exact-confirmation scan of the prior
     fingerprint store must prune BOTH partition levels — the literal
@@ -171,6 +174,7 @@ def test_prior_fps_scan_is_partition_pruned(spark, tmp_path):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_resume_over_legacy_epoch_only_fps_store(spark, tmp_path):
     """ADVICE r8: a stream resumed over a pre-r8 fps store (epoch-only
     layout, no fp_pfx= level) must keep working — the prior-fps probe
