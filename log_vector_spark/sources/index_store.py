@@ -822,10 +822,19 @@ def _retrain_ivf_store_locked(
 ) -> dict:
     import shutil as _shutil
 
-    vecs = spark.read.schema(_VECTORS_SCHEMA).parquet(
-        resolve_ivf_artifact(store_root, "vectors")
-    )
-    n_lists_before = vecs.select("list_id").distinct().count()
+    snap = resolve_ivf_snapshot(store_root)
+    vecs = spark.read.schema(_VECTORS_SCHEMA).parquet(snap["vectors"])
+    # n_lists_before from the bounded sizes artifact (one row per list —
+    # the metadata _list_sizes exists to provide) instead of a full-store
+    # distinct scan; at 100 TB the difference is a corpus scan per retrain
+    # tick (optimization guide §1.2: don't compute what metadata already
+    # holds).  Legacy stores without a sizes table fall back to the scan.
+    if os.path.exists(snap["sizes"]):
+        n_lists_before = (
+            spark.read.schema(_SIZES_SCHEMA).parquet(snap["sizes"]).count()
+        )
+    else:
+        n_lists_before = vecs.select("list_id").distinct().count()
     from log_vector_spark.catalog import cached_count
 
     base = vecs.select("vec_id", "embedding", "label")
@@ -889,14 +898,24 @@ def _retrain_ivf_store_locked(
         if ("_v" in d and d.split("_v")[0] in ("vectors", "centroids", "sizes")
                 and d not in live):
             _shutil.rmtree(os.path.join(store_root, d))
-    stored = spark.read.schema(_VECTORS_SCHEMA).parquet(
-        os.path.join(store_root, f"vectors_v{version}")
+    # return-dict stats from the NEW version's sizes table (bounded, one
+    # row per list, derived from the written store above so it certifies
+    # the same content) — one tiny agg instead of two more full scans of
+    # the fresh store (r12; the old form cost 2 corpus scans per retrain)
+    meta_row = (
+        spark.read.schema(_SIZES_SCHEMA)
+        .parquet(os.path.join(store_root, f"sizes_v{version}"))
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("nv"),
+            F.count(F.lit(1)).alias("nl"),
+        )
+        .first()
     )
     return {
         "version": version,
-        "n_vectors": stored.count(),
+        "n_vectors": meta_row["nv"],
         "n_lists_before": n_lists_before,
-        "n_lists_after": stored.select("list_id").distinct().count(),
+        "n_lists_after": meta_row["nl"],
     }
 
 

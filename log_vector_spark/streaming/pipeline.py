@@ -874,6 +874,7 @@ def run_stream_bm25_ingest(
         )
         (
             corpus_stats_row(batch_df)
+            .coalesce(1)  # single-row delta: 1 file/epoch, §6.2
             .withColumn("epoch", F.lit(epoch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -965,6 +966,7 @@ def run_stream_nb_ingest(
         (
             batch_df.groupBy(F.col("lang").alias("label"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("nd_delta"))
+            .coalesce(1)  # bounded rows (one per label): 1 file/epoch, §6.2
             .withColumn("epoch", F.lit(epoch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1043,6 +1045,7 @@ def run_stream_hll_ingest(
             return
         (
             hll_register_rows(batch_df)
+            .coalesce(1)  # bounded registers (m rows): 1 file/epoch, §6.2
             .withColumn("epoch", F.lit(epoch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1108,6 +1111,7 @@ def run_stream_cms_ingest(
             return
         (
             cms_cell_counts(batch_df)
+            .coalesce(1)  # bounded d*w cells (256 rows): 1 file/epoch, §6.2
             .withColumn("epoch", F.lit(epoch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1168,6 +1172,7 @@ def run_stream_quantile_ingest(
             return
         (
             fixed_bin_histogram(batch_df)
+            .coalesce(1)  # bounded bins: 1 file/epoch, §6.2
             .withColumn("epoch", F.lit(epoch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1470,17 +1475,28 @@ def run_stream_training_ingest(
                 fps_dir,
             )
         else:
+            # one file per (prefix, epoch) leaf, not per task x leaf — the
+            # keyed-sink write discipline (r11) applied to the fp store;
+            # every later epoch's pruned probe re-reads these leaves
             _epoch_write(
-                firsts.withColumn("epoch", F.lit(epoch_id)),
+                firsts.repartition(F.col(FP_PFX_COL)).withColumn(
+                    "epoch", F.lit(epoch_id)
+                ),
                 fps_dir,
                 extra_parts=(FP_PFX_COL,),
             )
         # this epoch's Bloom delta: bit positions of the NEWLY stored fps
-        # (OR-mergeable; replayed epochs replace exactly their own leaves)
+        # (OR-mergeable; replayed epochs replace exactly their own leaves).
+        # coalesce(1): the delta is BOUNDED (<= INGEST_BLOOM_BITS rows, a
+        # constant) and every later epoch re-reads ALL epochs' deltas —
+        # without this each epoch leaves up to `cores` sliver files whose
+        # open cost the whole rest of the stream pays (guide §6.2)
         delta_bits = firsts.select(
             F.explode(F.array(*_fp_bloom_positions("fp"))).alias("pos")
         ).distinct()
-        _epoch_write(delta_bits.withColumn("epoch", F.lit(epoch_id)), bloom_dir)
+        _epoch_write(
+            delta_bits.coalesce(1).withColumn("epoch", F.lit(epoch_id)), bloom_dir
+        )
 
         # ---- quality gate (clean_corpus_pipeline's stage expressions) ----
         gated = textops.text_quality(
@@ -1511,7 +1527,10 @@ def run_stream_training_ingest(
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
             F.sum(F.col("quality").cast("decimal(18,6)")).alias("sum_quality"),
         )
-        _epoch_write(stats.withColumn("epoch", F.lit(epoch_id)), stats_dir)
+        # bounded sketch deltas (n_sources rows / n_sources x m registers):
+        # 1 file per epoch each, not `cores` slivers — query-time folds
+        # re-read every epoch's deltas (guide §6.2)
+        _epoch_write(stats.coalesce(1).withColumn("epoch", F.lit(epoch_id)), stats_dir)
         hll = (
             hll_rho_rows(
                 survivors.select("source", F.md5("text").alias("fp")),
@@ -1521,7 +1540,7 @@ def run_stream_training_ingest(
             .groupBy("source", "reg")
             .agg(F.max("rho").alias("mj"))
         )
-        _epoch_write(hll.withColumn("epoch", F.lit(epoch_id)), hll_dir)
+        _epoch_write(hll.coalesce(1).withColumn("epoch", F.lit(epoch_id)), hll_dir)
 
         # ---- encode + IVF index delta ----
         vecs = survivors.select(
@@ -1731,15 +1750,23 @@ def run_stream_neardup_ingest(
             dropped, "doc_id", "left_anti"
         )
         if has_bands:  # see the empty-bands guard above
+            # one file per (prefix, epoch) leaf (r11 keyed-sink discipline);
+            # bounded Bloom delta coalesced to one file — see the training
+            # ingest's identical notes (guide §6.2)
             _epoch_write(
-                bands_b.withColumn("epoch", F.lit(epoch_id)),
+                bands_b.repartition(F.col(BAND_PFX_COL)).withColumn(
+                    "epoch", F.lit(epoch_id)
+                ),
                 bands_dir,
                 extra_parts=(BAND_PFX_COL,),
             )
             delta_bits = bands_b.select(
                 F.explode(F.array(*_fp_bloom_positions("bk"))).alias("pos")
             ).distinct()
-            _epoch_write(delta_bits.withColumn("epoch", F.lit(epoch_id)), bloom_dir)
+            _epoch_write(
+                delta_bits.coalesce(1).withColumn("epoch", F.lit(epoch_id)),
+                bloom_dir,
+            )
         _epoch_write(survivors.withColumn("epoch", F.lit(epoch_id)), surv_dir)
 
     q = (
