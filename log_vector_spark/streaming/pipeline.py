@@ -1548,14 +1548,22 @@ def run_stream_training_ingest(
             embedder.embed_col(F.col("text")).alias("embedding"),
         ).localCheckpoint(eager=True)  # embed once: centroids + assign reuse
         if "://" not in centroids_dir and not _os.path.isdir(centroids_dir):
-            # freeze on the first surviving batch, persist for restarts
-            make_centroids(vecs).write.mode("overwrite").parquet(centroids_dir)
+            # freeze on the first surviving batch, persist for restarts;
+            # coalesce(1): bounded quantizer metadata (~sqrt-N rows) that
+            # EVERY later epoch re-reads — one file, not one per task (§6.2)
+            make_centroids(vecs).coalesce(1).write.mode("overwrite").parquet(
+                centroids_dir
+            )
         centroids = spark.read.parquet(centroids_dir)
         assigned = ivf_assign(vecs, centroids)
+        # one file per (list_id, epoch) leaf, not per task x leaf — the
+        # keyed-sink discipline (r11, 5c61e59) that covered the standalone
+        # ivf/graph/pq sinks but missed this composed ingest's index delta
+        # (measured 186 sliver files for one sf0.1 epoch before; 25 after)
         _epoch_write(
-            assigned.select("vec_id", "embedding", "list_id").withColumn(
-                "epoch", F.lit(epoch_id)
-            ),
+            assigned.select("vec_id", "embedding", "list_id")
+            .repartition(F.col("list_id"))
+            .withColumn("epoch", F.lit(epoch_id)),
             index_dir,
             extra_parts=("list_id",),
         )
