@@ -3,15 +3,23 @@
 Semantic clustering is the workhorse behind curriculum bucketing, cluster-
 balanced sampling, and topic-level dedup in pretraining pipelines (the
 reference engine has no clustering; this extends the brief's similarity
-surface).  The implementation is the canonical Spark shape:
+surface).  The implementation (r12, guide §4.2/§2.4):
 
-  * centroids are a k-row relation, explicitly ``broadcast()`` — k is a
-    user constant, never data-scaled, so the hint is safe at any corpus
-    size (contrast the round-2 fact-table-broadcast findings);
-  * assignment is scan-stage work per vector (k distance folds, no
-    shuffle);
-  * the centroid update is one linear shuffle keyed (cluster, dim) with
-    map-side partial aggregation producing k*dim rows.
+  * the assignment is a map-side Arrow kernel
+    (functions/argmin.assign_l2_arrow): centroids are collected (k rows —
+    the same relation earlier rounds broadcast) and every batch's argmin
+    runs vectorized in NumPy with the HOF fold's exact IEEE sequence — no
+    Exchange, no interpreted per-pair fold (the old
+    crossJoin(broadcast) + fold + min(struct) plan is kept in ``_assign``
+    as the executable spec the kernel is pinned against);
+  * each Lloyd round's k-row centroid table is collected back, so the
+    next round's kernel (and every downstream consumer) sees a literal —
+    the expensive multi-round lineage is paid once per query build, not
+    once per consumer action;
+  * the centroid update stays a distributed linear shuffle keyed
+    (cluster, dim) with map-side partial aggregation producing k*dim
+    rows (decimal-exact means are cheap JVM codegen; nothing data-scaled
+    ever reaches the driver — only k x dim doubles per round).
 
 Determinism contract (what makes this oracle-pairable against unrolled
 SQL): seeds are the k lowest-id vectors; distances are rounded to 6dp
@@ -22,7 +30,8 @@ identical rounded state through every iteration.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 
 def _l2(a, b, dim: int | None = None) -> F.Column:
@@ -96,27 +105,50 @@ def kmeans_fit(
     engines is not required).  Pass ``dim`` when the vector width is known
     so the assignment distances run unrolled in codegen (bit-identical).
     """
+    import numpy as np
+
+    from log_vector_spark.functions.argmin import assign_l2_arrow
+
+    spark = vectors.sparkSession
     v = vectors.select(
         id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("e")
     )
-    seed_w = Window.orderBy(id_col)  # k rows only — single-partition window is fine
-    c = (
-        v.orderBy(id_col)
-        .limit(k)
-        .select((F.row_number().over(seed_w) - 1).alias("cid"), "e")
+    c_schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("e", T.ArrayType(T.DoubleType()), True),
+        ]
     )
-    assigned = _assign(v, c, id_col, dim)
+    # seeds: the k lowest-id vectors, collected (k rows) — cid = rank 0..k-1
+    seeds = v.orderBy(id_col).limit(k).collect()
+    if not seeds:
+        empty_assigned = (
+            v.where(F.lit(False))
+            .withColumn("cid", F.lit(None).cast("int"))
+            .withColumn("d", F.lit(None).cast("double"))
+        )
+        return empty_assigned, spark.createDataFrame([], c_schema)
+    cids = list(range(len(seeds)))
+    C = np.asarray([r["e"] for r in seeds], dtype=np.float64)
+    # r12 (guide §4.2/§2.4): each round = one map-side Arrow argmin over v
+    # + the distributed decimal-exact update, whose k-row result is
+    # collected for the next round.  The k x dim collect per round is the
+    # same payload the old plan's BroadcastExchange carried; paying the
+    # rounds eagerly here (instead of the old fused lazy lineage) means a
+    # consumer action re-runs only ONE cheap kernel pass, never the whole
+    # Lloyd chain.  (The r6 per-round localCheckpoint revert stands — this
+    # replaces checkpoints with literals, which nothing can re-fire.)
     for _ in range(iters - 1):
-        c = _update(assigned)
-        assigned = _assign(v, c, id_col, dim)
-    # NOTE (r6): checkpointing each round's k-row centroid relation
-    # (the bpe_merges iterative-plan idiom) was tried and REVERTED — the
-    # eager materialization re-fires per plan build and measured 2-10x
-    # SLOWER end-to-end (94s worst case on cluster_silhouette vs 6s
-    # lineage-recompute) because every consumer action re-pays the
-    # checkpoint jobs while the pure-lineage form lets Catalyst fuse the
-    # rounds into one job.  At iters=2 the recompute costs one extra
-    # assignment scan per branch; revisit only if iters grows.
+        rows = sorted(
+            _update(assign_l2_arrow(v, cids, C, id_col, T.IntegerType())).collect(),
+            key=lambda r: r["cid"],
+        )
+        cids = [r["cid"] for r in rows]
+        C = np.asarray([r["e"] for r in rows], dtype=np.float64)
+    assigned = assign_l2_arrow(v, cids, C, id_col, T.IntegerType())
+    c = spark.createDataFrame(
+        [(int(cid), [float(x) for x in e]) for cid, e in zip(cids, C)], c_schema
+    )
     return assigned, c
 
 
@@ -289,42 +321,40 @@ def cluster_silhouette(
     so every reported number is fold-order-proof.  Degenerate vectors
     sitting exactly on two centroids (a = b = 0) score 0 by convention.
     """
-    # ONE crossJoin against the FINAL centroids gives every per-vector
-    # centroid distance, and both silhouette terms fall out of its sorted
-    # per-vector distance list: a = smallest rounded distance (ties to
-    # lowest cid — exactly the assignment's argmin), b = the SECOND
-    # smallest (all cids are distinct per vector, so the second entry IS
-    # the min over other clusters).  Replaces the kmeans_fit +
-    # re-score-against-others form: one k-way distance scan instead of
-    # two and no double-branch Lloyd recompute.  Interleaved A/B at sf0.1
-    # measured the two forms EQUAL in wall time (the broadcast-crossJoin
-    # distance folds dominate, and Catalyst reuses most of the old form's
-    # chain) — kept for the simpler single-branch plan, not for speed.
+    # r12 (guide §4.2/§2.4): both silhouette terms are pure per-row
+    # reductions over the k centroid distances, so the whole scoring runs
+    # in ONE map-side Arrow kernel (functions/argmin.silhouette_scores_arrow):
+    # a = smallest rounded distance (ties to lowest cid — exactly the
+    # assignment's argmin), b = the second smallest (cids are distinct per
+    # vector, so the second entry IS the min over other clusters).  The
+    # old crossJoin(broadcast) + fold + groupBy(collect_list) form paid a
+    # k-way interpreted fold plus a per-vector hash-agg Exchange for what
+    # is row-local arithmetic; the kernel leaves the per-CLUSTER mean as
+    # the only shuffle in the plan.  Lloyd rounds share kmeans_fit's
+    # collect-per-round idiom (identical rounded state, literal
+    # centroids).
+    import numpy as np
+
+    from log_vector_spark.functions.argmin import (
+        assign_l2_arrow,
+        silhouette_scores_arrow,
+    )
+
     v = vectors.select(
         id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("e")
     )
-    seed_w = Window.orderBy(id_col)
-    c = (
-        v.orderBy(id_col)
-        .limit(k)
-        .select((F.row_number().over(seed_w) - 1).alias("cid"), "e")
-    )
+    seeds = v.orderBy(id_col).limit(k).collect()
+    cids = list(range(len(seeds)))
+    C = np.asarray([r["e"] for r in seeds], dtype=np.float64)
     for _ in range(iters - 1):
-        c = _update(_assign(v, c, id_col, dim))
-    scored = v.crossJoin(
-        F.broadcast(c.select(F.col("cid").alias("ocid"), F.col("e").alias("ce")))
-    ).withColumn("od", F.round(_l2(F.col("e"), F.col("ce"), dim), 6))
-    per_vec = scored.groupBy(id_col).agg(
-        F.array_sort(F.collect_list(F.struct("od", "ocid"))).alias("ds")
-    )
-    a_d = F.col("ds")[0]["od"]
-    own = F.col("ds")[0]["ocid"]
-    b_d = F.col("ds")[1]["od"]
-    s = F.when(F.greatest(a_d, b_d) == 0, F.lit(0.0)).otherwise(
-        F.round((b_d - a_d) / F.greatest(a_d, b_d), 6)
-    )
+        rows = sorted(
+            _update(assign_l2_arrow(v, cids, C, id_col, T.IntegerType())).collect(),
+            key=lambda r: r["cid"],
+        )
+        cids = [r["cid"] for r in rows]
+        C = np.asarray([r["e"] for r in rows], dtype=np.float64)
     return (
-        per_vec.select(own.alias("cid"), s.alias("s"))
+        silhouette_scores_arrow(v, cids, C, id_col)
         .groupBy(F.col("cid").cast("int").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),

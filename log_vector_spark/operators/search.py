@@ -349,56 +349,34 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (IVF coarse quantization).
 
-    broadcast(centroids) keeps this a map-side operation; at write time the
-    result would be persisted partitioned by `list_id` so queries prune
-    partitions instead of scanning.
-
-    The argmin is a hash aggregation of min(struct(-score, list_id)) — NOT
-    a window: partial aggregation combines map-side, so the shuffle carries
-    one row per VECTOR, where the window form shuffles |vectors| x nlists
-    scored rows (with 1024 lists at 100 TB that is a 1024x shuffle-volume
-    difference).  Tie order matches the window form exactly: highest
-    score, then lowest list_id; every non-key column is constant within a
-    group (the crossJoin replicates one source row), so first() is
-    deterministic.
-
-    The explicit keyed repartition spreads the per-row x per-centroid
-    scoring across all cores even when the input is one small file (AQE
-    honors user-specified partition counts, so it won't re-coalesce).
+    r12 (guide §4.2/§2.4): a map-side Arrow kernel
+    (functions/argmin.ivf_assign_arrow).  The centroid table is collected
+    (k rows — the identical payload the previous plan shipped as a
+    BroadcastExchange relation) and each Arrow batch computes every
+    vector's k cosine scores vectorized in NumPy with the HOF fold's
+    exact IEEE sequence, rounds them with Spark's exact round-HALF_UP
+    semantics, and emits the argmax row directly — highest score, ties to
+    lowest list_id, bit-identical to the old
+    crossJoin(broadcast) + fold + min(struct(-score, list_id)) plan
+    (pinned in tests/test_argmin_kernel.py).  That removes BOTH costs of
+    the old shape: the per-pair interpreted fold (k x dim boxed lambda
+    applications per vector) and the per-vector hash-aggregate Exchange —
+    the assignment is now a zero-shuffle scan stage whose parallelism is
+    the scan's split count (thousands of tasks at 100 TB), and at write
+    time the result is persisted partitioned by `list_id` so queries
+    prune partitions instead of scanning.
     """
-    from log_vector_spark.functions.vector import l2_norm
+    from log_vector_spark.functions.argmin import ivf_assign_arrow
 
-    nparts = vectors.sparkSession.sparkContext.defaultParallelism
-    # norms computed ONCE per vector / per centroid BEFORE the crossJoin —
-    # per-pair work is then a single dot + try_divide instead of dot + two
-    # norms (3x less per-pair HOF work).  Values are bit-identical to
-    # cosine_similarity (same dot/(na*nb) doubles).
-    v_n = vectors.withColumn("_vn", l2_norm(F.col(vec_col)))
-    c_n = centroids.withColumn("_cn", l2_norm(F.col("centroid")))
-    pairs = v_n.repartition(nparts, F.col(vec_id)).crossJoin(F.broadcast(c_n))
-    scored = pairs.withColumn(
-        "cscore",
-        F.round(
-            F.coalesce(
-                F.try_divide(
-                    dot_product(F.col(vec_col), F.col("centroid")),
-                    F.col("_vn") * F.col("_cn"),
-                ),
-                F.lit(0.0),
-            ),
-            SCORE_DP,
-        ),
-    )
-    others = [c for c in vectors.columns if c != vec_id]
-    best = scored.groupBy(vec_id).agg(
-        F.min(F.struct((-F.col("cscore")).alias("neg"), F.col("list_id").alias("list_id"))).alias("_b"),
-        *[F.first(c).alias(c) for c in others],
-    )
-    return best.select(
+    cent_rows = [
+        (r[0], r[1]) for r in centroids.select("list_id", "centroid").collect()
+    ]
+    return ivf_assign_arrow(
+        vectors,
+        cent_rows,
+        centroids.schema["list_id"].dataType,
         vec_id,
-        *others,
-        F.col("_b.list_id").alias("list_id"),
-        (-F.col("_b.neg")).alias("cscore"),
+        vec_col,
     )
 
 
@@ -514,7 +492,11 @@ def make_centroids_kmeans(
     (assignment is exact GIVEN centroids) is pinned in
     tests/test_ivf_retrain.py with a tiny forced cap.
     """
-    from log_vector_spark.operators.cluster import _assign, _update
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from log_vector_spark.functions.argmin import assign_l2_arrow
+    from log_vector_spark.operators.cluster import _update
 
     if every is None or train_cap is not None:
         from log_vector_spark.catalog import cached_count
@@ -522,20 +504,42 @@ def make_centroids_kmeans(
         n = cached_count(vectors)
         if every is None:
             every = sqrt_stride(n)
+    spark = vectors.sparkSession
     v = vectors.select(
         F.col(vec_id), F.transform(vec_col, lambda x: x.cast("double")).alias("e")
     )
-    c = v.filter(F.col(vec_id) % every == 0).select(F.col(vec_id).alias("cid"), "e")
+    cid_type = v.schema[vec_id].dataType
+    seeds = v.filter(F.col(vec_id) % every == 0).collect()
+    out_schema = T.StructType(
+        [
+            T.StructField("list_id", cid_type, False),
+            T.StructField("centroid", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+    if not seeds:
+        return spark.createDataFrame([], out_schema)
+    cids = [r[0] for r in seeds]
+    C = np.asarray([r["e"] for r in seeds], dtype=np.float64)
     train = v
     if train_cap is not None and n > train_cap:
         tstride = -(-n // train_cap)  # ceil: sample size <= train_cap
         train = v.filter(F.col(vec_id) % tstride == 0).localCheckpoint(eager=True)
+    # r12 (guide §4.2): each Lloyd round = one map-side Arrow argmin over
+    # the (bounded) training set + the distributed decimal-exact update,
+    # collected back (k x dim doubles — the payload each old round
+    # BROADCAST anyway).  The literal centroids replace the per-round
+    # localCheckpoint chain outright: nothing downstream can re-fire the
+    # rounds, and the returned quantizer is a LocalTableScan.
     for _ in range(iters):
-        # checkpoint per round: round r's assignment BROADCASTS c, and
-        # without lineage truncation the broadcast subtree replays rounds
-        # 1..r-1 (the dedup_clusters iterative idiom; k x dim rows, tiny)
-        c = _update(_assign(train, c, vec_id, dim)).localCheckpoint(eager=False)
-    return c.select(F.col("cid").alias("list_id"), F.col("e").alias("centroid"))
+        rows = sorted(
+            _update(assign_l2_arrow(train, cids, C, vec_id, cid_type)).collect(),
+            key=lambda r: r["cid"],
+        )
+        cids = [r["cid"] for r in rows]
+        C = np.asarray([r["e"] for r in rows], dtype=np.float64)
+    return spark.createDataFrame(
+        [(cid, [float(x) for x in e]) for cid, e in zip(cids, C)], out_schema
+    )
 
 
 def normalize_vectors(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:

@@ -852,13 +852,14 @@ def _retrain_ivf_store_locked(
     # store the refined centroids in the store's float layout and ASSIGN
     # under that same float form — the quantizer queries read must be the
     # quantizer the assignment used, or probe/partition disagree
-    cents = (
-        search.make_centroids_kmeans(base, iters=iters, train_cap=train_cap)
-        .select(
-            "list_id",
-            F.transform("centroid", lambda x: x.cast("float")).alias("centroid"),
-        )
-        .localCheckpoint(eager=True)
+    # make_centroids_kmeans returns a LITERAL k-row relation (r12 Arrow
+    # Lloyd kernel) — the old eager checkpoint that kept the Lloyd rounds
+    # off the recompute chain has nothing left to pin
+    cents = search.make_centroids_kmeans(
+        base, iters=iters, train_cap=train_cap
+    ).select(
+        "list_id",
+        F.transform("centroid", lambda x: x.cast("float")).alias("centroid"),
     )
     assigned = search.ivf_assign(base, cents)
 

@@ -1972,9 +1972,10 @@ def ivf_kmeans_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = search.knn_batch_topk(emb, queries_df, k=10).select("query_id", "vec_id")
     # refined centroids feed BOTH the probe ranking and the assignment
-    # inside knn_ivf_batch: checkpoint so the 2-round Lloyd subtree runs
-    # once, not twice (the knn_ivfpq residual idiom; write-time artifact)
-    cents = search.make_centroids_kmeans(emb, iters=2).localCheckpoint(eager=False)
+    # inside knn_ivf_batch — make_centroids_kmeans now returns a LITERAL
+    # k-row relation (r12 Arrow Lloyd kernel), so the checkpoint that used
+    # to keep the Lloyd subtree single-run is gone with the subtree
+    cents = search.make_centroids_kmeans(emb, iters=2)
     approx = search.knn_ivf_batch(emb, cents, queries_df, k=10, nprobe=4).select(
         "query_id", "vec_id"
     )

@@ -41,30 +41,21 @@ def test_kmeans_is_deterministic_across_partitionings(spark):
     assert a == b
 
 
-def test_kmeans_broadcasts_centroids_not_vectors(spark):
+def test_kmeans_assignment_is_zero_shuffle_map_kernel(spark):
+    # r12: the assignment is a map-side Arrow argmin over literal
+    # centroids (functions/argmin).  The registered plan must carry NO
+    # Exchange, NO join, NO Window — one MapInArrow node over the scan is
+    # the whole assignment (the old crossJoin(broadcast)+struct-min shape
+    # lives on only as cluster._assign, the kernel's executable spec).
     df = _vecs(spark, [[float(i), 0.0] for i in range(20)])
     plan = (
         kmeans_assignments(df, k=2, iters=2)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # The vector side must never be the broadcast build side: every broadcast
-    # in this plan stems from the k-row centroid relation (LocalTableScan /
-    # aggregated update), so no shuffle-scaled exchange feeds a broadcast.
-    assert "SortMergeJoin" not in plan
-
-
-def test_kmeans_assignment_is_agg_not_window(spark):
-    # The argmin must reduce map-side: no Window node for the per-vector
-    # nearest-centroid choice (a window would shuffle the k-times-larger
-    # scored relation; the struct-min groupBy shuffles one row per vector).
-    df = _vecs(spark, [[float(i), 1.0] for i in range(30)])
-    plan = (
-        kmeans_assignments(df, k=2, iters=2)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert plan.count("Window") <= 1  # only the k-row seed numbering
-    assert "partial_min" in plan or "partial min" in plan.lower()
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
 
 
 # ---------------------------------------------------------------------------

@@ -518,6 +518,15 @@ def test_no_unreviewed_collect_sites_in_engine_source():
         ("operators/maintenance.py", "epochs = sorted(r[0] for r in live.select(epoch_col).distinct().collect())"),
         ("sources/export.py", "rows = src.mapInPandas(pack, _SHARD_SCHEMA).collect()  # bounded: 1/shard"),
         ("sources/index_store.py", ".collect()"),  # 1-row/cohort agg folds
+        # r12 Arrow argmin kernels: every collect below is the k-row (or
+        # stride-sampled ~sqrt(N)-row) centroid relation — the IDENTICAL
+        # payload the pre-r12 plans materialized on the driver as a
+        # BroadcastExchange build side; never a corpus-scaled relation.
+        ("operators/cluster.py", "seeds = v.orderBy(id_col).limit(k).collect()"),
+        ("operators/cluster.py", "_update(assign_l2_arrow(v, cids, C, id_col, T.IntegerType())).collect(),"),
+        ("operators/search.py", '(r[0], r[1]) for r in centroids.select("list_id", "centroid").collect()'),
+        ("operators/search.py", "seeds = v.filter(F.col(vec_id) % every == 0).collect()"),
+        ("operators/search.py", "_update(assign_l2_arrow(train, cids, C, vec_id, cid_type)).collect(),"),
         ("sources/store.py", "rows = spark.read.json(os.path.join(path, \"manifest\")).collect()"),
         ("sources/store.py", "touched = [r[0] for r in docs.select(source_col).distinct().collect()]"),
         ("sources/store.py", "touched = [r[0] for r in touched_df.collect()]"),
